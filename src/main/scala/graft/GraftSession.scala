@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory.
+  *
+  * The same builder is used by tests, Verify and Bench so every entry point
+  * runs with the scale-oriented defaults: AQE on (runtime coalesce + skew-join
+  * splitting stand in for the per-cluster tuning we cannot do on local[N]),
+  * shuffle partitions sized from the env instead of the 200 default, and UTC
+  * so timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 only
+      // reads it via this escape hatch (as LongType nanos — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
