@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cdc.CdcQueries
 import graft.operators.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -12,11 +13,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Analytics.queries ++ CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracles
+    Analytics.oracles ++ CdcQueries.oracles
 }

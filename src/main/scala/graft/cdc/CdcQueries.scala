@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.CdcStream
+
+/** Driver-facing CDC queries + DuckDB oracles, all over the deterministic
+  * simulated orders changelog (CdcSim).
+  */
+object CdcQueries {
+
+  val payloadCols = Seq("custkey", "price", "status")
+
+  def parseEnvelope(s: SparkSession, d: String): DataFrame =
+    CdcSim.parsedChangelog(s, d)
+
+  def snapshotLatest(s: SparkSession, d: String): DataFrame =
+    CdcOps.snapshotLatest(CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms", payloadCols)
+
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    CdcOps.scd2(CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms")
+      .select("id", "custkey", "price", "status", "valid_from", "valid_to", "is_current")
+
+  def changelogStats(s: SparkSession, d: String): DataFrame =
+    CdcOps.changelogStats(CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms")
+
+  /** Redelivery guard: replay every event of keys with id%3==0 (simulated
+    * at-least-once duplication), then count raw vs deduped per op.
+    */
+  def delDupGuard(s: SparkSession, d: String): DataFrame = {
+    val ch = CdcSim.parsedChangelog(s, d)
+    val redelivered = ch.unionByName(ch.filter(col("id") % 3 === 0))
+    val raw = redelivered.groupBy(col("op")).agg(count(lit(1)).as("n_raw"))
+    val ded = CdcOps.dedupRedelivery(redelivered, Seq("id"), "ts_ms")
+      .groupBy(col("op")).agg(count(lit(1)).as("n_dedup"))
+    raw.join(ded, "op")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_parse_envelope" -> parseEnvelope,
+    "cdc_snapshot_latest" -> snapshotLatest,
+    "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
+    "cdc_scd2_history" -> scd2History,
+    "cdc_changelog_stats" -> changelogStats,
+    "cdc_del_dup_guard" -> delDupGuard,
+  )
+
+  private val C = CdcSim.oracleCtes
+
+  val snapshotOracle: String =
+    s"""$C
+       |SELECT id, custkey, price,
+       |  CASE WHEN st <> 'O' THEN st ELSE 'NEW' END AS status,
+       |  CASE WHEN st <> 'O' THEN ts0 + 86400000 ELSE ts0 END AS ts_ms
+       |FROM base WHERE id % 10 <> 0""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "cdc_parse_envelope" -> s"$C\nSELECT op, id, custkey, price, status, ts_ms, sign FROM ev",
+    "cdc_snapshot_latest" -> snapshotOracle,
+    "cdc_snapshot_stream" -> snapshotOracle,
+    "cdc_scd2_history" ->
+      s"""$C,
+         |v AS (
+         |  SELECT id, custkey, price, status, sign, ts_ms AS valid_from,
+         |         lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_ms) AS nxt
+         |  FROM ev)
+         |SELECT id, custkey, price, status, valid_from,
+         |  coalesce(nxt, -1) AS valid_to,
+         |  CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM v WHERE sign = 1""".stripMargin,
+    "cdc_changelog_stats" ->
+      s"""$C
+         |SELECT op, count(*) AS n_events, count(DISTINCT id) AS n_keys,
+         |  min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+         |FROM ev GROUP BY op""".stripMargin,
+    "cdc_del_dup_guard" ->
+      s"""$C,
+         |redelivered AS (
+         |  SELECT * FROM ev UNION ALL SELECT * FROM ev WHERE id % 3 = 0)
+         |SELECT op,
+         |  (SELECT count(*) FROM redelivered r WHERE r.op = ev2.op) AS n_raw,
+         |  count(*) AS n_dedup
+         |FROM ev ev2 GROUP BY op""".stripMargin,
+  )
+}
