@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` — language ID, quality scoring,
+  * token counting, fingerprinting, top terms. All per-row Column expressions
+  * → embarrassingly parallel scans at any scale (no shuffle except the
+  * explicit aggregations), fully inside whole-stage codegen.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      col("n_tokens"),
+      length(col("text")).as("n_chars_raw"),
+      subtokenCount(col("text")).as("n_subtokens"),
+      detRound(aggregate(transform(col("toks"), t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / col("n_tokens"), 4).as("avg_word_len"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+
+  /** Composite quality: length band + stopword presence + non-repetition.
+    * Per-row doubles, deterministic across engines.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+      .withColumn("stop_ratio",
+        hitCount(col("toks"), enStop).cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("quality", detRound(
+        lit(0.4) * col("len_score") + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0) +
+          lit(0.3) * col("uniq_ratio"), 4))
+      .select(col("doc_id"), detRound(col("len_score"), 4).as("len_score"),
+        detRound(col("stop_ratio"), 4).as("stop_ratio"),
+        detRound(col("uniq_ratio"), 4).as("uniq_ratio"),
+        col("quality"),
+        when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("keep"))
+
+  /** Stopword-profile language ID with fixed tie order en > es > de > fr. */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("en_hits", hitCount(col("toks"), enStop))
+      .withColumn("es_hits", hitCount(col("toks"), esStop))
+      .withColumn("de_hits", hitCount(col("toks"), deStop))
+      .withColumn("fr_hits", hitCount(col("toks"), frStop))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), lit("es"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .select("doc_id", "lang", "pred_lang", "en_hits", "es_hits", "de_hits", "fr_hits")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      greatest(col("n_tokens") - 2, lit(0)).as("n_shingles"))
+
+  def textTopterms(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("term"))
+    docs(s, d)
+      .select(col("source"), explode(col("toks")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "text_topterms" -> textTopterms,
+  )
+
+  // SQL mirrors: same normalization/tokenization, same marker lists, same
+  // floor-based rounding.
+  private val normSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter(toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_raw,
+         | len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+         | floor(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+         |       / len(toks) * 1e4) / 1e4 AS avg_word_len,
+         | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+         |FROM t""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) AS len_score,
+         |  CAST(${hitsSql(enStop)} AS DOUBLE) / len(toks) AS stop_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+         | FROM t),
+         |sc AS (SELECT doc_id, len_score, stop_ratio, uniq_ratio,
+         |  floor((0.4*len_score + 0.3*least(1.0, stop_ratio*5.0) + 0.3*uniq_ratio)*1e4)/1e4 AS quality
+         | FROM q)
+         |SELECT doc_id, floor(len_score*1e4)/1e4 AS len_score,
+         | floor(stop_ratio*1e4)/1e4 AS stop_ratio,
+         | floor(uniq_ratio*1e4)/1e4 AS uniq_ratio, quality,
+         | CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM sc""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+         |  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+         | FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |      WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+         | en_hits, es_hits, de_hits, fr_hits
+         |FROM h""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+         | greatest(len($toksSql) - 2, 0) AS n_shingles
+         |FROM documents""".stripMargin,
+    "text_topterms" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |g AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
+         |r AS (SELECT source, term, n,
+         |  row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk FROM g)
+         |SELECT source, term, n, rnk FROM r WHERE rnk <= 5""".stripMargin,
+  )
+}
