@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A decoded-media record produced by the (stubbed) native decoder. */
+case class DecodedMeta(doc_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int, duration_ms: Long)
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata.
+  *
+  * The container has no media libraries, so the DECODE step is a
+  * deterministic stub (`stubDecode` — shapes derived from the payload hash);
+  * everything around it — binary casting, schema, partition-preserving
+  * mapPartitions batch shape, frame slicing/explosion — is the real Spark
+  * plumbing a decoder would plug into. At scale these are per-row map
+  * operations: no shuffle, scan-bound, codegen'd except the explicit
+  * mapPartitions decode seam.
+  */
+object Multimodal {
+
+  /** documents.text bytes stand in for the media payload. */
+  private def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Deterministic media-kind assignment (stub for magic-byte sniffing). */
+  private def kind = element_at(
+    array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
+
+  def mmBinaryMeta(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d).select(
+      col("doc_id"),
+      kind.as("kind"),
+      octet_length(col("payload")).as("n_bytes"),
+      sha2(col("payload"), 256).as("sha"),
+      // Stubbed decode metadata: deterministic fake dims from payload size.
+      (lit(64) + octet_length(col("payload")) % 1216).as("width"),
+      (lit(64) + (octet_length(col("payload")) * 7) % 656).as("height"))
+
+  /** Frame sampling: 64-byte frames, every 4th sampled, exploded to rows —
+    * the batch shape a video pipeline needs (doc × frame grid), without a
+    * real codec.
+    */
+  val FrameBytes = 64
+  val SampleEvery = 4
+
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val n = ceil(octet_length(col("payload")).cast("double") / FrameBytes).cast("long")
+    withPayload(s, d)
+      .withColumn("n_frames", n)
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % SampleEvery === 0)))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        sha2(substring(col("payload"), (col("frame_idx") * FrameBytes + 1).cast("int"), lit(FrameBytes)), 256)
+          .as("frame_sha"),
+        octet_length(substring(col("payload"), (col("frame_idx") * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+          .as("frame_bytes"))
+  }
+
+  /** The decode seam a real system would fill with a native library: typed
+    * mapPartitions so the decoder amortizes per-partition init (codec
+    * contexts, GPU handles), one partition per task, no shuffle. The stub
+    * derives deterministic shapes from the payload; a real impl replaces
+    * only the body of `decodeOne`. Exercised by MultimodalSpec.
+    */
+  def decodePartitioned(s: SparkSession, d: String): Dataset[DecodedMeta] = {
+    import s.implicits._
+    withPayload(s, d)
+      .withColumn("kind", kind)
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec context / GPU handle)
+        it.map { case (id, k, bytes) => decodeOne(id, k, bytes) }
+      }
+  }
+
+  /** STUB decoder — deterministic fake in place of the real codec call. */
+  def decodeOne(id: Long, k: String, bytes: Array[Byte]): DecodedMeta = {
+    val n = bytes.length.toLong
+    DecodedMeta(id, k, n,
+      width = (64 + n % 1216).toInt,
+      height = (64 + (n * 7) % 656).toInt,
+      duration_ms = if (k == "image") 0L else n * 10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_frame_sample" -> mmFrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | sha256(text) AS sha,
+        | 64 + octet_length(CAST(text AS BLOB)) % 1216 AS width,
+        | 64 + (octet_length(CAST(text AS BLOB)) * 7) % 656 AS height
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH p AS (SELECT doc_id, text,
+         |    CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / $FrameBytes) AS BIGINT) AS n_frames
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_frames, unnest(list_filter(range(0, n_frames), i -> i % $SampleEvery = 0)) AS frame_idx
+         |  FROM p)
+         |SELECT f.doc_id, f.n_frames, frame_idx,
+         |  sha256(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes)) AS frame_sha,
+         |  octet_length(CAST(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes) AS BLOB)) AS frame_bytes
+         |FROM f JOIN p ON f.doc_id = p.doc_id""".stripMargin,
+  )
+}

