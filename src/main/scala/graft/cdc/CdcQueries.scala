@@ -30,10 +30,11 @@ object CdcQueries {
   def delDupGuard(s: SparkSession, d: String): DataFrame = {
     val ch = CdcSim.parsedChangelog(s, d)
     val redelivered = ch.unionByName(ch.filter(col("id") % 3 === 0))
-    val raw = redelivered.groupBy(col("op")).agg(count(lit(1)).as("n_raw"))
-    val ded = CdcOps.dedupRedelivery(redelivered, Seq("id"), "ts_ms")
-      .groupBy(col("op")).agg(count(lit(1)).as("n_dedup"))
-    raw.join(ded, "op")
+    // n_dedup = distinct (id, ts_ms) within each op group — the same result
+    // as dropDuplicates-then-count, in one pass over one parse of the log.
+    redelivered.groupBy(col("op"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("id"), col("ts_ms")).as("n_dedup"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

