@@ -2,22 +2,25 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.cdc.CdcQueries
+import graft.streaming.StreamQueries
 import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the CDC snapshot — envelope parse + ReplacingMergeTree FINAL
+    * semantics end to end (the reference's core loop). */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    CdcQueries.snapshotLatest(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ CdcQueries.queries ++ TextQueries.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+    Analytics.queries ++ CdcQueries.queries ++ TextQueries.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ CdcQueries.oracles ++ TextQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+    Analytics.oracles ++ CdcQueries.oracles ++ TextQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ StreamQueries.oracles
 }

@@ -120,12 +120,14 @@ object Analytics {
   /** Tumbling-window aggregation — the batch twin of the streaming windowed
     * agg (`stream_windowed_agg`); identical grouping semantics.
     */
-  def eventsHourly(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+  def hourlyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
+
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    hourlyAgg(Tables.events(s, d))
 
   def eventsJsonProps(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
