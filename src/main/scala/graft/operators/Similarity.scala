@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.detRound
+import graft.functions.NativeVector
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -52,7 +53,7 @@ object Similarity {
   // ---------------------------------------------------------------- brute
   def knnBrute(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
-    topK(broadcast(q).join(c).withColumn("cos", cosine(col("qv"), col("v"))))
+    topK(broadcast(q).join(c).withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
   // ------------------------------------------------------------------ LSH
@@ -79,7 +80,7 @@ object Similarity {
   def signature(t: Int, v: Column): Column =
     (0 until SigBits).map { j =>
       val plane = array(planes(t)(j).map(lit): _*)
-      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
+      when(NativeVector.dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   def knnLsh(s: SparkSession, d: String): DataFrame = {
@@ -101,7 +102,7 @@ object Similarity {
       .select("q_id", "qv", "t", "sig")
     topK(broadcast(qSig).join(cSig, Seq("t", "sig"))
       .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
-      .withColumn("cos", cosine(col("qv"), col("v"))))
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
   // ------------------------------------------------------------------ IVF
@@ -115,25 +116,25 @@ object Similarity {
     val init = c.orderBy(col("vec_id")).limit(NumCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
     val assigned = c.join(broadcast(init))
-      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("cos", NativeVector.cosine(col("v"), col("cv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
     val cells = assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .groupBy(col("cell"))
       .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
     val corpusCells = c.join(broadcast(cells))
-      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("ccos", NativeVector.cosine(col("v"), col("cv")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
     val qCells = q.join(broadcast(cells))
-      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("ccos", NativeVector.cosine(col("qv"), col("cv")))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("r") <= NProbe)
       .select(col("q_id"), col("qv"), col("cell"))
     topK(broadcast(qCells).join(corpusCells, "cell")
-      .withColumn("cos", cosine(col("qv"), col("v"))))
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
