@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over `documents` — language ID, quality scoring,
@@ -80,7 +81,35 @@ object TextQueries {
       .filter(col("rnk") <= 5)
   }
 
+  /** PII scrubbing: redact email-shaped tokens and long digit runs, report
+    * per-doc redaction counts — per-row regex ops, shuffle-free at any
+    * scale.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val digitsRe = "[0-9]{4,}"
+  def textPiiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm", normalize(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("norm"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("norm"), lit(digitsRe), lit(0))).as("n_digit_runs"),
+        md5(regexp_replace(regexp_replace(col("norm"), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>")).as("scrubbed_fp"))
+
+  /** The end-to-end "clean corpus" materialization a training pipeline runs:
+    * exact-dedup survivors ∩ quality keepers → surviving doc ids. Composes
+    * dedupExact + textQuality; both sides are aggregations/joins on doc_id.
+    */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val survivors = Dedup.dedupExact(s, d).select(col("keep_id").as("doc_id"))
+    val keepers = textQuality(s, d).filter(col("keep") === 1)
+      .select(col("doc_id"), col("quality"))
+    survivors.join(keepers, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> textPiiScrub,
+    "corpus_clean" -> corpusClean,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -96,6 +125,25 @@ object TextQueries {
     s"len(list_filter(toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(norm, '$emailRe')) AS n_emails,
+         | len(regexp_extract_all(norm, '$digitsRe')) AS n_digit_runs,
+         | md5(regexp_replace(regexp_replace(norm, '$emailRe', '<EMAIL>', 'g'),
+         |     '$digitsRe', '<NUM>', 'g')) AS scrubbed_fp
+         |FROM t""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH survivors AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+         |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+         |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+         | FROM t)
+         |SELECT s.doc_id, q.quality FROM survivors s JOIN q ON s.doc_id = q.doc_id
+         |WHERE q.quality >= 0.5""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_raw,
