@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale techniques as reusable operators: two-phase salted aggregation for
+  * skewed keys, and bucketed co-located joins.
+  *
+  * These exist so the 100 TB story is code, not prose: SkewSpec proves the
+  * salted plan produces identical results to the plain one, and that
+  * bucketed joins eliminate the shuffle exchange.
+  */
+object Scale {
+
+  /** Two-phase aggregation for skewed group keys: salt the key, partial-agg
+    * per (key, salt), then merge. Works for any associative aggregate; here
+    * count + sum (the shape of every mart rollup).
+    *
+    * At 100 TB a single hot key (one user generating millions of events)
+    * would funnel into one reducer; salting spreads phase one across
+    * `salts` reducers and phase two only merges `salts` rows per key.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(crc32(col(key).cast("string")) + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n"), round(sum(col("_s")), 2).as("total"))
+
+  /** Plain single-phase twin for equivalence testing. */
+  def plainSumCount(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("total"))
+
+  /** Per-user event rollup, salted — driver-facing query with the plain
+    * formulation as its oracle semantics.
+    */
+  def eventsUserStatsSalted(s: SparkSession, d: String): DataFrame =
+    saltedSumCount(Tables.events(s, d), "user_id", "value")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_stats_salted" -> eventsUserStatsSalted,
+  )
+
+  /** The oracle states the plain single-phase semantics — salting is an
+    * execution strategy, not a semantic change.
+    */
+  val oracles: Map[String, String] = Map(
+    "events_user_stats_salted" ->
+      """SELECT user_id, count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+  )
+
+  /** Write both fact tables bucketed by the join key into a warehouse, then
+    * join the bucketed tables — returns the joined mart. With matching
+    * bucketing on both sides, Spark plans a shuffle-free sort-merge join
+    * (asserted in SkewSpec).
+    */
+  def bucketedOrdersLineitem(s: SparkSession, d: String,
+      buckets: Int = 8): DataFrame = {
+    val db = "graft_buckets"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // drop any previous tables AND their orphaned locations (the metastore
+    // is per-JVM but the warehouse directory persists across runs)
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      s.sql(s"DROP TABLE IF EXISTS $db.$t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$t")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+    // hint("merge"): at test scale the dims would broadcast; the bucketing
+    // payoff we're demonstrating is the exchange-free sort-merge join.
+    s.table(s"$db.lineitem_b").hint("merge")
+      .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+}
