@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.cdc.{CdcOps, Envelope}
+
+/** Incrementally-maintained current-state table: the full ClickHouse
+  * `ReplacingMergeTree + FINAL` role (init-clickhouse.sql) as a streaming
+  * merge job. Each micro-batch of change events merges into the on-disk
+  * snapshot: union(stored state, batch) → latest-version-per-key → drop
+  * tombstones → write new snapshot version.
+  *
+  * Exactly-once: versions are written to `v=<batchId>` directories, a
+  * `_LATEST` pointer is flipped after a successful write, and a per-batch
+  * manifest makes replays no-ops — re-running a failed batch rewrites the
+  * same version directory and flips the same pointer.
+  *
+  * Scale: the merge is CdcOps.snapshotLatest (one shuffle, partial max_by).
+  * The read-merge-rewrite of the full snapshot per batch is the simple
+  * formulation; on a real lake the same foreachBatch body becomes a
+  * Delta/Iceberg MERGE that rewrites only touched files — the streaming
+  * wiring, checkpointing, and idempotence story stay identical.
+  */
+object IncrementalSnapshot {
+
+  def latestVersion(dir: String): Option[Long] = {
+    val p = Paths.get(dir, "_LATEST")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
+    latestVersion(dir).map(v => s.read.parquet(s"$dir/v=$v"))
+
+  /** Merge one micro-batch of flattened signed change rows into the stored
+    * snapshot. Stored rows re-enter the merge as state (op='r', sign=1) at
+    * their stored version.
+    */
+  def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String])
+      (batch: DataFrame, batchId: Long): Unit = {
+    val manifest = Paths.get(dir, "_manifest")
+    Files.createDirectories(manifest)
+    if (Files.exists(manifest.resolve(batchId.toString))) return
+    val s = batch.sparkSession
+    val current = readSnapshot(s, dir)
+      .map(_.withColumn("op", lit("r")).withColumn("sign", lit(1)))
+    val all = current.map(batch.unionByName(_)).getOrElse(batch)
+    CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
+      .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    Files.writeString(Paths.get(dir, "_LATEST"), batchId.toString)
+    Files.createFile(manifest.resolve(batchId.toString))
+  }
+
+  /** Stream a CDC source into a maintained snapshot directory. */
+  def start(s: SparkSession, src: CdcPipeline.Source, payloadSchema: StructType,
+      keyCols: Seq[String], dir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val payloadCols = payloadSchema.fieldNames.toSeq.filterNot(keyCols.contains)
+    Envelope.parse(CdcPipeline.read(s, src), payloadSchema)
+      .writeStream
+      .foreachBatch(merge(dir, keyCols, payloadCols) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}
