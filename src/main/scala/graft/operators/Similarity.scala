@@ -21,10 +21,11 @@ import graft.functions.VectorFunctions._
   * fraction is tunable by (SigBits, NumTables); asserted ≥0.6 vs brute in
   * SimilaritySpec (measures ≈0.92 on this corpus).
   *
-  * `knn_ivf` is the IVF variant: a deterministic coarse quantizer (first-C
-  * init + one Lloyd sweep) partitions the corpus into cells; queries probe
-  * the nearest `nprobe` cells. Both return exactly k rows per query, so the
-  * driver's rows-only check is stable even where float ulps shift ranks.
+  * `knn_ivf` is the IVF variant: a deterministic coarse quantizer
+  * (first-C init, LloydIters sweeps) partitions the corpus into cells;
+  * queries probe the nearest `nprobe` cells (recall ≈ 0.71 here at 4/8
+  * cells probed). Both return exactly k rows per query, so the driver's
+  * rows-only check is stable even where float ulps shift ranks.
   */
 object Similarity {
 
@@ -107,20 +108,30 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
   val NumCells = 8
-  val NProbe = 3
+  val NProbe = 4
+  val LloydIters = 3
+
+  /** One Lloyd sweep: assign every vector to its nearest centroid, return
+    * the new cell means. Centroid side stays broadcast; the corpus is
+    * scanned once per sweep.
+    */
+  private def lloydSweep(c: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    c.join(broadcast(centroids))
+      .withColumn("cos", NativeVector.cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("cell"))
+      .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+  }
 
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
     // Deterministic coarse quantizer: init = first NumCells corpus vectors,
-    // one Lloyd sweep (collected — centroid table is tiny by construction).
+    // then LloydIters sweeps (centroid table is tiny by construction).
     val init = c.orderBy(col("vec_id")).limit(NumCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val assigned = c.join(broadcast(init))
-      .withColumn("cos", NativeVector.cosine(col("v"), col("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
-    val cells = assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .groupBy(col("cell"))
-      .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("cv"))
+    val cells = (1 to LloydIters).foldLeft(init: DataFrame)((cent, _) => lloydSweep(c, cent))
+      .localCheckpoint()
     val corpusCells = c.join(broadcast(cells))
       .withColumn("ccos", NativeVector.cosine(col("v"), col("cv")))
       .withColumn("r", row_number().over(
