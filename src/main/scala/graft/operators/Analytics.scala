@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -23,21 +23,29 @@ import graft.Tables
   */
 object Analytics {
 
-  /** Money sums rounded to cents, averages to 4dp: keeps the DuckDB oracle
-    * hash-stable against float summation order.
+  /** The money columns hold 2-decimal values in doubles, so double sums land
+    * on exact half-cent rounding boundaries constantly — where Spark
+    * (decimal-string HALF_UP) and DuckDB (binary) disagree. All money
+    * aggregation therefore runs in exact DECIMAL arithmetic in BOTH engines:
+    * cast operands to DECIMAL(18,4), sum exactly, round (both half-away for
+    * positives), cast back to double.
     */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def sumD(c: Column, n: Int): Column = round(sum(c), n).cast("double")
+  private def revenueExpr: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
   def q1PricingSummary(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        (floor(round(sum(col("l_quantity")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_qty"),
-        (floor(round(sum(col("l_extendedprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_price"),
-        (floor(round(sum(col("l_discount")), 4) / count(lit(1)) * 1e6) / 1e6).as("avg_disc"),
+        sumD(dec(col("l_quantity")), 2).as("sum_qty"),
+        sumD(dec(col("l_extendedprice")), 2).as("sum_base_price"),
+        sumD(revenueExpr, 2).as("sum_disc_price"),
+        sumD(revenueExpr * (lit(1) + dec(col("l_tax"))), 2).as("sum_charge"),
+        (floor(sumD(dec(col("l_quantity")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_qty"),
+        (floor(sumD(dec(col("l_extendedprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_price"),
+        (floor(sumD(dec(col("l_discount")), 4) / count(lit(1)) * 1e6) / 1e6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame =
@@ -47,9 +55,9 @@ object Analytics {
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit("1998-03-15"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sumD(revenueExpr, 2).as("revenue"))
       .select(col("l_orderkey"),
-        round(col("revenue"), 2).as("revenue"),
+        col("revenue"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -68,7 +76,7 @@ object Analytics {
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sumD(revenueExpr, 2).as("revenue"))
   }
 
   /** The reference's daily report (`daily_report.py`) done for real: revenue
@@ -77,7 +85,7 @@ object Analytics {
   def dailyRevenue(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+      .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
 
   /** Order-status funnel — the e-commerce `status` lifecycle the reference's
@@ -87,20 +95,20 @@ object Analytics {
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"),
-        (floor(round(sum(col("o_totalprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_order_value"))
+        sumD(dec(col("o_totalprice")), 2).as("revenue"),
+        (floor(sumD(dec(col("o_totalprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_order_value"))
 
   def categoryRevenue(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        round(sum(col("l_quantity")), 2).as("qty"))
+      .agg(sumD(revenueExpr, 2).as("revenue"),
+        sumD(dec(col("l_quantity")), 2).as("qty"))
 
   def topCustomers(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      .agg(sumD(dec(col("o_totalprice")), 2).as("spend"))
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("spend").desc, col("c_custkey"))
     spend.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -112,9 +120,9 @@ object Analytics {
   def customerLtv(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 2).as("ltv"),
+      .agg(sumD(dec(col("o_totalprice")), 2).as("ltv"),
         count(lit(1)).as("n_orders"),
-        (floor(round(sum(col("o_totalprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_basket"),
+        (floor(sumD(dec(col("o_totalprice")), 2) / count(lit(1)) * 1e4) / 1e4).as("avg_basket"),
         date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_day"))
 
   /** Tumbling-window aggregation — the batch twin of the streaming windowed
@@ -124,7 +132,7 @@ object Analytics {
     ev.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sumD(dec(col("value")), 2).as("sum_value"))
 
   def eventsHourly(s: SparkSession, d: String): DataFrame =
     hourlyAgg(Tables.events(s, d))
@@ -152,7 +160,7 @@ object Analytics {
       .withColumn("session_seq", sum(col("new_sess")).over(byUser))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"),
+        sumD(dec(col("value")), 2).as("session_value"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
   }
 
@@ -169,7 +177,46 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** TPC-H Q7-style: shipping volume between two nations by year. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sumD(revenueExpr, 2).as("volume"))
+  }
+
+  /** TPC-H Q10-style: top customers by returned-item revenue. */
+  def q10Returns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sumD(revenueExpr, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q12-style: priority mix per line status. */
+  def q12PriorityMix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q10_returns" -> q10Returns,
+    "q12_priority_mix" -> q12PriorityMix,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -185,20 +232,48 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS volume
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_mix" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | floor(round(sum(l_quantity),2)/count(*)*1e4)/1e4 AS avg_qty,
-        | floor(round(sum(l_extendedprice),2)/count(*)*1e4)/1e4 AS avg_price,
-        | floor(round(sum(l_discount),4)/count(*)*1e6)/1e6 AS avg_disc,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))*(1 + CAST(l_tax AS DECIMAL(18,4)))),2) AS DOUBLE) AS sum_charge,
+        | floor(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE)/count(*)*1e4)/1e4 AS avg_qty,
+        | floor(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE)/count(*)*1e4)/1e4 AS avg_price,
+        | floor(CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))),4) AS DOUBLE)/count(*)*1e6)/1e6 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      """SELECT l_orderkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue,
         | strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         | JOIN lineitem ON o_orderkey = l_orderkey
@@ -208,7 +283,7 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -220,20 +295,20 @@ object Analytics {
         |GROUP BY n_name""".stripMargin,
     "daily_revenue" ->
       """SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
-        | round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
     "status_funnel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        | round(sum(o_totalprice),2) AS revenue,
-        | floor(round(sum(o_totalprice),2)/count(*)*1e4)/1e4 AS avg_order_value
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+        | floor(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE)/count(*)*1e4)/1e4 AS avg_order_value
         |FROM orders GROUP BY 1""".stripMargin,
     "category_revenue" ->
-      """SELECT p_type, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
-        | round(sum(l_quantity),2) AS qty
+      """SELECT p_type, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
     "top_customers" ->
       """WITH spend AS (
-        |  SELECT o_custkey, round(sum(o_totalprice),2) AS spend
+        |  SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS spend
         |  FROM orders GROUP BY 1)
         |SELECT c_nationkey, c_custkey, c_name, spend, rnk FROM (
         |  SELECT c_nationkey, c_custkey, c_name, spend,
@@ -241,13 +316,13 @@ object Analytics {
         |  FROM spend JOIN customer ON o_custkey = c_custkey) t
         |WHERE rnk <= 3""".stripMargin,
     "customer_ltv" ->
-      """SELECT o_custkey, round(sum(o_totalprice),2) AS ltv, count(*) AS n_orders,
-        | floor(round(sum(o_totalprice),2)/count(*)*1e4)/1e4 AS avg_basket,
+      """SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS ltv, count(*) AS n_orders,
+        | floor(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE)/count(*)*1e4)/1e4 AS avg_basket,
         | strftime(max(o_orderdate),'%Y-%m-%d') AS last_order_day
         |FROM orders GROUP BY 1""".stripMargin,
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
-        | event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+        | event_type, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, count(*) AS n_events,
@@ -267,7 +342,7 @@ object Analytics {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq, count(*) AS n_events,
-        | round(sum(value),2) AS session_value,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS session_value,
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
     "events_retention" ->

@@ -25,14 +25,15 @@ object Scale {
       salts: Int = 16): DataFrame =
     df.withColumn("_salt", pmod(crc32(col(key).cast("string")) + monotonically_increasing_id(), lit(salts)))
       .groupBy(col(key), col("_salt"))
-      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol).cast("decimal(18,4)")).as("_s"))
       .groupBy(col(key))
-      .agg(sum(col("_n")).as("n"), round(sum(col("_s")), 2).as("total"))
+      .agg(sum(col("_n")).as("n"), round(sum(col("_s")), 2).cast("double").as("total"))
 
   /** Plain single-phase twin for equivalence testing. */
   def plainSumCount(df: DataFrame, key: String, valueCol: String): DataFrame =
     df.groupBy(col(key))
-      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol).cast("decimal(18,4)")), 2).cast("double").as("total"))
 
   /** Per-user event rollup, salted — driver-facing query with the plain
     * formulation as its oracle semantics.
@@ -49,7 +50,8 @@ object Scale {
     */
   val oracles: Map[String, String] = Map(
     "events_user_stats_salted" ->
-      """SELECT user_id, count(*) AS n, round(sum(value),2) AS total
+      """SELECT user_id, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
   )
 
