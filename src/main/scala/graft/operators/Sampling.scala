@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PortableHash.{hexH, hexHSql}
+
+/** Reproducible sampling + featurization for training-data pipelines.
+  *
+  * Sampling by hash threshold (not `rand()`): membership is a pure function
+  * of the row key, so the sample is identical across runs, engines, and
+  * cluster layouts — the property a training pipeline needs for exact
+  * re-materialization. Per-row ops, shuffle-free.
+  */
+object Sampling {
+
+  /** ~`permille`/1000 of rows per stratum, keyed by a deterministic hash of
+    * the row id; stratum column rides along for per-stratum rate checks.
+    */
+  def sampleStratified(s: SparkSession, d: String, permille: Int = 200): DataFrame =
+    Tables.documents(s, d)
+      .filter(hexH(concat(lit("sample:"), col("doc_id"))) % 1000 < permille)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Hashing-trick document embedding: 64 buckets of token counts,
+    * L2-normalized — the cheap featurizer that connects the text pack to
+    * the vector ops (its output shape is exactly the embeddings table's).
+    * Emitted as exploded (doc_id, dim, weight) rows with weight > 0 —
+    * scalar columns hash-compare robustly and the sparse form is what a
+    * feature store keeps anyway.
+    */
+  val EmbedDim = 64
+  def textHashEmbed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("dim", (hexH(col("tok")) % EmbedDim).cast("int"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val norm = counts.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("l2"))
+    counts.join(norm, "doc_id")
+      .select(col("doc_id"), col("dim"),
+        (floor(col("c") / col("l2") * 1e6) / 1e6).as("weight"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
+    "text_hash_embed" -> textHashEmbed,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hexHSql("'sample:' || doc_id")} % 1000 < 200""".stripMargin,
+    "text_hash_embed" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(${hexHSql("tok")} % $EmbedDim AS INT) AS dim,
+         |    CAST(count(*) AS DOUBLE) AS c
+         |  FROM t GROUP BY 1, 2),
+         |n AS (SELECT doc_id, sqrt(sum(c*c)) AS l2 FROM c GROUP BY 1)
+         |SELECT c.doc_id, dim, floor(c / l2 * 1e6) / 1e6 AS weight
+         |FROM c JOIN n ON c.doc_id = n.doc_id""".stripMargin,
+  )
+}
