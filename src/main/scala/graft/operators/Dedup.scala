@@ -12,13 +12,14 @@ import graft.functions.VectorFunctions._
   * SimHash, embedding-cosine.
   *
   * Scale design: nothing here does a global cross join. Candidate pairs come
-  * from equality joins on blocking keys — length bands (jaccard), LSH band
-  * signatures (minhash), 15-bit hash chunks (simhash) — so the quadratic
-  * work is confined to same-bucket groups. Every blocking join is a plain
-  * hash shuffle; hot buckets split under AQE skew handling. The only
-  * pairwise-complete operator is `dedup_embedding`, kept exact here because
-  * the corpus table is small; the LSH/IVF scale path for vectors lives in
-  * Similarity.
+  * from equality joins on blocking keys — inverted shingle postings
+  * (jaccard), LSH band signatures (minhash), 15-bit hash chunks (simhash) —
+  * so the quadratic work is confined to same-bucket groups. Every blocking
+  * join is a plain hash shuffle; hot buckets split under AQE skew handling.
+  * The only pairwise-complete operator is `dedup_embedding` (exact-by-
+  * contract); its broadcast kernel is bounded by corpus size, with the
+  * grid-blocked variant in BlockedVectors as the beyond-broadcast path and
+  * the LSH/IVF approximate paths in Similarity.
   */
 object Dedup {
 
@@ -30,11 +31,6 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array(concat_ws(" ", toks))))
-
-  def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), shingleSet(col("toks")).as("shs"))
 
   /** Row-based distinct shingle postings: (doc_id, shingle string, n).
     *
@@ -59,11 +55,6 @@ object Dedup {
     sh3.unionByName(small)
       .dropDuplicates("doc_id", "sh")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-  }
-
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
   }
 
   // ---------------------------------------------------------------- exact
