@@ -88,6 +88,20 @@ object Analytics {
       .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Running total over the daily aggregate: the cumulative window runs on
+    * the ALREADY-aggregated frame (one row per day — thousands of rows at
+    * any source scale), so the single-partition global window is safe; the
+    * heavy lifting happened in the partial-agg shuffle before it.
+    */
+  def dailyRevenueRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("order_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyRevenue(s, d)
+      .withColumn("cum_revenue",
+        round(sum(col("revenue").cast("decimal(18,4)")).over(w), 2).cast("double"))
+      .withColumn("cum_orders", sum(col("n_orders")).over(w))
+  }
+
   /** Order-status funnel — the e-commerce `status` lifecycle the reference's
     * generator drives (data-generator/main.py:139-168).
     */
@@ -221,6 +235,7 @@ object Analytics {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "daily_revenue" -> dailyRevenue,
+    "daily_revenue_running" -> dailyRevenueRunning,
     "status_funnel" -> statusFunnel,
     "category_revenue" -> categoryRevenue,
     "top_customers" -> topCustomers,
@@ -297,6 +312,17 @@ object Analytics {
       """SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+    "daily_revenue_running" ->
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
+        |   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+        |   count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, revenue, n_orders,
+        | CAST(round(sum(CAST(revenue AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS cum_revenue,
+        | sum(n_orders) OVER w AS cum_orders
+        |FROM d
+        |WINDOW w AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "status_funnel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
