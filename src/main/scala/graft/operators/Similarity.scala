@@ -80,7 +80,9 @@ object Similarity {
 
   def signature(t: Int, v: Column): Column =
     (0 until SigBits).map { j =>
-      val plane = array(planes(t)(j).map(lit): _*)
+      // typedlit: one ArrayData literal per plane (not a 64-node expression
+      // tree) — keeps serialized task size small across 48 planes
+      val plane = typedlit(planes(t)(j))
       when(NativeVector.dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
