@@ -27,7 +27,9 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(CAST(floor(ts / 1000) AS LONG))"))
+      // integer `div`, not floor(ts/1000.0): a double's ulp at 2026-epoch
+      // nanos is 256 ns, so float division can floor to the wrong microsecond
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw.withColumn("ts", col("ts"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -28,13 +28,42 @@ object CdcQueries {
     * at-least-once duplication), then count raw vs deduped per op.
     */
   def delDupGuard(s: SparkSession, d: String): DataFrame = {
-    val ch = CdcSim.parsedChangelog(s, d)
+    // materialize once: both union branches would otherwise re-run the whole
+    // to_json→from_json simulated-changelog pipeline (measured ~2× on bench)
+    val ch = CdcSim.parsedChangelog(s, d).localCheckpoint()
     val redelivered = ch.unionByName(ch.filter(col("id") % 3 === 0))
     // n_dedup = distinct (id, ts_ms) within each op group — the same result
     // as dropDuplicates-then-count, in one pass over one parse of the log.
     redelivered.groupBy(col("op"))
       .agg(count(lit(1)).as("n_raw"),
         countDistinct(col("id"), col("ts_ms")).as("n_dedup"))
+  }
+
+  /** The reference's multi-table fan-out, end to end: three topics with
+    * genuinely different payload schemas and keys (orders, customer, part —
+    * cdc_processor.py:16-47,139-142) each parse through the same Envelope
+    * path and materialize a ReplacingMergeTree-FINAL snapshot; the result is
+    * a per-table summary (keys, exact metric total, high-water version) so
+    * all three heterogeneous snapshots are checked by one oracle.
+    */
+  def multiTableSnapshot(s: SparkSession, d: String): DataFrame = {
+    def summarize(tbl: String, snap: DataFrame, metric: String): DataFrame =
+      snap.agg(
+        count(lit(1)).as("n_keys"),
+        round(sum(col(metric).cast("decimal(18,4)")), 2).cast("double").as("total"),
+        max(col("ts_ms")).as("max_ts"))
+        .select(lit(tbl).as("tbl"), col("n_keys"), col("total"), col("max_ts"))
+    val orders = CdcOps.snapshotLatest(
+      CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms", payloadCols)
+    val customer = CdcOps.snapshotLatest(
+      Envelope.parse(CdcSim.customerChangelog(s, d), CdcSim.customerSchema),
+      Seq("id"), "ts_ms", Seq("name", "nationkey", "bal"))
+    val part = CdcOps.snapshotLatest(
+      Envelope.parse(CdcSim.partChangelog(s, d), CdcSim.partSchema),
+      Seq("id"), "ts_ms", Seq("ptype", "price"))
+    summarize("orders", orders, "price")
+      .unionByName(summarize("customer", customer, "bal"))
+      .unionByName(summarize("part", part, "price"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -44,6 +73,7 @@ object CdcQueries {
     "cdc_scd2_history" -> scd2History,
     "cdc_changelog_stats" -> changelogStats,
     "cdc_del_dup_guard" -> delDupGuard,
+    "cdc_multi_table_snapshot" -> multiTableSnapshot,
   )
 
   private val C = CdcSim.oracleCtes
@@ -82,5 +112,24 @@ object CdcQueries {
          |  (SELECT count(*) FROM redelivered r WHERE r.op = ev2.op) AS n_raw,
          |  count(*) AS n_dedup
          |FROM ev ev2 GROUP BY op""".stripMargin,
+    "cdc_multi_table_snapshot" ->
+      s"""$C,
+         |ord_snap AS (
+         |  SELECT id, price,
+         |    CASE WHEN st <> 'O' THEN ts0 + 86400000 ELSE ts0 END AS ts_ms
+         |  FROM base WHERE id % 10 <> 0),
+         |${CdcSim.customerSnapshotCte},
+         |${CdcSim.partSnapshotCte}
+         |SELECT 'orders' AS tbl, count(*) AS n_keys,
+         |  CAST(round(sum(CAST(price AS DECIMAL(18,4))),2) AS DOUBLE) AS total,
+         |  max(ts_ms) AS max_ts FROM ord_snap
+         |UNION ALL
+         |SELECT 'customer', count(*),
+         |  CAST(round(sum(CAST(bal AS DECIMAL(18,4))),2) AS DOUBLE),
+         |  max(ts_ms) FROM cu_snap
+         |UNION ALL
+         |SELECT 'part', count(*),
+         |  CAST(round(sum(CAST(price AS DECIMAL(18,4))),2) AS DOUBLE),
+         |  max(ts_ms) FROM pa_snap""".stripMargin,
   )
 }

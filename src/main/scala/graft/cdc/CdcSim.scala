@@ -71,6 +71,101 @@ object CdcSim {
   def parsedChangelog(s: SparkSession, d: String): DataFrame =
     Envelope.parse(ordersChangelog(s, d), payloadSchema)
 
+  // ------------------------------------------------------------------------
+  // Heterogeneous-schema topics — the reference runs four concurrent streams
+  // with four distinct payload shapes (cdc_processor.py:16-47,139-142); these
+  // two extra simulated topics (customer, part) exercise that fan-out with
+  // genuinely different schemas and keys. Same design rule as orders: every
+  // event is a pure function of the base row, so DuckDB can state the
+  // expected snapshot exactly.
+
+  /** Payload schema of the simulated `customer` CDC topic. */
+  val customerSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("nationkey", LongType),
+    StructField("bal", DoubleType)))
+
+  /** Payload schema of the simulated `part` CDC topic. */
+  val partSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ptype", StringType),
+    StructField("price", DoubleType)))
+
+  val CustomerEpoch = 1600000000000L
+  val PartEpoch = 1500000000000L
+
+  /** customer topic: create at ts0=epoch+id; id%4==1 gets a balance credit
+    * (+100.0) a day later; id%7==0 is deleted two days later.
+    */
+  def customerChangelog(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_nationkey").as("nationkey"),
+      col("c_acctbal").as("bal"),
+      (lit(CustomerEpoch) + col("c_custkey")).as("ts0"))
+    def payload(bal: org.apache.spark.sql.Column) =
+      struct(col("id"), col("name"), col("nationkey"), bal.as("bal"))
+    val creates = base.select(
+      to_json(struct(payload(col("bal")).as("after"),
+        lit("c").as("op"), col("ts0").as("ts_ms"))).as("value"),
+      col("id").as("key"), col("ts0").as("ts_ms"))
+    val updates = base.filter(col("id") % 4 === 1).select(
+      to_json(struct(payload(col("bal") + 100.0).as("after"),
+        lit("u").as("op"), (col("ts0") + DAY_MS).as("ts_ms"))).as("value"),
+      col("id").as("key"), (col("ts0") + DAY_MS).as("ts_ms"))
+    val lastBal = when(col("id") % 4 === 1, col("bal") + 100.0).otherwise(col("bal"))
+    val deletes = base.filter(col("id") % 7 === 0).select(
+      to_json(struct(payload(lastBal).as("before"),
+        lit("d").as("op"), (col("ts0") + 2 * DAY_MS).as("ts_ms"))).as("value"),
+      col("id").as("key"), (col("ts0") + 2 * DAY_MS).as("ts_ms"))
+    creates.unionByName(updates).unionByName(deletes)
+  }
+
+  /** part topic: create at ts0=epoch+2·id; id%3==0 gets a price bump (+1.5)
+    * a day later; id%11==0 is discontinued (deleted) two days later.
+    */
+  def partChangelog(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d).select(
+      col("p_partkey").as("id"),
+      col("p_type").as("ptype"),
+      col("p_retailprice").as("price"),
+      (lit(PartEpoch) + col("p_partkey") * 2).as("ts0"))
+    def payload(price: org.apache.spark.sql.Column) =
+      struct(col("id"), col("ptype"), price.as("price"))
+    val creates = base.select(
+      to_json(struct(payload(col("price")).as("after"),
+        lit("c").as("op"), col("ts0").as("ts_ms"))).as("value"),
+      col("id").as("key"), col("ts0").as("ts_ms"))
+    val updates = base.filter(col("id") % 3 === 0).select(
+      to_json(struct(payload(col("price") + 1.5).as("after"),
+        lit("u").as("op"), (col("ts0") + DAY_MS).as("ts_ms"))).as("value"),
+      col("id").as("key"), (col("ts0") + DAY_MS).as("ts_ms"))
+    val lastPrice = when(col("id") % 3 === 0, col("price") + 1.5).otherwise(col("price"))
+    val deletes = base.filter(col("id") % 11 === 0).select(
+      to_json(struct(payload(lastPrice).as("before"),
+        lit("d").as("op"), (col("ts0") + 2 * DAY_MS).as("ts_ms"))).as("value"),
+      col("id").as("key"), (col("ts0") + 2 * DAY_MS).as("ts_ms"))
+    creates.unionByName(updates).unionByName(deletes)
+  }
+
+  /** DuckDB CTEs stating the expected current snapshot of each extra topic. */
+  val customerSnapshotCte: String =
+    s"""cu_snap AS (
+       |  SELECT c_custkey AS id,
+       |    CASE WHEN c_custkey % 4 = 1 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal,
+       |    CASE WHEN c_custkey % 4 = 1 THEN $CustomerEpoch + c_custkey + $DAY_MS
+       |         ELSE $CustomerEpoch + c_custkey END AS ts_ms
+       |  FROM customer WHERE c_custkey % 7 <> 0)""".stripMargin
+  val partSnapshotCte: String =
+    s"""pa_snap AS (
+       |  SELECT p_partkey AS id,
+       |    CASE WHEN p_partkey % 3 = 0 THEN p_retailprice + 1.5 ELSE p_retailprice END AS price,
+       |    CASE WHEN p_partkey % 3 = 0 THEN $PartEpoch + p_partkey*2 + $DAY_MS
+       |         ELSE $PartEpoch + p_partkey*2 END AS ts_ms
+       |  FROM part WHERE p_partkey % 11 <> 0)""".stripMargin
+
   /** Shared DuckDB CTE prelude defining the same three event sets. */
   val oracleCtes: String =
     """WITH base AS (

@@ -271,8 +271,8 @@ object Analytics {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_priority_mix" ->
       """SELECT l_linestatus,
-        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
@@ -320,7 +320,7 @@ object Analytics {
         |  FROM orders GROUP BY 1)
         |SELECT order_day, revenue, n_orders,
         | CAST(round(sum(CAST(revenue AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE) AS cum_revenue,
-        | sum(n_orders) OVER w AS cum_orders
+        | CAST(sum(n_orders) OVER w AS BIGINT) AS cum_orders
         |FROM d
         |WINDOW w AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "status_funnel" ->
@@ -365,7 +365,7 @@ object Analytics {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq, count(*) AS n_events,
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS session_value,

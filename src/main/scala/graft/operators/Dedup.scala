@@ -121,7 +121,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Exact verification: shared-shingle counts for candidate pairs only.
-    val i = broadcast(pairs).join(postings.toDF("doc_a", "na", "ha"), "doc_a")
+    // No broadcast hint: the candidate-pair set is data-dependent and
+    // unbounded at scale — a plain shuffle join lets AQE broadcast it only
+    // when the runtime size says it's safe.
+    val i = pairs.join(postings.toDF("doc_a", "na", "ha"), "doc_a")
       .join(postings.toDF("doc_b2", "nb", "hb"),
         col("doc_b") === col("doc_b2") && col("ha") === col("hb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
@@ -184,7 +187,27 @@ object Dedup {
     * the rows; for corpora too big to broadcast, block both sides into
     * grid cells (outer join of block ids) and run the same kernel per cell.
     */
+  /** Corpus-vector bytes beyond which the collect-and-broadcast kernel is
+    * unsafe (driver heap + per-executor broadcast copy); past it the
+    * registered query dispatches to the grid-blocked kernel, whose peak task
+    * memory is 2 blocks regardless of corpus size.
+    */
+  val BroadcastBytesLimit: Long = 256L << 20
+  private val EmbeddingDims = 64 // embeddings-table contract (TESTDATA.md)
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    // Metadata-only parquet count (footers, no data pages) sizes the corpus
+    // before any kernel choice — no driver-side collect unless it fits.
+    val n = Tables.embeddings(s, d).count()
+    val bytes = n * EmbeddingDims * 8
+    if (bytes <= BroadcastBytesLimit) dedupEmbeddingBroadcast(s, d)
+    else {
+      val nBlocks = math.max(4, (bytes / BroadcastBytesLimit + 1).toInt * 4)
+      BlockedVectors.dedupEmbeddingBlocked(s, d, nBlocks)
+    }
+  }
+
+  private def dedupEmbeddingBroadcast(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tau = 0.40
     val e = Tables.embeddings(s, d)
@@ -216,6 +239,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_blocked" -> ((s, d) => BlockedVectors.dedupEmbeddingBlocked(s, d)),
   )
 
   // ------------------------------------------------------------- oracles
@@ -282,12 +306,16 @@ object Dedup {
          |    bit_count(xor(a.sim, b.sim)) AS hamming
          |  FROM ch a JOIN ch b ON a.k = b.k AND a.c = b.c AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 20""".stripMargin,
-    "dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |en AS (SELECT vec_id, v, ${norm2Sql("v")} AS n2 FROM e),
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
-         |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos FROM p WHERE cos >= 0.40""".stripMargin,
+    "dedup_embedding" -> embeddingOracleSql,
+    // the blocked kernel computes the identical exact result set
+    "dedup_embedding_blocked" -> embeddingOracleSql,
   )
+
+  private lazy val embeddingOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, ${norm2Sql("v")} AS n2 FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+       |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos FROM p WHERE cos >= 0.40""".stripMargin
 }

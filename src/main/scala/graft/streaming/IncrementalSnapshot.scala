@@ -42,15 +42,26 @@ object IncrementalSnapshot {
       (batch: DataFrame, batchId: Long): Unit = {
     val manifest = Paths.get(dir, "_manifest")
     Files.createDirectories(manifest)
-    if (Files.exists(manifest.resolve(batchId.toString))) return
+    val marker = manifest.resolve(batchId.toString)
+    // Commit protocol: write v=<batchId> → create marker → flip _LATEST.
+    // The marker is the commit record, created BEFORE the pointer flip: a
+    // replay after any crash either sees no marker (pointer still at the
+    // previous version, so the merge re-reads old state and rewrites
+    // v=<batchId> — never a read-from-overwritten-path) or sees the marker
+    // and only repairs the pointer if the crash hit between marker and flip.
+    if (Files.exists(marker)) {
+      if (!latestVersion(dir).exists(_ >= batchId))
+        Files.writeString(Paths.get(dir, "_LATEST"), batchId.toString)
+      return
+    }
     val s = batch.sparkSession
     val current = readSnapshot(s, dir)
       .map(_.withColumn("op", lit("r")).withColumn("sign", lit(1)))
     val all = current.map(batch.unionByName(_)).getOrElse(batch)
     CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
       .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    Files.createFile(marker)
     Files.writeString(Paths.get(dir, "_LATEST"), batchId.toString)
-    Files.createFile(manifest.resolve(batchId.toString))
   }
 
   /** Stream a CDC source into a maintained snapshot directory. */

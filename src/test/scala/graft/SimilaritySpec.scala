@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF top-k recall vs brute force") {
     val r = recall(neighborSet(Similarity.knnIvf(spark, sf)))
     info(f"ivf recall = $r%.3f")
-    assert(r >= 0.6)
+    assert(r >= 0.85)
   }
 
   test("every query returns exactly k rows") {
