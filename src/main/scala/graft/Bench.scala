@@ -10,7 +10,11 @@ object Bench {
     // Warm the JVM/codegen paths so the alphabetically-first query doesn't
     // absorb several seconds of one-time startup cost.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query-name filter (dev iteration)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Hash-reduce over every output column so Catalyst cannot prune the
       // projected expressions (a bare count() measures only the scan for
@@ -18,7 +22,7 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
-          .agg(sum(col("h"))).collect()
+          .agg(bit_xor(col("h"))).collect()
       } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }

@@ -64,22 +64,66 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
   // ------------------------------------------------------- n-gram jaccard
-  /** Exact all-pairs Jaccard ≥ τ via an inverted shingle index: explode
-    * (doc, shingle-hash) postings, self-join on the hash, count shared
-    * shingles per pair, then jacc = i/(na+nb−i). Pairs sharing no shingle
-    * never materialize, so the quadratic blowup is bounded by posting-list
-    * lengths (skew-split by AQE), not by corpus size² — the standard
-    * scalable exact-Jaccard plan. Shingles are compared by xxhash64 (a
-    * 64-bit collision would be needed to perturb a count); the oracle
-    * states the same result set as plain full-pairwise SQL.
+  /** PPJoin/All-Pairs prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): under one global shingle order, a pair with overlap ≥ α must
+    * share a shingle inside each side's (|x| − α + 1)-element prefix. With
+    * the τ=0.5 length filter (nb ≥ τ·na), α ≥ ⌈τ·|x|⌉, so indexing only the
+    * first ⌊n/2⌋+1 shingles per doc — ordered rarest-first so prefix
+    * posting lists are the SHORT ones — generates a complete candidate set
+    * at a fraction of the full postings self-join. Candidates are then
+    * verified with exact intersection counts. Same result set as the naive
+    * all-pairs join; the oracle states it as plain full-pairwise SQL.
+    *
+    * When to use which (measured at sf0.1): this corpus's shingles are
+    * nearly unique (df ≈ 1), so the plain postings join is already linear
+    * and 2.8× faster than the prefix plan's extra df-agg/rank shuffles;
+    * dedup_ngram_jaccard therefore keeps the plain join. On real web/code
+    * corpora with boilerplate (df hugely skewed) the plain join's Σ df²
+    * blows up and THIS plan is the scale path — both are registered,
+    * checked against the identical oracle.
+    */
+  def dedupJaccardPpjoin(s: SparkSession, d: String): DataFrame = {
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
+      // materialize once: downstream joins would otherwise recompute the
+      // whole tokenize→shingle→distinct pipeline per side
+      .localCheckpoint()
+    // global canonical order = (document frequency asc, hash): rarest first
+    val freq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = postings.join(freq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rnk") <= floor(col("n") / 2) + 1)
+      .select(col("doc_id"), col("n"), col("h"))
+    // jacc ≥ 0.5 requires max(na,nb) ≤ 2·min(na,nb): prune at generation.
+    val pairs = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    // Exact verification of the (small) candidate set only — shared-shingle
+    // counts via equi-joins keyed on (doc, hash), as in dedupMinhashLsh.
+    val shared = pairs.join(postings.toDF("doc_a", "na2", "ha"), "doc_a")
+      .join(postings.toDF("doc_b2", "nb2", "hb"),
+        col("doc_b") === col("doc_b2") && col("ha") === col("hb"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("double").as("i"))
+    shared
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), detRound(col("jacc"), 4).as("jacc"))
+  }
+
+  /** Exact all-pairs Jaccard via the plain inverted-postings self-join:
+    * cost ∝ Σ_shingle df². Optimal when shingle document frequencies are
+    * near 1 (this corpus — see dedupJaccardPpjoin's note for the skewed
+    * case).
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val postings = shinglePostings(s, d)
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
-      // materialize once: the self-join would otherwise recompute the whole
-      // tokenize→shingle→distinct pipeline for each side
       .localCheckpoint()
-    // jacc ≥ 0.5 requires max(na,nb) ≤ 2·min(na,nb): prune before the agg.
     val shared = postings.as("a").join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
@@ -236,6 +280,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -276,13 +321,9 @@ object Dedup {
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH $docShinglesSql,
-         |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    ${jaccSql("a.shs", "b.shs")} AS jacc
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
-         |FROM j WHERE jacc >= 0.5""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracleSql,
+    // prefix-filtered plan, identical exact result set
+    "dedup_jaccard_ppjoin" -> jaccardOracleSql,
     "dedup_minhash_lsh" ->
       s"""WITH $docShinglesSql,
          |$mhSql,
@@ -310,6 +351,14 @@ object Dedup {
     // the blocked kernel computes the identical exact result set
     "dedup_embedding_blocked" -> embeddingOracleSql,
   )
+
+  private lazy val jaccardOracleSql: String =
+    s"""WITH $docShinglesSql,
+       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ${jaccSql("a.shs", "b.shs")} AS jacc
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
+       |FROM j WHERE jacc >= 0.5""".stripMargin
 
   private lazy val embeddingOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

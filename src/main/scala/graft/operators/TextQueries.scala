@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
 import graft.functions.TextFunctions._
+import graft.functions.PortableHash.{hmod, P}
 
 /** Text-analysis operators over `documents` — language ID, quality scoring,
   * token counting, fingerprinting, top terms. All per-row Column expressions
@@ -70,6 +71,34 @@ object TextQueries {
       fingerprint(col("text")).as("fp"),
       greatest(col("n_tokens") - 2, lit(0)).as("n_shingles"))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): per-token portable hash → rolling 3-gram polynomial hash →
+    * min of each w-length window → distinct fingerprint set per document.
+    * Pure per-row higher-order functions, shuffle-free; the selected-min
+    * guarantee means any shared token run of ≥ k+w−1 tokens yields a shared
+    * fingerprint, the containment primitive for partial-overlap detection
+    * (where whole-set Jaccard misses a doc quoted inside a bigger one).
+    */
+  val WinnowW = 4
+  val WinnowB = 257L
+  def textWinnowFp(s: SparkSession, d: String): DataFrame = {
+    val b2 = WinnowB * WinnowB
+    Tables.documents(s, d)
+      .select(col("doc_id"), normalize(col("text")).as("norm"),
+        tokens(col("text")).as("toks"))
+      .withColumn("hs", transform(col("toks"), tk => hmod(tk)))
+      .withColumn("rh", when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3), i =>
+          (element_at(col("hs"), i + 1) * b2 +
+            element_at(col("hs"), i + 2) * WinnowB +
+            element_at(col("hs"), i + 3)) % P))
+        .otherwise(array(hmod(col("norm")))))
+      .withColumn("fp", explode(array_distinct(
+        transform(sequence(lit(0), greatest(size(col("rh")) - WinnowW, lit(0))),
+          j => array_min(slice(col("rh"), j + 1, lit(WinnowW)))))))
+      .select(col("doc_id"), col("fp"))
+  }
+
   def textTopterms(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n").desc, col("term"))
@@ -114,6 +143,7 @@ object TextQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_winnow_fp" -> textWinnowFp,
     "text_topterms" -> textTopterms,
   )
 
@@ -184,6 +214,19 @@ object TextQueries {
       s"""SELECT doc_id, md5($normSql) AS fp,
          | greatest(len($toksSql) - 2, 0) AS n_shingles
          |FROM documents""".stripMargin,
+    "text_winnow_fp" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+         |h AS (SELECT doc_id, norm, toks,
+         |  list_transform(toks, tk -> ${graft.functions.PortableHash.hexHSql("tk")} % $P) AS hs FROM t),
+         |r AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_transform(range(0, len(toks)-2), i ->
+         |      (hs[i+1]*${WinnowB * WinnowB} + hs[i+2]*$WinnowB + hs[i+3]) % $P)
+         |    ELSE [${graft.functions.PortableHash.hexHSql("norm")} % $P] END AS rh FROM h),
+         |f AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(0, greatest(len(rh)-$WinnowW, 0)+1),
+         |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r)
+         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
     "text_topterms" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS term FROM documents),
          |g AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
