@@ -24,7 +24,16 @@ object Bench {
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
           .agg(bit_xor(col("h"))).collect()
       } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Isolate measured units: drop the debris a query leaves behind
+      // (localCheckpoint blocks, streaming memory-sink tables) and let GC
+      // settle OUTSIDE the next query's clock — measured 2-4× inflation on
+      // later queries without this, purely from cross-query pressure.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      System.gc()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
