@@ -119,15 +119,19 @@ object Analytics {
       .agg(sumD(revenueExpr, 2).as("revenue"),
         sumD(dec(col("l_quantity")), 2).as("qty"))
 
+  /** Top spenders per nation via two-phase top-k (Scale.topKPerGroup): a
+    * plain per-nation window sorts every customer of a nation on one
+    * reducer — nation-sized partitions at 100 TB; the bucketed phase-one
+    * bounds each sort, with an identical result (total order incl.
+    * c_custkey tiebreak).
+    */
   def topCustomers(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sumD(dec(col("o_totalprice")), 2).as("spend"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("spend").desc, col("c_custkey"))
-    spend.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    val joined = spend.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+    Scale.topKPerGroup(joined, Seq("c_nationkey"),
+        Seq(col("spend").desc, col("c_custkey")), k = 3, saltSrc = col("c_custkey"))
       .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("spend"), col("rnk"))
   }
 

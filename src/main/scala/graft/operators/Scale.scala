@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -54,6 +55,30 @@ object Scale {
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
   )
+
+  /** Two-phase top-k per group: hash-bucket each group's rows, take top-k
+    * inside every (group, bucket) window, then a final top-k over the
+    * ≤ k·buckets survivors. Result-identical to one window per group when
+    * `order` is a total order (callers include a tiebreak column), and
+    * `rnk` matches the single-window row_number.
+    *
+    * At 100 TB a per-group window sorts the ENTIRE group on one reducer —
+    * a vocabulary-sized or nation-sized partition. Phase one bounds every
+    * sort to group/buckets rows; the phase-two window sees at most
+    * k·buckets rows per group regardless of group size.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      k: Int, saltSrc: Column, buckets: Int = 32): DataFrame = {
+    val gcols = groupCols.map(col)
+    val pruned = df.withColumn("_b", pmod(xxhash64(saltSrc), lit(buckets)))
+      .withColumn("_r1", row_number().over(
+        Window.partitionBy(gcols :+ col("_b"): _*).orderBy(order: _*)))
+      .filter(col("_r1") <= k)
+      .drop("_b", "_r1")
+    pruned.withColumn("rnk", row_number().over(
+        Window.partitionBy(gcols: _*).orderBy(order: _*)))
+      .filter(col("rnk") <= k)
+  }
 
   /** Write both fact tables bucketed by the join key into a warehouse, then
     * join the bucketed tables — returns the joined mart. With matching

@@ -99,15 +99,16 @@ object TextQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Top terms per source via two-phase top-k: the per-source window would
+    * otherwise sort a vocabulary-sized partition on one reducer at scale.
+    */
   def textTopterms(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n").desc, col("term"))
-    docs(s, d)
+    val counts = docs(s, d)
       .select(col("source"), explode(col("toks")).as("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    Scale.topKPerGroup(counts, Seq("source"),
+      Seq(col("n").desc, col("term")), k = 5, saltSrc = col("term"))
   }
 
   /** PII scrubbing: redact email-shaped tokens and long digit runs, report

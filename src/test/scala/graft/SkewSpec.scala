@@ -25,4 +25,18 @@ class SkewSpec extends AnyFunSuite {
     assert(joinSection.contains("Bucketed: true"), plan)
     assert(joined.count() > 0)
   }
+  test("two-phase top-k equals the single-window top-k") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val single = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rnk") <= 7)
+    val twoPhase = Scale.topKPerGroup(ev, Seq("event_type"),
+      Seq(col("n").desc, col("user_id")), k = 7, saltSrc = col("user_id"), buckets = 8)
+    assert(twoPhase.exceptAll(single).count() === 0)
+    assert(single.exceptAll(twoPhase).count() === 0)
+  }
 }
