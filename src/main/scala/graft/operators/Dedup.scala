@@ -221,6 +221,39 @@ object Dedup {
       .filter(col("hamming") <= 20)
   }
 
+  // ------------------------------------------------------------ clustering
+  /** The last step of every near-dup pipeline: group pair matches into
+    * connected components and elect a canonical doc (the component's min
+    * id). Min-label propagation: each iteration every node takes the min
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds — each round is one shuffle join + agg over the edge
+    * list (near-dup graphs are sparse: edges ≪ corpus). The oracle states
+    * the same fixpoint as recursive SQL reachability.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ----------------------------------------------------- embedding cosine
   /** Exact pairwise cosine as a mapPartitions primitive-loop kernel over the
     * broadcast corpus — the "(d) last resort" of the custom-operator ladder,
@@ -249,7 +282,10 @@ object Dedup {
     val bytes = n * EmbeddingDims * 8
     if (bytes <= BroadcastBytesLimit) dedupEmbeddingBroadcast(s, d)
     else {
-      val nBlocks = math.max(4, (bytes / BroadcastBytesLimit + 1).toInt * 4)
+      // peak task memory = 2 blocks; nBlocks ≥ 2·bytes/limit keeps a cell's
+      // two blocks within the broadcast budget (replication factor = nBlocks,
+      // so no larger than needed)
+      val nBlocks = math.max(4, ((2 * bytes + BroadcastBytesLimit - 1) / BroadcastBytesLimit).toInt)
       BlockedVectors.dedupEmbeddingBlocked(s, d, nBlocks)
     }
   }
@@ -284,6 +320,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -327,6 +364,16 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardOracleSql,
     // prefix-filtered plan, identical exact result set
     "dedup_jaccard_ppjoin" -> jaccardOracleSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracleSql) jp),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
+         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $docShinglesSql,
          |$mhSql,
