@@ -217,8 +217,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is computable per candidate row, so
+      // far pairs never enter the dedup exchange
       .filter(col("hamming") <= 20)
+      .distinct()
   }
 
   // ------------------------------------------------------------ clustering

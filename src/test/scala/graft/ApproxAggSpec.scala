@@ -28,4 +28,21 @@ class ApproxAggSpec extends AnyFunSuite {
     val (e, a) = (r.getDouble(0), r.getDouble(1))
     assert(math.abs(a - e) / e <= 0.05, s"exact=$e approx=$a")
   }
+  test("count_min_sketch estimates bound true frequencies (heavy hitters)") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = 0.01
+    val sketchBin = ev.agg(
+      count_min_sketch(col("event_type"), lit(eps), lit(0.01), lit(42)).as("s"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBin))
+    for ((k, v) <- exact) {
+      val est = sketch.estimateCount(k)
+      assert(est >= v, s"CMS underestimated $k: $est < $v")
+      assert(est <= v + (eps * n).toLong, s"CMS overshot bound for $k: $est > $v + ${eps * n}")
+    }
+  }
 }
