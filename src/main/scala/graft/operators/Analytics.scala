@@ -222,6 +222,76 @@ object Analytics {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q4-style: order-priority counts for orders with at least one
+    * returned lineitem — a LEFT SEMI join (EXISTS): the build side streams
+    * no payload, only the key, so the probe never duplicates rows. (The
+    * testdata schema has no commit/receipt dates, so "late" becomes
+    * "returned".)
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6-style: forecast revenue change — scan-only filter + agg; the
+    * predicate must reach the parquet reader (PushedFilters).
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .filter(col("l_discount") >= 0.03 && col("l_discount") <= 0.05 && col("l_quantity") < 24)
+      .agg(sumD(dec(col("l_extendedprice")) * dec(col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14-style: promo revenue share — conditional aggregation over the
+    * part dimension join, floor-rounded ratio.
+    */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumD(when(col("p_type").startsWith("PROMO"), revenueExpr).otherwise(lit(0).cast("decimal(18,4)")), 2)
+          .as("promo_revenue"),
+        sumD(revenueExpr, 2).as("total_revenue"))
+      .withColumn("promo_share",
+        floor(col("promo_revenue") / col("total_revenue") * 1e4) / 1e4)
+
+  /** TPC-H Q18-style: large-volume orders — HAVING on a fact aggregation,
+    * then a semi-join back to orders and customers.
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sumD(dec(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+  }
+
+  /** Customers who never placed an URGENT order — a LEFT ANTI join
+    * (NOT EXISTS), the dual of q4's semi join.
+    */
+  def customersInactive(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_inactive"),
+        sumD(dec(col("c_acctbal")), 2).as("idle_balance"))
+
   /** TPC-H Q12-style: priority mix per line status. */
   def q12PriorityMix(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -235,6 +305,11 @@ object Analytics {
     "q7_volume_shipping" -> q7VolumeShipping,
     "q10_returns" -> q10Returns,
     "q12_priority_mix" -> q12PriorityMix,
+    "q4_order_priority" -> q4OrderPriority,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q18_large_orders" -> q18LargeOrders,
+    "customers_inactive" -> customersInactive,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -278,6 +353,49 @@ object Analytics {
         | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
         | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS promo_revenue,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        | floor(promo_revenue / total_revenue * 1e4) / 1e4 AS promo_share
+        |FROM j""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "customers_inactive" ->
+      """SELECT c_nationkey, count(*) AS n_inactive,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS idle_balance
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -204,10 +204,47 @@ object Similarity {
     "knn_ivf" -> knnIvf,
   )
 
-  /** Only the exact search has a SQL oracle; the ANN variants are checked by
-    * recall assertions in SimilaritySpec (approximate results are not
-    * SQL-expressible without re-implementing the index).
+  /** The brute and LSH searches have exact SQL oracles. The LSH oracle
+    * re-states the whole index in DuckDB — the 48 hyperplanes embed as
+    * literal DOUBLE[] arrays (deterministic fixed-seed values; Double
+    * toString round-trips bit-exactly), signatures fold with the same
+    * sequential IEEE order as NativeVector.dot, so both engines bucket,
+    * probe, and rank identically. knn_ivf stays spec-checked: its quantizer
+    * trains driver-side on a Spark-hash-ordered sample, which no portable
+    * SQL can restate.
     */
+  private def planeSql(t: Int, j: Int): String =
+    planes(t)(j).map(_.toString).mkString("([", ",", "]::DOUBLE[])")
+  private def sigSql(t: Int, v: String): String =
+    (0 until SigBits).map { j =>
+      s"(CASE WHEN ${dotSql(v, planeSql(t, j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  private lazy val lshOracleSql: String = {
+    val csig = (0 until NumTables).map(t =>
+      s"SELECT vec_id, v, $t AS t, ${sigSql(t, "v")} AS sig FROM c").mkString("\nUNION ALL ")
+    val qsig = (0 until NumTables).map(t =>
+      s"SELECT q_id, qv, $t AS t, ${sigSql(t, "qv")} AS sig FROM q").mkString("\nUNION ALL ")
+    val flips = (0 until SigBits).map(j => 1 << j).mkString("[", ",", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |csig AS ($csig),
+       |qsig AS ($qsig),
+       |probes AS (
+       |  SELECT q_id, qv, t, sig FROM qsig
+       |  UNION ALL
+       |  SELECT q_id, qv, t, xor(sig, f.f) AS sig FROM qsig, (SELECT unnest($flips) AS f) f),
+       |scored AS (
+       |  SELECT p.q_id, s.vec_id, max(${cosineSql("p.qv", "s.v")}) AS cos
+       |  FROM probes p JOIN csig s ON p.t = s.t AND p.sig = s.sig
+       |  GROUP BY 1, 2),
+       |r AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
+       |FROM r WHERE rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "knn_brute_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -219,5 +256,6 @@ object Similarity {
          |  FROM sc)
          |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
          |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_lsh" -> lshOracleSql,
   )
 }

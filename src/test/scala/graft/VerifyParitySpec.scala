@@ -10,8 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class VerifyParitySpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
-  /** Queries deliberately without a SQL oracle (driver does rows-only). */
-  val rowsOnly = Set("knn_lsh", "knn_ivf")
+  /** Queries deliberately without a SQL oracle (driver does rows-only):
+    * knn_ivf's quantizer trains driver-side on a Spark-hash-ordered sample,
+    * which portable SQL cannot restate.
+    */
+  val rowsOnly = Set("knn_ivf")
 
   test("every oracle key is a registered query and vice versa") {
     val q = SparkEntry.queries.keySet
