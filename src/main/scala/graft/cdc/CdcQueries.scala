@@ -66,6 +66,26 @@ object CdcQueries {
       .unionByName(summarize("part", part, "price"))
   }
 
+  /** Malformed-envelope handling: a real CDC feed carries broken messages;
+    * `from_json` yields a null struct for them, so validity splits on a
+    * null `op`. Deterministic garbage (one line per orders key %17==0)
+    * rides along with the real changelog; the stats prove bad lines are
+    * counted, not silently dropped or crashing the stream.
+    */
+  def malformedStats(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val garbage = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(concat(lit("{broken json "), col("o_orderkey")).as("value"))
+    val all = CdcSim.ordersChangelog(s, d).select("value").unionByName(garbage)
+    Envelope.parse(all, CdcSim.payloadSchema)
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("op")).as("n_valid"),
+        (count(lit(1)) - count(col("op"))).as("n_malformed"),
+        countDistinct(col("id")).as("n_valid_keys"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse_envelope" -> parseEnvelope,
     "cdc_snapshot_latest" -> snapshotLatest,
@@ -74,6 +94,7 @@ object CdcQueries {
     "cdc_changelog_stats" -> changelogStats,
     "cdc_del_dup_guard" -> delDupGuard,
     "cdc_multi_table_snapshot" -> multiTableSnapshot,
+    "cdc_malformed_stats" -> malformedStats,
   )
 
   private val C = CdcSim.oracleCtes
@@ -131,5 +152,14 @@ object CdcQueries {
          |SELECT 'part', count(*),
          |  CAST(round(sum(CAST(price AS DECIMAL(18,4))),2) AS DOUBLE),
          |  max(ts_ms) FROM pa_snap""".stripMargin,
+    "cdc_malformed_stats" ->
+      s"""$C,
+         |g AS (SELECT count(*) AS n_g FROM orders WHERE o_orderkey % 17 = 0),
+         |v AS (SELECT count(*) AS n_e, count(DISTINCT id) AS nk FROM ev)
+         |SELECT CAST(n_e + n_g AS BIGINT) AS n_total,
+         |  CAST(n_e AS BIGINT) AS n_valid,
+         |  CAST(n_g AS BIGINT) AS n_malformed,
+         |  CAST(nk AS BIGINT) AS n_valid_keys
+         |FROM v, g""".stripMargin,
   )
 }

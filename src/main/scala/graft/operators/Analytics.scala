@@ -102,6 +102,33 @@ object Analytics {
       .withColumn("cum_orders", sum(col("n_orders")).over(w))
   }
 
+  /** 7-day moving average over the daily frame — the rolling-window report
+    * shape; like the running total, the window runs on the pre-aggregated
+    * one-row-per-day frame, so the global ordering is over thousands of
+    * rows at any source scale.
+    */
+  def dailyRevenueMa7(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("order_day")).rowsBetween(-6, Window.currentRow)
+    dailyRevenue(s, d)
+      .withColumn("ma7",
+        floor(sum(col("revenue").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w) * 1e4) / 1e4)
+  }
+
+  /** Event-type transition matrix: consecutive-event bigrams per user (lag
+    * over per-user windows, then a global count per transition) — the
+    * path-analysis primitive behind funnels.
+    */
+  def eventsTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Order-status funnel — the e-commerce `status` lifecycle the reference's
     * generator drives (data-generator/main.py:139-168).
     */
@@ -315,6 +342,8 @@ object Analytics {
     "q5_local_supplier" -> q5LocalSupplier,
     "daily_revenue" -> dailyRevenue,
     "daily_revenue_running" -> dailyRevenueRunning,
+    "daily_revenue_ma7" -> dailyRevenueMa7,
+    "events_transitions" -> eventsTransitions,
     "status_funnel" -> statusFunnel,
     "category_revenue" -> categoryRevenue,
     "top_customers" -> topCustomers,
@@ -445,6 +474,24 @@ object Analytics {
         | CAST(sum(n_orders) OVER w AS BIGINT) AS cum_orders
         |FROM d
         |WINDOW w AS (ORDER BY order_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "daily_revenue_ma7" ->
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
+        |   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+        |   count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, revenue, n_orders,
+        | floor(CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE) / (count(*) OVER w) * 1e4) / 1e4 AS ma7
+        |FROM d
+        |WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions,
+        | count(DISTINCT user_id) AS n_users
+        |FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "status_funnel" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,

@@ -39,4 +39,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Analytics.dailyRevenue(spark, sf))
     assert(p.contains("partial_"), p)
   }
+  test("q6 pushes all scan predicates into the reader") {
+    // formatted mode: toString truncates the PushedFilters list
+    val p = Analytics.q6ForecastRevenue(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must reach the scan")
+    assert(p.contains("LessThan(l_quantity"), "quantity bound must reach the scan")
+  }
+
+  test("q4 plans a semi join and customers_inactive an anti join") {
+    assert(plan(Analytics.q4OrderPriority(spark, sf)).contains("LeftSemi"))
+    assert(plan(Analytics.customersInactive(spark, sf)).contains("LeftAnti"))
+  }
 }
