@@ -44,8 +44,25 @@ object Sampling {
         (floor(col("c") / col("l2") * 1e6) / 1e6).as("weight"))
   }
 
+  /** Deterministic train/val/test split — the assignment every training
+    * pipeline must reproduce exactly: bucket = portable hash of the doc id
+    * in [0,100); train < 80 ≤ val < 90 ≤ test. Pure per-row function of the
+    * key (identical across runs/engines/partitionings, stable under corpus
+    * growth: adding docs never moves an existing doc's split). Summarized
+    * per (split, lang) for the driver check.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = hexH(concat(lit("split:"), col("doc_id"))) % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise(lit("test")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
+    "sample_split" -> sampleSplit,
     "text_hash_embed" -> textHashEmbed,
   )
 
@@ -53,6 +70,13 @@ object Sampling {
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hexHSql("'sample:' || doc_id")} % 1000 < 200""".stripMargin,
+    "sample_split" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |    ${hexHSql("'split:' || doc_id")} % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         | lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "text_hash_embed" ->
       s"""WITH t AS (SELECT doc_id,
          |    unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok

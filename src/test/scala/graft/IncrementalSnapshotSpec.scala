@@ -46,4 +46,30 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     val again = IncrementalSnapshot.readSnapshot(spark, s"$tmp/snap").get
     assert(again.count() === expected.count())
   }
+  test("merge repairs a stale pointer after a crash between marker and flip") {
+    val tmp = Files.createTempDirectory("graft_crash").toString
+    val dir = s"$tmp/snap"
+    val ch = CdcSim.parsedChangelog(spark, sf).limit(200).localCheckpoint()
+
+    // batch 0 commits normally
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 0L)
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(0L))
+
+    // simulate the crash window of batch 1: version dir + marker written,
+    // but the process died before flipping _LATEST
+    val v1 = IncrementalSnapshot.readSnapshot(spark, dir).get
+    v1.write.mode("overwrite").parquet(s"$dir/v=1")
+    Files.createFile(Paths.get(dir, "_manifest", "1"))
+    Files.writeString(Paths.get(dir, "_LATEST"), "0")
+
+    // replay of batch 1 must NOT remerge (marker present) and must repair
+    // the pointer so batch 2 reads the committed version
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 1L)
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(1L))
+
+    // and the stream keeps going: batch 2 merges on top of the repaired state
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 2L)
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(2L))
+    assert(IncrementalSnapshot.readSnapshot(spark, dir).get.count() > 0)
+  }
 }
