@@ -41,9 +41,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — also persist the line to a file the driver can read directly.
+    // Filtered dev runs go to a separate file so a partial total can never
+    // masquerade as the full-suite bench.json the driver consumes.
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
     Files.createDirectories(Paths.get(outDir))
-    Files.writeString(Paths.get(outDir, "bench.json"), line + "\n")
+    val fileName = if (only.isEmpty) "bench.json" else "bench_filtered.json"
+    Files.writeString(Paths.get(outDir, fileName), line + "\n")
     println(line)
     spark.stop()
   }

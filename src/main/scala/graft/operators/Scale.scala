@@ -69,12 +69,17 @@ object Scale {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
       k: Int, saltSrc: Column, buckets: Int = 32): DataFrame = {
+    require(!df.columns.contains("rnk"),
+      "topKPerGroup emits a 'rnk' column; input must not already have one")
+    // collision-free temp names: suffix until free of the input's columns
+    val b = Iterator.from(0).map(i => s"_b$i").find(!df.columns.contains(_)).get
+    val r1 = Iterator.from(0).map(i => s"_r1$i").find(!df.columns.contains(_)).get
     val gcols = groupCols.map(col)
-    val pruned = df.withColumn("_b", pmod(xxhash64(saltSrc), lit(buckets)))
-      .withColumn("_r1", row_number().over(
-        Window.partitionBy(gcols :+ col("_b"): _*).orderBy(order: _*)))
-      .filter(col("_r1") <= k)
-      .drop("_b", "_r1")
+    val pruned = df.withColumn(b, pmod(xxhash64(saltSrc), lit(buckets)))
+      .withColumn(r1, row_number().over(
+        Window.partitionBy(gcols :+ col(b): _*).orderBy(order: _*)))
+      .filter(col(r1) <= k)
+      .drop(b, r1)
     pruned.withColumn("rnk", row_number().over(
         Window.partitionBy(gcols: _*).orderBy(order: _*)))
       .filter(col("rnk") <= k)

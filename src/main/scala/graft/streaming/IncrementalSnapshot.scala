@@ -28,7 +28,20 @@ object IncrementalSnapshot {
 
   def latestVersion(dir: String): Option[Long] = {
     val p = Paths.get(dir, "_LATEST")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    // toLongOption: an interrupted pointer write must read as "no pointer"
+    // (repairable via the batch marker), never wedge the stream on parse
+    if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
+  }
+
+  /** Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash mid-write
+    * can never leave a truncated/garbage _LATEST.
+    */
+  private def flipLatest(dir: String, v: Long): Unit = {
+    val tmp = Paths.get(dir, s"_LATEST.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(dir, "_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
@@ -51,7 +64,7 @@ object IncrementalSnapshot {
     // and only repairs the pointer if the crash hit between marker and flip.
     if (Files.exists(marker)) {
       if (!latestVersion(dir).exists(_ >= batchId))
-        Files.writeString(Paths.get(dir, "_LATEST"), batchId.toString)
+        flipLatest(dir, batchId)
       return
     }
     val s = batch.sparkSession
@@ -61,7 +74,7 @@ object IncrementalSnapshot {
     CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
       .write.mode("overwrite").parquet(s"$dir/v=$batchId")
     Files.createFile(marker)
-    Files.writeString(Paths.get(dir, "_LATEST"), batchId.toString)
+    flipLatest(dir, batchId)
   }
 
   /** Stream a CDC source into a maintained snapshot directory. */

@@ -34,11 +34,18 @@ object JdbcSink {
       props: Properties = new Properties)(batch: DataFrame, batchId: Long): Unit = {
     val ledger = s"${table}_batches"
     val committed = withConn(url) { con =>
-      // CREATE-if-missing: Derby/most embedded DBs lack IF NOT EXISTS;
-      // swallow only "table already exists" (Derby SQLState X0Y32).
-      try con.createStatement().executeUpdate(
-        s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      // CREATE-if-missing, portably: probe the catalog first (SQLState for
+      // "table exists" differs per backend — Derby X0Y32, Postgres 42P07,
+      // MySQL 42S01), and race-guard the create for concurrent batches.
+      val rs0 = con.getMetaData.getTables(null, null, "%", null)
+      val exists = Iterator.continually(rs0)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME"))
+        .exists(_.equalsIgnoreCase(ledger))
+      rs0.close()
+      if (!exists)
+        try con.createStatement().executeUpdate(
+          s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+        catch { case _: java.sql.SQLException => () /* lost the create race */ }
       val rs = con.createStatement()
         .executeQuery(s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
       try rs.next() finally rs.close()

@@ -5,7 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Guards the driver contract: the correctness gate hash-compares Spark
   * output to DuckDB oracle output with columns sorted BY NAME, so an
   * unaliased aggregate (`sum(x)`) or a name present on only one side fails
-  * the round even when every value matches. Plan-only checks (no actions).
+  * the round even when every value matches. Runs at sf0.001; note several
+  * query BUILDERS are eager (streaming materialization, localCheckpoint,
+  * quantizer training), so constructing every frame here does execute real
+  * work — the assertions themselves only inspect schemas.
   */
 class VerifyParitySpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
