@@ -245,13 +245,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      // carry the old label through the checkpoint so the convergence count
+      // is a filter over materialized data, not a second join per round
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("doc_id", "lbl")
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
