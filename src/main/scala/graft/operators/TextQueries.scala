@@ -137,9 +137,41 @@ object TextQueries {
     survivors.join(keepers, "doc_id")
   }
 
+  /** The dataset card a training run ships with: per-language corpus rollup
+    * of volume (docs, tokens), quality keep-rate, exact-dup rate, and mean
+    * quality — composed from the verified building blocks in one pass plus
+    * a dup-count join. Mean quality sums in DECIMAL (quality is 4-decimal
+    * by construction) so the aggregate is order-independent and
+    * engine-exact.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val q = docs(s, d)
+      .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+      .withColumn("stop_ratio",
+        hitCount(col("toks"), enStop).cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("quality", detRound(
+        lit(0.4) * col("len_score") + lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0) +
+          lit(0.3) * col("uniq_ratio"), 4))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        md5(normalize(col("text"))).as("fp"))
+    val dupGroups = q.groupBy(col("fp")).agg(count(lit(1)).as("n_in_group"))
+    q.join(dupGroups, "fp")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("quality") >= 0.5, 1).otherwise(0)).as("n_keep"),
+        sum(when(col("n_in_group") > 1, 1).otherwise(0)).as("n_dup_docs"),
+        (floor(sum(col("quality").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)) * 1e4) / 1e4).as("mean_quality"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> textPiiScrub,
     "corpus_clean" -> corpusClean,
+    "dataset_card" -> datasetCard,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -175,6 +207,20 @@ object TextQueries {
          | FROM t)
          |SELECT s.doc_id, q.quality FROM survivors s JOIN q ON s.doc_id = q.doc_id
          |WHERE q.quality >= 0.5""".stripMargin,
+    "dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, lang, $normSql AS norm, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, lang, len(toks) AS n_tokens, md5(norm) AS fp,
+         |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+         |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+         |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+         | FROM t),
+         |g AS (SELECT fp, count(*) AS n_in_group FROM q GROUP BY 1)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         | CAST(sum(CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         | floor(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)/count(*)*1e4)/1e4 AS mean_quality
+         |FROM q JOIN g ON q.fp = g.fp GROUP BY 1""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_raw,
