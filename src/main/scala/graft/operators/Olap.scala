@@ -40,6 +40,19 @@ object Olap {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("revenue"))
 
+  /** Full CUBE over status × priority — all four grouping combinations,
+    * 'ALL'-coalesced like the rollup. One shuffle; the Expand multiplies
+    * rows ×4 before the partial agg, the standard cube plan.
+    */
+  def ordersCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
   /** Exact interpolated quantiles of order value per status (the engines
     * share the (1−d)·a + d·b rule; floor-rounded to absorb last-ulp drift).
     */
@@ -54,6 +67,7 @@ object Olap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_pivot" -> ordersPivot,
     "orders_rollup" -> ordersRollup,
+    "orders_cube" -> ordersCube,
     "order_value_quantiles" -> orderValueQuantiles,
   )
 
@@ -72,6 +86,12 @@ object Olap {
         | count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "order_value_quantiles" ->
       """SELECT o_orderstatus,
         | floor(quantile_cont(o_totalprice, 0.5)*1e4)/1e4 AS p50,

@@ -51,4 +51,8 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Analytics.q4OrderPriority(spark, sf)).contains("LeftSemi"))
     assert(plan(Analytics.customersInactive(spark, sf)).contains("LeftAnti"))
   }
+  test("cdc snapshot aggregates map-side before the shuffle (partial max_by)") {
+    val p = plan(graft.cdc.CdcQueries.snapshotLatest(spark, sf))
+    assert(p.contains("partial_max_by") || p.contains("partial_max"), p.linesIterator.take(6).mkString("\n"))
+  }
 }
