@@ -319,6 +319,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_inactive"),
         sumD(dec(col("c_acctbal")), 2).as("idle_balance"))
 
+  /** Top suppliers by shipped revenue per nation — the supplier-side twin of
+    * top_customers, on the same two-phase top-k operator.
+    */
+  def topSuppliers(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sumD(revenueExpr, 2).as("revenue"))
+    val joined = rev.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+    Scale.topKPerGroup(joined, Seq("s_nationkey"),
+        Seq(col("revenue").desc, col("s_suppkey")), k = 3, saltSrc = col("s_suppkey"))
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("revenue"), col("rnk"))
+  }
+
+  /** Column-level data profile of the orders table: null and distinct
+    * counts per column — the data-quality pre-flight every ingestion runs.
+    * One pass, all counts map-side partial.
+    */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def profileOrders(s: SparkSession, d: String): DataFrame = {
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct")))
+    Tables.orders(s, d).agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** TPC-H Q12-style: priority mix per line status. */
   def q12PriorityMix(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -337,6 +364,8 @@ object Analytics {
     "q14_promo_revenue" -> q14PromoRevenue,
     "q18_large_orders" -> q18LargeOrders,
     "customers_inactive" -> customersInactive,
+    "top_suppliers" -> topSuppliers,
+    "profile_orders" -> profileOrders,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -383,6 +412,21 @@ object Analytics {
         | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "top_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_nationkey, s_suppkey, s_name, revenue, rnk FROM (
+        |  SELECT s_nationkey, s_suppkey, s_name, revenue,
+        |    row_number() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS rnk
+        |  FROM rev JOIN supplier ON l_suppkey = s_suppkey) t
+        |WHERE rnk <= 3""".stripMargin,
+    "profile_orders" -> (
+      "SELECT count(*) AS n_rows, " + ProfileCols.map(c =>
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls, " +
+        s"count(DISTINCT $c) AS ${c}_distinct").mkString(", ") +
+      " FROM orders"),
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
