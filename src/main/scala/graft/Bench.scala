@@ -19,11 +19,16 @@ object Bench {
       // Hash-reduce over every output column so Catalyst cannot prune the
       // projected expressions (a bare count() measures only the scan for
       // map-only queries) — each query's full compute path is on the clock.
-      try {
+      // A failure is recorded as an {"err": ...} marker, NEVER a timing — a
+      // broken query must not masquerade as a fast one.
+      val err: Option[String] = try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
           .agg(bit_xor(col("h"))).collect()
-      } catch { case _: Throwable => -1L }
+        None
+      } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Isolate measured units: drop the debris a query leaves behind
       // (localCheckpoint blocks, streaming memory-sink tables) and let GC
@@ -33,12 +38,23 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       System.gc()
-      name -> elapsed
+      (name, elapsed, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map {
+      case (k, v, None) => s"\"" + k + "\":" + v
+      case (k, _, Some(e)) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
+    }.mkString("{", ",", "}")
+    // total covers successful queries only; failures are counted separately
+    // so a partial total can't read as a full-suite one
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nErr = results.count(_._3.isDefined)
+    results.foreach { case (k, _, e) =>
+      e.foreach(msg => System.err.println(s"[bench] $k FAILED: $msg")) }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — also persist the line to a file the driver can read directly.
     // Filtered dev runs go to a separate file so a partial total can never

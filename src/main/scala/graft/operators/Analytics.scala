@@ -10,8 +10,12 @@ import graft.Tables
   * CDC-materialized star schema), re-expressed as declarative Spark plans.
   *
   * Scale notes (100 TB):
-  *   - dimension joins (region/nation/supplier/part/customer) are broadcast —
-  *     TPC-H ratios keep them tiny relative to the facts;
+  *   - nation/region joins carry explicit broadcast hints (25/5 rows at ANY
+  *     scale factor — true constants); customer/part/supplier GROW linearly
+  *     with SF (≈15 B customer rows at the 100 TB design point), so they get
+  *     NO hint — spark.sql.autoBroadcastJoinThreshold + AQE broadcast them
+  *     while they fit and degrade to a shuffle join when they don't, instead
+  *     of a forced hint driver-OOMing at scale;
   *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
   *     coalesces/splits the post-shuffle partitions;
   *   - every aggregate is partial (map-side combine) before the shuffle;
@@ -65,13 +69,15 @@ object Analytics {
 
   def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
-    // Dims flow broadcast; only orders⋈lineitem shuffles.
+    // nation/region are fixed-size (25/5 rows at ANY scale factor) so their
+    // hints are safe forever; customer/supplier GROW with SF — no hint, the
+    // autoBroadcastJoinThreshold + AQE broadcast them only while they fit.
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -102,17 +108,21 @@ object Analytics {
       .withColumn("cum_orders", sum(col("n_orders")).over(w))
   }
 
-  /** 7-day moving average over the daily frame — the rolling-window report
-    * shape; like the running total, the window runs on the pre-aggregated
-    * one-row-per-day frame, so the global ordering is over thousands of
-    * rows at any source scale.
+  /** 7-calendar-day moving average over the daily frame — a RANGE window
+    * over the day number, so days absent from orders still shrink the
+    * window (a ROWS frame would silently average the last 7 *observed*
+    * days instead). Like the running total, the window runs on the
+    * pre-aggregated one-row-per-day frame, so the global ordering is over
+    * thousands of rows at any source scale.
     */
   def dailyRevenueMa7(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("order_day")).rowsBetween(-6, Window.currentRow)
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, Window.currentRow)
     dailyRevenue(s, d)
+      .withColumn("day_num", unix_date(to_date(col("order_day"))))
       .withColumn("ma7",
         floor(sum(col("revenue").cast("decimal(18,4)")).over(w).cast("double")
           / count(lit(1)).over(w) * 1e4) / 1e4)
+      .drop("day_num")
   }
 
   /** Event-type transition matrix: consecutive-event bigrams per user (lag
@@ -141,7 +151,7 @@ object Analytics {
 
   def categoryRevenue(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
       .agg(sumD(revenueExpr, 2).as("revenue"),
         sumD(dec(col("l_quantity")), 2).as("qty"))
@@ -228,8 +238,8 @@ object Analytics {
     val n2 = broadcast(Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(n1, col("s_nationkey") === col("s_nk"))
       .join(n2, col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -242,7 +252,7 @@ object Analytics {
   def q10Returns(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(sumD(revenueExpr, 2).as("revenue"))
@@ -282,7 +292,7 @@ object Analytics {
   def q14PromoRevenue(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .agg(
         sumD(when(col("p_type").startsWith("PROMO"), revenueExpr).otherwise(lit(0).cast("decimal(18,4)")), 2)
           .as("promo_revenue"),
@@ -300,7 +310,7 @@ object Analytics {
       .filter(col("total_qty") > 300)
     Tables.orders(s, d)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
@@ -326,7 +336,7 @@ object Analytics {
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey"))
       .agg(sumD(revenueExpr, 2).as("revenue"))
-    val joined = rev.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+    val joined = rev.join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
     Scale.topKPerGroup(joined, Seq("s_nationkey"),
         Seq(col("revenue").desc, col("s_suppkey")), k = 3, saltSrc = col("s_suppkey"))
       .select(col("s_nationkey"), col("s_suppkey"), col("s_name"), col("revenue"), col("rnk"))
@@ -521,13 +531,14 @@ object Analytics {
     "daily_revenue_ma7" ->
       """WITH d AS (
         |  SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
+        |   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
         |   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
         |   count(*) AS n_orders
-        |  FROM orders GROUP BY 1)
+        |  FROM orders GROUP BY 1, 2)
         |SELECT order_day, revenue, n_orders,
         | floor(CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE) / (count(*) OVER w) * 1e4) / 1e4 AS ma7
         |FROM d
-        |WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+        |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

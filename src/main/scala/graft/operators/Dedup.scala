@@ -231,26 +231,53 @@ object Dedup {
     * diameter) rounds — each round is one shuffle join + agg over the edge
     * list (near-dup graphs are sparse: edges ≪ corpus). The oracle states
     * the same fixpoint as recursive SQL reachability.
+    *
+    * Cross-round state is RELIABLE-storage checkpointed (not
+    * localCheckpoint): executor-local blocks die with their executor, which
+    * on a real cluster would kill an iterative job minutes in. The
+    * checkpoint dir defaults to a local tmp path; clusters point it at
+    * durable storage via `SparkContext.setCheckpointDir` (HDFS/S3) before
+    * calling.
     */
+  val MaxClusterRounds = 50
+
+  /** Materialize iteration state to the session's reliable checkpoint dir,
+    * defaulting it when unset (local runs / tests).
+    */
+  private def durable(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints")
+    df.checkpoint()
+  }
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // checkpoint the PAIRS (the expensive jaccard subtree), then derive the
+    // symmetric edge list as two cheap scans of the checkpointed data —
+    // re-read per round from reliable storage, never recomputed
+    val pairs = durable(dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
     val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint()
+    var labels = durable(nodes.withColumn("lbl", col("doc_id")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
+      // A diameter beyond the cap means the input is not the sparse
+      // near-dup graph this operator is for — fail loudly rather than
+      // grind unbounded rounds.
+      if (round > MaxClusterRounds) throw new IllegalStateException(
+        s"dedup_clusters did not converge in $MaxClusterRounds rounds ($changed labels still moving)")
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
       // carry the old label through the checkpoint so the convergence count
       // is a filter over materialized data, not a second join per round
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val next = durable(labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       labels = next.select("doc_id", "lbl")
     }

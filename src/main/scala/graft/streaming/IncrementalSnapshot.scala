@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -16,7 +17,12 @@ import graft.cdc.{CdcOps, Envelope}
   * Exactly-once: versions are written to `v=<batchId>` directories, a
   * `_LATEST` pointer is flipped after a successful write, and a per-batch
   * manifest makes replays no-ops — re-running a failed batch rewrites the
-  * same version directory and flips the same pointer.
+  * same version directory and flips the same pointer. The pointer is a
+  * cache, not the source of truth: if it is lost or unparseable (copied
+  * dir, old writer, filesystem without ATOMIC_MOVE), `latestVersion`
+  * recovers the max committed version from the manifest markers instead of
+  * silently treating the directory as fresh — which would merge the next
+  * batch against empty state and drop every prior key.
   *
   * Scale: the merge is CdcOps.snapshotLatest (one shuffle, partial max_by).
   * The read-merge-rewrite of the full snapshot per batch is the simple
@@ -26,12 +32,38 @@ import graft.cdc.{CdcOps, Envelope}
   */
 object IncrementalSnapshot {
 
-  def latestVersion(dir: String): Option[Long] = {
+  /** The _LATEST pointer alone, no recovery — merge's replay branch uses
+    * this to decide whether the pointer itself needs repair.
+    */
+  private def pointerVersion(dir: String): Option[Long] = {
     val p = Paths.get(dir, "_LATEST")
     // toLongOption: an interrupted pointer write must read as "no pointer"
-    // (repairable via the batch marker), never wedge the stream on parse
+    // (repairable via the manifest), never wedge the stream on parse
     if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
   }
+
+  /** Committed version from the manifest markers: max batch id whose
+    * `v=<id>` directory exists. The marker is created only after a
+    * successful snapshot write, so marker+dir = committed even when the
+    * pointer is gone.
+    */
+  private def manifestVersion(dir: String): Option[Long] = {
+    val manifest = Paths.get(dir, "_manifest")
+    if (!Files.isDirectory(manifest)) None
+    else {
+      val s = Files.list(manifest)
+      val committed =
+        try s.iterator().asScala
+          .flatMap(p => p.getFileName.toString.toLongOption)
+          .filter(v => Files.isDirectory(Paths.get(dir, s"v=$v")))
+          .toSeq
+        finally s.close()
+      committed.maxOption
+    }
+  }
+
+  def latestVersion(dir: String): Option[Long] =
+    pointerVersion(dir).orElse(manifestVersion(dir))
 
   /** Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash mid-write
     * can never leave a truncated/garbage _LATEST.
@@ -63,7 +95,9 @@ object IncrementalSnapshot {
     // v=<batchId> — never a read-from-overwritten-path) or sees the marker
     // and only repairs the pointer if the crash hit between marker and flip.
     if (Files.exists(marker)) {
-      if (!latestVersion(dir).exists(_ >= batchId))
+      // pointerVersion, not latestVersion: a lost/corrupt pointer must be
+      // REWRITTEN here, not merely recovered around
+      if (!pointerVersion(dir).exists(_ >= batchId))
         flipLatest(dir, batchId)
       return
     }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.DriverManager
 import java.util.Properties
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.cdc.Envelope
@@ -13,45 +14,74 @@ import graft.cdc.Envelope
   *
   * Replay safety: a `<table>_batches` ledger records committed batch ids, so
   * a replayed batch (checkpoint recovery, foreachBatch re-invocation) is a
-  * no-op. The data append and the ledger insert are separate connections —
-  * Spark's JDBC writer opens its own per-partition connections — so a crash
-  * exactly between them replays the batch as duplicates: at-least-once, the
-  * same guarantee the reference's append sink has, with the ledger closing
-  * the common replay path. Sinks needing hard exactly-once should append
-  * `batch_id` as a column and dedup downstream (or use the parquet
-  * manifest sink in Sinks.scala).
+  * no-op. Every data row additionally carries its `batch_id`, and an
+  * UNcommitted replay first deletes any rows with that batch_id before
+  * appending — so a crash exactly between the distributed append and the
+  * ledger insert (the window the ledger alone cannot close) is repaired on
+  * replay instead of double-counted. Net: effectively-once for any backend
+  * that supports DELETE; the batch_id column also lets downstream dedup
+  * defensively.
   *
   * Scale: the append itself is Spark's distributed JDBC write (one
-  * connection per partition, batched inserts); only the ledger probe is a
-  * driver-side single-row query.
+  * connection per partition, batched inserts); the ledger probe is a
+  * driver-side single-row query, and ledger EXISTENCE is cached per
+  * (url, table) for the query lifetime — no per-batch catalog scan.
   */
 object JdbcSink {
 
-  /** foreachBatch body: skip if `batchId` is in the ledger, else append the
-    * batch to `table` and record the id.
+  /** Ledgers already verified to exist, keyed url#ledger — the existence
+    * probe (and CREATE race) runs once per query lifetime, not per batch.
+    */
+  private val ledgerReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureLedger(url: String, ledger: String): Unit =
+    if (!ledgerReady.contains(s"$url#$ledger")) {
+      withConn(url) { con =>
+        // SELECT-probe instead of a full getTables catalog scan; the
+        // backend's table-missing SQLException means "create it" (SQLState
+        // for exists/missing differs per backend — Derby X0Y32/42X05,
+        // Postgres 42P07/42P01 — so probe by behavior, not state codes),
+        // and the create itself is race-guarded for concurrent queries.
+        val exists =
+          try { con.createStatement().executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0").close(); true }
+          catch { case _: java.sql.SQLException => false }
+        if (!exists)
+          try con.createStatement().executeUpdate(
+            s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+          catch { case _: java.sql.SQLException => () /* lost the create race */ }
+      }
+      ledgerReady.add(s"$url#$ledger")
+    }
+
+  /** foreachBatch body: skip if `batchId` is in the ledger, else repair any
+    * half-appended rows from a crashed attempt, append the batch (stamped
+    * with its batch_id) and record the id.
     */
   def idempotentJdbc(url: String, table: String,
       props: Properties = new Properties)(batch: DataFrame, batchId: Long): Unit = {
     val ledger = s"${table}_batches"
+    ensureLedger(url, ledger)
     val committed = withConn(url) { con =>
-      // CREATE-if-missing, portably: probe the catalog first (SQLState for
-      // "table exists" differs per backend — Derby X0Y32, Postgres 42P07,
-      // MySQL 42S01), and race-guard the create for concurrent batches.
-      val rs0 = con.getMetaData.getTables(null, null, "%", null)
-      val exists = Iterator.continually(rs0)
-        .takeWhile(_.next()).map(_.getString("TABLE_NAME"))
-        .exists(_.equalsIgnoreCase(ledger))
-      rs0.close()
-      if (!exists)
-        try con.createStatement().executeUpdate(
-          s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
-        catch { case _: java.sql.SQLException => () /* lost the create race */ }
       val rs = con.createStatement()
         .executeQuery(s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
       try rs.next() finally rs.close()
     }
     if (!committed) {
-      batch.write.mode("append").jdbc(url, table, props)
+      // crash-window repair: a previous attempt may have appended rows and
+      // died before its ledger insert — delete them before re-appending.
+      // SQLException = data table doesn't exist yet (first batch): nothing
+      // to repair.
+      // "batch_id" is quoted because Spark's JDBC writer creates columns
+      // with quoted (case-preserved) identifiers — an unquoted name would
+      // case-fold on backends like Derby/Postgres and miss the column
+      withConn(url) { con =>
+        try con.createStatement().executeUpdate(
+          s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        catch { case _: java.sql.SQLException => () }
+      }
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").jdbc(url, table, props)
       withConn(url)(_.createStatement()
         .executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)"))
     }

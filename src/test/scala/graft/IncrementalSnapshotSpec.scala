@@ -72,4 +72,29 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(IncrementalSnapshot.latestVersion(dir) === Some(2L))
     assert(IncrementalSnapshot.readSnapshot(spark, dir).get.count() > 0)
   }
+  test("a lost _LATEST pointer recovers from the manifest, not as empty state") {
+    val tmp = Files.createTempDirectory("graft_lostptr").toString
+    val dir = s"$tmp/snap"
+    val ch = CdcSim.parsedChangelog(spark, sf).limit(200).localCheckpoint()
+
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 0L)
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 1L)
+    val before = IncrementalSnapshot.readSnapshot(spark, dir).get.count()
+    assert(before > 0)
+
+    // the pointer vanishes (copied dir / non-atomic writer / fs quirk)
+    Files.delete(Paths.get(dir, "_LATEST"))
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(1L))
+    assert(IncrementalSnapshot.readSnapshot(spark, dir).get.count() === before)
+
+    // and a corrupt pointer behaves the same way
+    Files.writeString(Paths.get(dir, "_LATEST"), "garbage")
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(1L))
+
+    // the next NEW batch merges against the recovered state — no key loss
+    Files.delete(Paths.get(dir, "_LATEST"))
+    IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(ch, 2L)
+    assert(IncrementalSnapshot.latestVersion(dir) === Some(2L))
+    assert(IncrementalSnapshot.readSnapshot(spark, dir).get.count() === before)
+  }
 }

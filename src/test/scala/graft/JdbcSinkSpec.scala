@@ -22,17 +22,28 @@ class JdbcSinkSpec extends AnyFunSuite {
     launch().awaitTermination()
 
     val parsed = Envelope.parse(ch, CdcSim.payloadSchema)
-    val sunk = spark.read.jdbc(url, "orders_cdc", new java.util.Properties)
-    assert(sunk.count() === parsed.count())
-    assert(sunk.exceptAll(parsed).count() === 0)
-    assert(parsed.exceptAll(sunk).count() === 0)
+    def sunk() = spark.read.jdbc(url, "orders_cdc", new java.util.Properties)
+    // every data row is stamped with its batch id (crash-window dedup key)
+    assert(sunk().columns.map(_.toLowerCase).contains("batch_id"))
+    val data = sunk().drop("batch_id")
+    assert(data.count() === parsed.count())
+    assert(data.exceptAll(parsed).count() === 0)
+    assert(parsed.exceptAll(data).count() === 0)
 
     // checkpoint replay: no new input → no new rows
     launch().awaitTermination()
-    assert(spark.read.jdbc(url, "orders_cdc", new java.util.Properties).count() === parsed.count())
+    assert(sunk().count() === parsed.count())
 
     // direct foreachBatch replay of an already-committed batch id → no-op
     JdbcSink.idempotentJdbc(url, "orders_cdc")(parsed.limit(5), 0L)
-    assert(spark.read.jdbc(url, "orders_cdc", new java.util.Properties).count() === parsed.count())
+    assert(sunk().count() === parsed.count())
+
+    // crash-window replay: rows appended but the ledger insert never ran —
+    // the replay must delete the orphans and land exactly one copy
+    parsed.limit(7).withColumn("batch_id", org.apache.spark.sql.functions.lit(99L))
+      .write.mode("append").jdbc(url, "orders_cdc", new java.util.Properties)
+    JdbcSink.idempotentJdbc(url, "orders_cdc")(parsed.limit(7), 99L)
+    assert(sunk().filter("batch_id = 99").count() === 7)
+    assert(sunk().count() === parsed.count() + 7)
   }
 }
