@@ -1,35 +1,27 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-import graft.{GraftSession, Tables}
-import graft.functions.TextFunctions.tokens
-import graft.operators.{Analytics, Dedup}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import graft.GraftSession
+import graft.operators.{Analytics, Similarity}
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for ((name, df) <- Seq(
+        "knn_brute" -> Similarity.knnBrute(spark, d),
+        "knn_ivf" -> Similarity.knnIvf(spark, d),
+        "q5" -> Analytics.q5LocalSupplier(spark, d))) {
+      println(s"===== $name =====")
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      println(s"hints: ${hints.size}")
+      hints.foreach(h => println("  hint over: " + h.child.toString.linesIterator.take(2).mkString(" | ").take(200)))
+      val p = df.queryExecution.executedPlan.toString
+      println("row_number occurrences: " + "row_number".r.findAllIn(p).size)
+      println("hashpartitioning specs: " +
+        "hashpartitioning\\([^)]*".r.findAllIn(p).map(_.take(60)).toSeq.distinct.mkString("\n  ", "\n  ", ""))
     }
-    val ds = Tables.documents(spark, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), Dedup.shingleSet(col("toks")).as("shs"), size(col("toks")).as("n"))
-    time("shingles      ") { ds.count() }
-    val postings = ds.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
-      .withColumn("h", xxhash64(col("sh"))).drop("sh")
-    time("postings      ") { postings.count() }
-    time("join+agg      ") {
-      postings.as("a").join(postings.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id"), col("b.doc_id"), col("a.n"), col("b.n"))
-        .agg(count(lit(1))).count()
-    }
-    time("full ngram    ") { Dedup.dedupNgramJaccard(spark, d).count() }
-    time("q5            ") { Analytics.q5LocalSupplier(spark, d).count() }
-    Analytics.q5LocalSupplier(spark, d).explain("formatted")
     spark.stop()
   }
 }

@@ -1,7 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import graft.operators.{Analytics, Dedup, Similarity}
 
 /** Plan audits: the physical plans must stay scale-shaped — filters pushed
   * into the parquet scan, dims broadcast, no accidental cartesian products.
@@ -54,5 +56,40 @@ class PlanSpec extends AnyFunSuite {
   test("cdc snapshot aggregates map-side before the shuffle (partial max_by)") {
     val p = plan(graft.cdc.CdcQueries.snapshotLatest(spark, sf))
     assert(p.contains("partial_max_by") || p.contains("partial_max"), p.linesIterator.take(6).mkString("\n"))
+  }
+
+  test("knn top-k is two-phase bucketed — no corpus-sized single-reducer sort") {
+    for (q <- Seq(Similarity.knnBrute(spark, sf), Similarity.knnLsh(spark, sf),
+        Similarity.knnIvf(spark, sf))) {
+      val parts = "hashpartitioning\\([^)]*".r.findAllIn(plan(q)).toSeq
+      // phase one windows over (q_id, bucket) — the only sorts are bounded
+      assert(parts.exists(_.contains("_b0")),
+        "expected a bucketed phase-one window exchange:\n" + parts.mkString("\n"))
+      // and no exchange is keyed by vec_id ALONE — the old IVF assignment's
+      // per-vector argmax window. (q_id, vec_id) pair-keyed aggregation
+      // exchanges are fine: that's the LSH candidate dedup, no hot key.
+      assert(!parts.exists(_.startsWith("hashpartitioning(vec_id")),
+        "no per-vector window exchange allowed:\n" + parts.mkString("\n"))
+    }
+  }
+
+  test("no forced broadcast of SF-scaled tables (customer/part/supplier)") {
+    def hints(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h.child.toString }.toSeq
+    // hint counts: only the fixed-size dims (nation 25 rows, region 5) keep one
+    assert(hints(Analytics.q5LocalSupplier(spark, sf)).size === 2)
+    assert(hints(Analytics.q7VolumeShipping(spark, sf)).size === 2)
+    assert(hints(Analytics.q10Returns(spark, sf)).size === 1)
+    for (q <- Seq(Analytics.categoryRevenue _, Analytics.q14PromoRevenue _,
+        Analytics.q18LargeOrders _, Analytics.topSuppliers _))
+      assert(hints(q(spark, sf)).isEmpty)
+    // every remaining hinted subtree really is nation or region
+    for (h <- hints(Analytics.q5LocalSupplier(spark, sf)) ++
+        hints(Analytics.q7VolumeShipping(spark, sf)) ++
+        hints(Analytics.q10Returns(spark, sf)))
+      assert(h.contains("n_nationkey") || h.contains("r_regionkey"), h.take(200))
+    // the size threshold still broadcasts the small dims at test scale
+    assert(plan(Analytics.q10Returns(spark, sf)).contains("BroadcastHashJoin"))
+    assert(plan(Analytics.categoryRevenue(spark, sf)).contains("BroadcastHashJoin"))
   }
 }

@@ -22,7 +22,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("LSH top-k recall vs brute force") {
     val r = recall(neighborSet(Similarity.knnLsh(spark, sf)))
     info(f"lsh recall = $r%.3f")
-    assert(r >= 0.6)
+    // floor backed by the measured tuning curve in SURVEY §4 (default
+    // 6-bit × 8-table config: 0.92 here, 0.89 at sf0.01)
+    assert(r >= 0.85)
   }
 
   test("IVF top-k recall vs brute force") {

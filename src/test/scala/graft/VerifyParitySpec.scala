@@ -13,17 +13,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class VerifyParitySpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
-  /** Queries deliberately without a SQL oracle (driver does rows-only):
-    * knn_ivf's quantizer trains driver-side on a Spark-hash-ordered sample,
-    * which portable SQL cannot restate.
-    */
-  val rowsOnly = Set("knn_ivf")
-
   test("every oracle key is a registered query and vice versa") {
+    // knn_ivf's oracle is GENERATED from its trained centroids, so it only
+    // exists after the query has run once in this JVM — exactly Verify's
+    // order (run queries, then dump oracle_sql.json). Train it, then demand
+    // full 1:1 coverage.
+    graft.operators.Similarity.knnIvf(spark, sf).count()
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
-    assert((q -- o) === rowsOnly, s"queries without an oracle: ${q -- o -- rowsOnly}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${q -- o}")
   }
 
   test("output column names are clean identifiers present in the oracle SQL") {
