@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -56,6 +56,69 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmax_k of dot(vec, matrix[k·dim .. (k+1)·dim)) / scale[k] over a
+  * row-major flattened matrix — the IVF nearest-centroid assignment as ONE
+  * tight codegen'd loop. An equivalent 32-way array-of-structs max compiles
+  * to a janino method so large it costs seconds of one-time codegen and
+  * falls out of the fast path; this stays small at any cell count. Ties
+  * keep the LOWEST k (strict `>` while scanning ascending), matching the
+  * (score desc, cell asc) order of the SQL oracle's row_number. The dot
+  * fold is sequential left-to-right — bit-identical to ArrayDot and the
+  * oracle's list_reduce.
+  */
+case class ArgmaxScaledDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmax_dot"
+
+  override protected def nullSafeEval(v: Any, m: Any, s: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[ArrayData]
+    val k = sc.numElements()
+    val dim = if (k == 0) 0 else mat.numElements() / k
+    val n = math.min(dim, x.numElements())
+    var best = 0.0; var cell = 0; var i = 0
+    while (i < k) {
+      var acc = 0.0; var j = 0; val off = i * dim
+      while (j < n) { acc += x.getDouble(j) * mat.getDouble(off + j); j += 1 }
+      val score = acc / sc.getDouble(i)
+      if (i == 0 || score > best) { best = score; cell = i }
+      i += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, s) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val dim = ctx.freshName("dim")
+      val n = ctx.freshName("n"); val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc"); val score = ctx.freshName("score")
+      val best = ctx.freshName("best"); val cell = ctx.freshName("cell")
+      s"""
+         |int $k = $s.numElements();
+         |int $dim = $k == 0 ? 0 : $m.numElements() / $k;
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |double $best = 0.0; int $cell = 0;
+         |for (int $i = 0; $i < $k; $i++) {
+         |  double $acc = 0.0; int $off = $i * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $v.getDouble($j) * $m.getDouble($off + $j);
+         |  }
+         |  double $score = $acc / $s.getDouble($i);
+         |  if ($i == 0 || $score > $best) { $best = $score; $cell = $i; }
+         |}
+         |${ev.value} = $cell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): ArgmaxScaledDot =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-API + SQL-registration surface for the native vector expressions. */
 object NativeVector {
 
@@ -69,6 +132,11 @@ object NativeVector {
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** argmax_k dot(v, flatMatrix[k]) / scale(k); ties keep the lowest k. */
+  def argmaxDot(v: Column, flatMatrix: Column, scale: Column): Column =
+    GraftSqlBridge.column(ArgmaxScaledDot(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(flatMatrix), GraftSqlBridge.expression(scale)))
 
   private val info = new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot")
   private def builder(children: Seq[Expression]): Expression = children match {
