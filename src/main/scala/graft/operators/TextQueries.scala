@@ -168,7 +168,41 @@ object TextQueries {
           / count(lit(1)) * 1e4) / 1e4).as("mean_quality"))
   }
 
+  /** Benchmark decontamination — the pre-training hygiene step: flag
+    * training docs that share any contiguous N-token gram with the held-out
+    * benchmark slice (here doc_id % 50 == 0 stands in for the eval set).
+    * This is the industry-standard n-gram collision check (per the GPT-3 /
+    * PaLM appendices, which use 8–13 grams; N=5 here because the synthetic
+    * corpus's overlaps are short). Inverted gram postings + equality join:
+    * shuffle is by gram, cost linear in corpus size plus matches — never
+    * doc × doc. Output: contaminated doc, #shared distinct grams, #benchmark
+    * docs hit.
+    */
+  val DecontamN = 5
+  val BenchMod = 50
+
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= DecontamN)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var g = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    for (i <- 1 until DecontamN) g = g.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    val grams = g.filter(col(s"t${DecontamN - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until DecontamN).map(i => col(s"t$i")): _*).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val train = grams.filter(col("doc_id") % BenchMod =!= 0)
+    train.join(bench, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "corpus_clean" -> corpusClean,
     "dataset_card" -> datasetCard,
@@ -188,6 +222,17 @@ object TextQueries {
     s"len(list_filter(toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |raw AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, len(toks) - ${DecontamN - 1}),
+         |      i -> array_to_string(list_slice(toks, i+1, i+$DecontamN), ' '))) AS gram
+         |  FROM t WHERE len(toks) >= $DecontamN),
+         |g AS (SELECT DISTINCT doc_id, gram FROM raw),
+         |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $BenchMod = 0),
+         |train AS (SELECT * FROM g WHERE doc_id % $BenchMod <> 0)
+         |SELECT doc_id, count(*) AS n_hits, count(DISTINCT bench_id) AS n_bench_docs
+         |FROM train JOIN bench USING (gram) GROUP BY 1""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
          |SELECT doc_id,

@@ -35,7 +35,7 @@ object IncrementalSnapshot {
   /** The _LATEST pointer alone, no recovery — merge's replay branch uses
     * this to decide whether the pointer itself needs repair.
     */
-  private def pointerVersion(dir: String): Option[Long] = {
+  private[streaming] def pointerVersion(dir: String): Option[Long] = {
     val p = Paths.get(dir, "_LATEST")
     // toLongOption: an interrupted pointer write must read as "no pointer"
     // (repairable via the manifest), never wedge the stream on parse
@@ -47,20 +47,28 @@ object IncrementalSnapshot {
     * successful snapshot write, so marker+dir = committed even when the
     * pointer is gone.
     */
-  private def manifestVersion(dir: String): Option[Long] = {
+  /** All committed versions: manifest markers whose `v=<id>` dir exists. */
+  private[streaming] def committedVersions(dir: String): Seq[Long] = {
     val manifest = Paths.get(dir, "_manifest")
-    if (!Files.isDirectory(manifest)) None
+    if (!Files.isDirectory(manifest)) Seq.empty
     else {
       val s = Files.list(manifest)
-      val committed =
-        try s.iterator().asScala
-          .flatMap(p => p.getFileName.toString.toLongOption)
-          .filter(v => Files.isDirectory(Paths.get(dir, s"v=$v")))
-          .toSeq
-        finally s.close()
-      committed.maxOption
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption)
+        .filter(v => Files.isDirectory(Paths.get(dir, s"v=$v")))
+        .toSeq
+      finally s.close()
     }
   }
+
+  private def manifestVersion(dir: String): Option[Long] =
+    committedVersions(dir).maxOption
+
+  /** Latest committed version strictly BEFORE `id` — the pre-batch state a
+    * replayed batch must diff against even after the pointer moved on.
+    */
+  private[streaming] def versionBefore(dir: String, id: Long): Option[Long] =
+    committedVersions(dir).filter(_ < id).maxOption
 
   def latestVersion(dir: String): Option[Long] =
     pointerVersion(dir).orElse(manifestVersion(dir))
@@ -68,7 +76,7 @@ object IncrementalSnapshot {
   /** Atomic pointer flip: write-to-temp + ATOMIC_MOVE, so a crash mid-write
     * can never leave a truncated/garbage _LATEST.
     */
-  private def flipLatest(dir: String, v: Long): Unit = {
+  private[streaming] def flipLatest(dir: String, v: Long): Unit = {
     val tmp = Paths.get(dir, s"_LATEST.tmp")
     Files.writeString(tmp, v.toString)
     Files.move(tmp, Paths.get(dir, "_LATEST"),
