@@ -151,6 +151,16 @@ object Dedup {
       .agg(max(col("n")).as("n"),
         array((0 until NumHashes).map(i => min(affine(i, col("hm")))): _*).as("mh"))
 
+  /** Band-bucket width cap: a bucket wider than this generates no candidate
+    * pairs. A degenerate band (boilerplate / near-identical bodies hashing
+    * thousands of docs to one signature) would go quadratic inside its
+    * bucket; such families are the EXACT-dup pipeline's job, and pruning
+    * over-wide buckets is the standard stop-band treatment. The cap is
+    * restated in the oracle SQL, so parity is exact at every scale — at
+    * test scale no bucket approaches it (asserted in DedupSpec).
+    */
+  val MaxBandWidth = 64
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     // Portable md5 hash rides on the postings so minhash, banding, and the
     // exact-Jaccard verification all reuse one materialized pipeline.
@@ -162,7 +172,13 @@ object Dedup {
       struct(lit(k).as("k"),
         concat_ws(",", slice(col("mh"), k * RowsPerBand + 1, RowsPerBand)).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.k").as("k"), col("b.sig").as("sig"))
-    val pairs = bands.as("a").join(bands.as("b"),
+    // width-capped buckets: bucket stats are one small row per OCCUPIED
+    // bucket; the semi-join prunes degenerate buckets before any pairing
+    val okBuckets = bands.groupBy(col("k"), col("sig"))
+      .agg(count(lit(1)).as("bw")).filter(col("bw") <= MaxBandWidth)
+      .select(col("k"), col("sig"))
+    val kept = bands.join(okBuckets, Seq("k", "sig"), "left_semi")
+    val pairs = kept.as("a").join(kept.as("b"),
         col("a.k") === col("b.k") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -207,6 +223,12 @@ object Dedup {
       (0 until 60).map(i =>
         when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "sim")
+    // NO stop-band cap here, deliberately: the 15-bit chunk space (32k
+    // values) saturates as the corpus grows, so wide chunk buckets are
+    // STRUCTURAL, not degenerate — a width cap measurably guts recall
+    // (22.7k → 6.9k pairs at sf0.01). The scale lever for simhash is chunk
+    // geometry (more/wider chunks for the target hamming radius), not
+    // pruning.
     val chunked = base.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
@@ -410,8 +432,10 @@ object Dedup {
          |bands AS (SELECT doc_id, k,
          |    array_to_string(list_slice(mh, k*$RowsPerBand+1, k*$RowsPerBand+$RowsPerBand), ',') AS sig
          |  FROM m, (SELECT unnest([0,1,2,3]) AS k)),
+         |bw AS (SELECT k, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $MaxBandWidth),
+         |kept AS (SELECT bands.* FROM bands JOIN bw USING (k, sig)),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |  FROM kept a JOIN kept b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |j AS (SELECT doc_a, doc_b, ${jaccSql("ma.shs", "mb.shs")} AS jacc,
          |    CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i ->
          |      CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est
