@@ -219,6 +219,33 @@ object Analytics {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
   }
 
+  /** Ordered multi-step funnel (view → click → purchase): a user converts a
+    * step only with an event strictly AFTER their previous step's first
+    * event — the sequencing that a plain per-type count funnel
+    * (status_funnel) can't express. Three min-aggregations, each keyed by
+    * user: shuffle-by-user three times, no windows, no event×event join.
+    */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
+      .withColumn("conv_click",
+        floor(col("n_click_after_view") / col("n_view") * 1e4) / 1e4)
+      .withColumn("conv_purchase",
+        floor(col("n_purchase_after_click") / col("n_click_after_view") * 1e4) / 1e4)
+  }
+
   /** Cohort retention: day-0 cohort per user → distinct active users per
     * (cohort_day, day_offset).
     */
@@ -391,6 +418,7 @@ object Analytics {
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
     "events_retention" -> eventsRetention,
+    "events_funnel" -> eventsFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,6 +623,21 @@ object Analytics {
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS session_value,
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "events_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+        |j AS (SELECT count(*) AS n_view,
+        |    CAST(count(t2.user_id) AS BIGINT) AS n_click_after_view,
+        |    CAST(count(t3.user_id) AS BIGINT) AS n_purchase_after_click
+        |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+        |SELECT n_view, n_click_after_view, n_purchase_after_click,
+        | floor(CAST(n_click_after_view AS DOUBLE) / n_view * 1e4) / 1e4 AS conv_click,
+        | floor(CAST(n_purchase_after_click AS DOUBLE) / n_click_after_view * 1e4) / 1e4 AS conv_purchase
+        |FROM j""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

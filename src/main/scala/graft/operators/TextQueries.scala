@@ -99,6 +99,33 @@ object TextQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Winnow-fingerprint containment pairs — the partial-overlap dual of
+    * whole-document near-dup: a doc quoting a large block of another shares
+    * the block's winnow fingerprints even when whole-doc jaccard is low.
+    * containment = |shared fps| / min(|fps a|, |fps b|) ≥ 0.8. Candidates
+    * come from the inverted fingerprint postings (shuffle-by-fp, same
+    * linear blocking family as every dedup op — never doc × doc).
+    */
+  val ContainmentTau = 0.8
+
+  def textContainment(s: SparkSession, d: String): DataFrame = {
+    // materialize once: the self-join + size agg would recompute the whole
+    // winnow pipeline three times
+    val fps = textWinnowFp(s, d).localCheckpoint()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val shared = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared.join(sizes.toDF("doc_a", "nfa"), "doc_a")
+      .join(sizes.toDF("doc_b", "nfb"), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("nfa"), col("nfb")))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        detRound(col("containment"), 4).as("containment"))
+  }
+
   /** Top terms per source via two-phase top-k: the per-source window would
     * otherwise sort a vocabulary-sized partition on one reducer at scale.
     */
@@ -211,6 +238,7 @@ object TextQueries {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_winnow_fp" -> textWinnowFp,
+    "text_containment" -> textContainment,
     "text_topterms" -> textTopterms,
   )
 
@@ -220,6 +248,24 @@ object TextQueries {
   private val toksSql = s"string_split($normSql, ' ')"
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter(toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  /** Winnow fingerprint postings `p(doc_id, fp)` — shared by the winnow and
+    * containment oracles; same rolling hash / window-min / distinct as
+    * textWinnowFp.
+    */
+  private lazy val winnowPostingsCte: String =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+       |h AS (SELECT doc_id, norm, toks,
+       |  list_transform(toks, tk -> ${graft.functions.PortableHash.hexHSql("tk")} % $P) AS hs FROM t),
+       |r AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(range(0, len(toks)-2), i ->
+       |      (hs[i+1]*${WinnowB * WinnowB} + hs[i+2]*$WinnowB + hs[i+3]) % $P)
+       |    ELSE [${graft.functions.PortableHash.hexHSql("norm")} % $P] END AS rh FROM h),
+       |f AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(0, greatest(len(rh)-$WinnowW, 0)+1),
+       |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r),
+       |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_decontaminate" ->
@@ -307,18 +353,18 @@ object TextQueries {
          | greatest(len($toksSql) - 2, 0) AS n_shingles
          |FROM documents""".stripMargin,
     "text_winnow_fp" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-         |t AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
-         |h AS (SELECT doc_id, norm, toks,
-         |  list_transform(toks, tk -> ${graft.functions.PortableHash.hexHSql("tk")} % $P) AS hs FROM t),
-         |r AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-         |    list_transform(range(0, len(toks)-2), i ->
-         |      (hs[i+1]*${WinnowB * WinnowB} + hs[i+2]*$WinnowB + hs[i+3]) % $P)
-         |    ELSE [${graft.functions.PortableHash.hexHSql("norm")} % $P] END AS rh FROM h),
-         |f AS (SELECT doc_id,
-         |  list_distinct(list_transform(range(0, greatest(len(rh)-$WinnowW, 0)+1),
-         |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r)
-         |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin,
+      s"""WITH $winnowPostingsCte
+         |SELECT doc_id, fp FROM p""".stripMargin,
+    "text_containment" ->
+      s"""WITH $winnowPostingsCte,
+         |sz AS (SELECT doc_id, count(*) AS nfp FROM p GROUP BY 1),
+         |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, shared,
+         |    CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) AS containment
+         |  FROM sh JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b, shared, floor(containment*1e4)/1e4 AS containment
+         |FROM c WHERE containment >= $ContainmentTau""".stripMargin,
     "text_topterms" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS term FROM documents),
          |g AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
