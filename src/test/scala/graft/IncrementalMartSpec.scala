@@ -91,4 +91,23 @@ class IncrementalMartSpec extends AnyFunSuite {
     IncrementalMart.merge(snapDir, martDir, Seq("id"), payloadCols, "status", "price")(b1, 1L)
     assert(IncrementalMart.readMart(spark, martDir).get.collect().toSet === before)
   }
+
+  test("mart equals the batch aggregate at every random split point (seeded)") {
+    // arbitrary event-level partitions of the changelog — a key's create,
+    // update and delete can land in any batches in any order; the mart must
+    // equal the snapshot aggregate after EVERY merge
+    val payloadCols = CdcSim.payloadSchema.fieldNames.toSeq.filterNot(_ == "id")
+    val all = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    for (seed <- Seq(7, 1913)) {
+      val tmp = Files.createTempDirectory(s"graft_incmart_prop$seed").toString
+      val nb = 2 + seed % 3
+      val batches = all.withColumn("b",
+        pmod(xxhash64(col("id") * 31 + col("ts_ms") + lit(seed)), lit(nb)))
+      for (b <- 0 until nb) {
+        IncrementalMart.merge(s"$tmp/snap", s"$tmp/mart", Seq("id"), payloadCols,
+          "status", "price")(batches.filter(col("b") === b).drop("b"), b.toLong)
+        assertMartMatches(s"$tmp/snap", s"$tmp/mart")
+      }
+    }
+  }
 }
