@@ -167,7 +167,9 @@ object Dedup {
     val postings = shinglePostings(s, d)
       .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
       .localCheckpoint()
-    val m = minhashSignatures(postings)
+    // m feeds four subtrees (band stats, band pairing, and both est sides):
+    // materialize the signature agg once instead of recomputing it per use
+    val m = minhashSignatures(postings).localCheckpoint()
     val bands = m.select(col("doc_id"), explode(array((0 until Bands).map(k =>
       struct(lit(k).as("k"),
         concat_ws(",", slice(col("mh"), k * RowsPerBand + 1, RowsPerBand)).as("sig"))): _*)).as("b"))
