@@ -25,6 +25,10 @@ object GraftSession {
       // reads it via this escape hatch (as LongType nanos — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // reclaim reliable-checkpoint files (dedup_clusters iteration state)
+      // once their RDDs are unreferenced — otherwise every run leaks its
+      // checkpoint dirs onto disk
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def get(): SparkSession = {
