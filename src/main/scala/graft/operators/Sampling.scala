@@ -60,10 +60,35 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Token-budget shard packing — the document-granularity half of sequence
+    * packing: walk the corpus in doc_id order, accumulate token counts, cut
+    * a new training shard every `PackBudget` tokens. shard = floor(tokens
+    * before this doc / budget), so a doc straddling a boundary starts the
+    * next shard. The running total uses `Scale.prefixSum` (two-phase
+    * parallel scan): a naive `sum() OVER (ORDER BY doc_id)` sorts the whole
+    * corpus on one reducer; here sorts are bucket-local and only one tiny
+    * row per bucket is global. Output is the per-shard manifest.
+    */
+  val PackBudget = 2000L
+
+  def corpusPack(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    Scale.prefixSum(docs, "doc_id", "n_tokens")
+      .withColumn("shard", floor((col("cum") - col("n_tokens")) / PackBudget))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
     "sample_split" -> sampleSplit,
     "text_hash_embed" -> textHashEmbed,
+    "corpus_pack" -> corpusPack,
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +112,18 @@ object Sampling {
          |n AS (SELECT doc_id, sqrt(sum(c*c)) AS l2 FROM c GROUP BY 1)
          |SELECT c.doc_id, dim, floor(c / l2 * 1e6) / 1e6 AS weight
          |FROM c JOIN n ON c.doc_id = n.doc_id""".stripMargin,
+    // the oracle states the packing as the plain global running sum the
+    // two-phase prefixSum is proven equivalent to
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |sh AS (SELECT doc_id, n_tokens, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS shard FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM sh GROUP BY 1""".stripMargin,
   )
 }

@@ -85,6 +85,38 @@ object Scale {
       .filter(col("rnk") <= k)
   }
 
+  /** Distributed prefix sum (inclusive cumsum of `valueCol` in `orderCol`
+    * order) — the two-phase parallel scan: range-bucket the key
+    * (floor-division keeps buckets contiguous in key order), cumsum inside
+    * each bucket's window, then add each bucket's offset (the cumsum of all
+    * PRIOR buckets' totals — a window over #buckets rows, broadcast back).
+    * Result-identical to `sum() OVER (ORDER BY orderCol)` — which at scale
+    * sorts the whole table on ONE reducer; here every sort is bucket-local
+    * and the only global state is one tiny row per bucket (proved equal in
+    * SkewSpec).
+    *
+    * `orderCol` must be unique (it is the total order); values sum as LONG
+    * (exact, order-independent).
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      bucketWidth: Long = 4096): DataFrame = {
+    require(!df.columns.contains("cum"), "prefixSum emits a 'cum' column")
+    val b = Iterator.from(0).map(i => s"_pb$i").find(!df.columns.contains(_)).get
+    val bucketed = df.withColumn(b, floor(col(orderCol) / bucketWidth))
+    val local = bucketed.withColumn("cum",
+      sum(col(valueCol)).over(
+        Window.partitionBy(col(b)).orderBy(col(orderCol))))
+    val offsets = bucketed.groupBy(col(b))
+      .agg(sum(col(valueCol)).as("_tot"))
+      .withColumn("_off",
+        coalesce(sum(col("_tot")).over(
+          Window.orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(b), col("_off"))
+    local.join(broadcast(offsets), b)
+      .withColumn("cum", col("cum") + col("_off"))
+      .drop(b, "_off")
+  }
+
   /** Write both fact tables bucketed by the join key into a warehouse, then
     * join the bucketed tables — returns the joined mart. With matching
     * bucketing on both sides, Spark plans a shuffle-free sort-merge join

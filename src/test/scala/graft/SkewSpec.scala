@@ -25,6 +25,19 @@ class SkewSpec extends AnyFunSuite {
     assert(joinSection.contains("Bucketed: true"), plan)
     assert(joined.count() > 0)
   }
+  test("two-phase prefix sum equals the single-window running sum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("v"))
+    // small bucket width so the test actually exercises multi-bucket offsets
+    val fast = Scale.prefixSum(docs, "doc_id", "v", bucketWidth = 64)
+    val slow = docs.withColumn("cum", sum(col("v")).over(Window.orderBy(col("doc_id"))))
+    assert(fast.exceptAll(slow).count() === 0)
+    assert(slow.exceptAll(fast).count() === 0)
+  }
+
   test("two-phase top-k equals the single-window top-k") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
