@@ -87,9 +87,37 @@ object Multimodal {
       duration_ms = if (k == "image") 0L else n * 10)
   }
 
+  /** Exact binary dedup — the first pass every media corpus runs: group by
+    * payload digest, elect the min doc id. One shuffle keyed by digest;
+    * map-side partial agg; payload bytes never shuffle (only the 32-byte
+    * sha).
+    */
+  def mmDedupExact(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .groupBy(sha2(col("payload"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
+
+  /** Per-kind media rollup — the dataset card for the binary side: volume,
+    * bytes, dedup rate, stub-decoded dimension means (floor-rounded).
+    */
+  def mmKindStats(s: SparkSession, d: String): DataFrame =
+    mmBinaryMeta(s, d)
+      .withColumn("dup_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sha")).orderBy(col("doc_id"))))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(when(col("dup_rank") > 1, 1).otherwise(0)).as("n_dup_docs"),
+        (floor(sum(col("width").cast("long")) / count(lit(1)) * 1e2) / 1e2).as("avg_width"),
+        (floor(sum(col("height").cast("long")) / count(lit(1)) * 1e2) / 1e2).as("avg_height"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_dedup_exact" -> mmDedupExact,
+    "mm_kind_stats" -> mmKindStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +139,23 @@ object Multimodal {
          |  sha256(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes)) AS frame_sha,
          |  octet_length(CAST(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes) AS BLOB)) AS frame_bytes
          |FROM f JOIN p ON f.doc_id = p.doc_id""".stripMargin,
+    "mm_dedup_exact" ->
+      """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n_dups,
+        | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "mm_kind_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |   sha256(text) AS sha,
+        |   64 + octet_length(CAST(text AS BLOB)) % 1216 AS width,
+        |   64 + (octet_length(CAST(text AS BLOB)) * 7) % 656 AS height
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY sha ORDER BY doc_id) AS dup_rank FROM m)
+        |SELECT kind, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | CAST(sum(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | floor(CAST(sum(width) AS DOUBLE)/count(*)*1e2)/1e2 AS avg_width,
+        | floor(CAST(sum(height) AS DOUBLE)/count(*)*1e2)/1e2 AS avg_height
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }
