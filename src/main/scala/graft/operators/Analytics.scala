@@ -240,10 +240,14 @@ object Analytics {
       .agg(count(lit(1)).as("n_view"),
         count(col("t2")).as("n_click_after_view"),
         count(col("t3")).as("n_purchase_after_click"))
+      // zero-step guard: Spark's x/0 is NULL while DuckDB's is IEEE inf —
+      // make the empty-funnel case NULL in BOTH engines
       .withColumn("conv_click",
-        floor(col("n_click_after_view") / col("n_view") * 1e4) / 1e4)
+        when(col("n_view") > 0,
+          floor(col("n_click_after_view") / col("n_view") * 1e4) / 1e4))
       .withColumn("conv_purchase",
-        floor(col("n_purchase_after_click") / col("n_click_after_view") * 1e4) / 1e4)
+        when(col("n_click_after_view") > 0,
+          floor(col("n_purchase_after_click") / col("n_click_after_view") * 1e4) / 1e4))
   }
 
   /** Cohort retention: day-0 cohort per user → distinct active users per
@@ -635,8 +639,10 @@ object Analytics {
         |    CAST(count(t3.user_id) AS BIGINT) AS n_purchase_after_click
         |  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
         |SELECT n_view, n_click_after_view, n_purchase_after_click,
-        | floor(CAST(n_click_after_view AS DOUBLE) / n_view * 1e4) / 1e4 AS conv_click,
-        | floor(CAST(n_purchase_after_click AS DOUBLE) / n_click_after_view * 1e4) / 1e4 AS conv_purchase
+        | CASE WHEN n_view > 0
+        |   THEN floor(CAST(n_click_after_view AS DOUBLE) / n_view * 1e4) / 1e4 END AS conv_click,
+        | CASE WHEN n_click_after_view > 0
+        |   THEN floor(CAST(n_purchase_after_click AS DOUBLE) / n_click_after_view * 1e4) / 1e4 END AS conv_purchase
         |FROM j""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

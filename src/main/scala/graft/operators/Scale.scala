@@ -102,7 +102,11 @@ object Scale {
       bucketWidth: Long = 4096): DataFrame = {
     require(!df.columns.contains("cum"), "prefixSum emits a 'cum' column")
     val b = Iterator.from(0).map(i => s"_pb$i").find(!df.columns.contains(_)).get
+    // materialize once: the local-cumsum and bucket-totals phases both
+    // consume this subtree — without it the caller's input (for corpus_pack,
+    // a full-corpus tokenize) computes twice
     val bucketed = df.withColumn(b, floor(col(orderCol) / bucketWidth))
+      .localCheckpoint()
     val local = bucketed.withColumn("cum",
       sum(col(valueCol)).over(
         Window.partitionBy(col(b)).orderBy(col(orderCol))))

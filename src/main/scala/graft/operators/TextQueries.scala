@@ -202,8 +202,10 @@ object TextQueries {
     * PaLM appendices, which use 8–13 grams; N=5 here because the synthetic
     * corpus's overlaps are short). Inverted gram postings + equality join:
     * shuffle is by gram, cost linear in corpus size plus matches — never
-    * doc × doc. Output: contaminated doc, #shared distinct grams, #benchmark
-    * docs hit.
+    * doc × doc. Gram rows build with posexplode + window `lead`, the same
+    * measured convention as Dedup.shinglePostings (nested HOF slicing was
+    * 4× slower per doc); the doc-keyed exchange it costs is linear. Output:
+    * contaminated doc, #shared distinct grams, #benchmark docs hit.
     */
   val DecontamN = 5
   val BenchMod = 50

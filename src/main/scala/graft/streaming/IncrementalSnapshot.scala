@@ -42,12 +42,10 @@ object IncrementalSnapshot {
     if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
   }
 
-  /** Committed version from the manifest markers: max batch id whose
-    * `v=<id>` directory exists. The marker is created only after a
-    * successful snapshot write, so marker+dir = committed even when the
-    * pointer is gone.
+  /** All committed versions: manifest markers whose `v=<id>` dir exists.
+    * The marker is created only after a successful snapshot write, so
+    * marker+dir = committed even when the pointer is gone.
     */
-  /** All committed versions: manifest markers whose `v=<id>` dir exists. */
   private[streaming] def committedVersions(dir: String): Seq[Long] = {
     val manifest = Paths.get(dir, "_manifest")
     if (!Files.isDirectory(manifest)) Seq.empty

@@ -69,23 +69,53 @@ object JdbcSink {
     }
     if (!committed) {
       // crash-window repair: a previous attempt may have appended rows and
-      // died before its ledger insert — delete them before re-appending.
-      // SQLException = data table doesn't exist yet (first batch): nothing
-      // to repair.
-      // "batch_id" is quoted because Spark's JDBC writer creates columns
-      // with quoted (case-preserved) identifiers — an unquoted name would
-      // case-fold on backends like Derby/Postgres and miss the column
+      // died before its ledger insert. The probe-by-behavior guard only
+      // skips the DELETE when the data table doesn't exist yet (first
+      // batch); on an existing table a DELETE failure PROPAGATES and fails
+      // the batch — silently skipping would reopen the duplicate-replay
+      // window this repair exists to close.
       withConn(url) { con =>
-        try con.createStatement().executeUpdate(
-          s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        catch { case _: java.sql.SQLException => () }
+        val tableExists =
+          try { con.createStatement().executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          catch { case _: java.sql.SQLException => false }
+        if (tableExists)
+          con.createStatement().executeUpdate(
+            s"DELETE FROM $table WHERE ${quoteId(con, "batch_id")} = $batchId")
       }
       batch.withColumn("batch_id", lit(batchId))
         .write.mode("append").jdbc(url, table, props)
+      // best-effort index so the repair DELETE is a key lookup, not a table
+      // scan growing with sink size (exists / race / unsupported → ignore)
+      ensureBatchIndex(url, table)
       withConn(url)(_.createStatement()
         .executeUpdate(s"INSERT INTO $ledger VALUES ($batchId)"))
     }
   }
+
+  /** The backend's own identifier quote (MySQL backticks, ANSI double
+    * quotes elsewhere) — Spark's JDBC writer creates columns with
+    * dialect-quoted, case-preserved names, so raw SQL must quote the same
+    * way or the name case-folds and misses the column.
+    */
+  private def quoteId(con: java.sql.Connection, name: String): String =
+    con.getMetaData.getIdentifierQuoteString match {
+      case null => s""""$name""""
+      case s if s.trim.isEmpty => name
+      case s => s"${s.trim}$name${s.trim}"
+    }
+
+  private val indexReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureBatchIndex(url: String, table: String): Unit =
+    if (!indexReady.contains(s"$url#$table")) {
+      withConn(url) { con =>
+        try con.createStatement().executeUpdate(
+          s"CREATE INDEX ${table}_batch_idx ON $table (${quoteId(con, "batch_id")})")
+        catch { case _: java.sql.SQLException => () /* exists / race / unsupported */ }
+      }
+      indexReady.add(s"$url#$table")
+    }
 
   private def withConn[A](url: String)(f: java.sql.Connection => A): A = {
     val con = DriverManager.getConnection(url)
