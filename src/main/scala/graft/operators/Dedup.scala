@@ -40,9 +40,15 @@ object Dedup {
     * dedup join wants anyway. `n` = |distinct shingle set| via a per-doc
     * window count.
     */
-  def shinglePostings(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  def shinglePostings(s: SparkSession, d: String): DataFrame =
+    shinglePostingsOf(Tables.documents(s, d))
+
+  /** Same postings over any (doc_id, text) frame — lets the streaming
+    * ingestion gate (StreamNearDup) run the identical verified pipeline on
+    * a micro-batch.
+    */
+  def shinglePostingsOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh3 = t.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -137,6 +143,34 @@ object Dedup {
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a"), col("doc_b"), detRound(col("jacc"), 4).as("jacc"))
+  }
+
+  /** Reference-corpus postings in join-ready shape, for the cross-corpus
+    * gate below — callers materialize this ONCE (e.g. localCheckpoint) and
+    * reuse it across incoming micro-batches.
+    */
+  def referencePostings(reference: DataFrame): DataFrame =
+    shinglePostingsOf(reference)
+      .select(col("doc_id").as("ref_id"), col("n").as("nb"), xxhash64(col("sh")).as("h"))
+
+  /** Near-dup pairs BETWEEN corpora (incoming vs reference) — the
+    * ingestion-time gate's core: the same shingle postings + equality join
+    * + exact-intersection verification as dedupNgramJaccard, but
+    * cross-corpus (every incoming doc against the reference, no self
+    * triangle). Linear in postings; quadratic work confined to shared
+    * shingle buckets exactly as in the self-join form.
+    */
+  def nearDupsAgainst(incoming: DataFrame, refPost: DataFrame,
+      tau: Double = 0.5): DataFrame = {
+    val a = shinglePostingsOf(incoming)
+      .select(col("doc_id").as("in_id"), col("n").as("na"), xxhash64(col("sh")).as("h"))
+    a.join(refPost, Seq("h"))
+      .filter(greatest(col("na"), col("nb")) <= lit(1.0 / tau) * least(col("na"), col("nb")))
+      .groupBy(col("in_id"), col("ref_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).cast("double").as("i"))
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jacc") >= tau)
+      .select(col("in_id"), col("ref_id"), detRound(col("jacc"), 4).as("jacc"))
   }
 
   // --------------------------------------------------------- minhash + LSH
