@@ -53,6 +53,24 @@ object Olap {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("revenue"))
 
+  /** Explicit GROUPING SETS — the two one-dimension margins plus the grand
+    * total, WITHOUT the cross cells a cube would add; `grouping_id`
+    * disambiguates a genuine NULL group value from an aggregated-out level
+    * (same bitmask convention in both engines: first column = MSB). Same
+    * single-shuffle Expand plan as rollup/cube.
+    */
+  def ordersGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n_orders"), col("revenue"))
+
   /** Exact interpolated quantiles of order value per status (the engines
     * share the (1−d)·a + d·b rule; floor-rounded to absorb last-ulp drift).
     */
@@ -68,6 +86,7 @@ object Olap {
     "orders_pivot" -> ordersPivot,
     "orders_rollup" -> ordersRollup,
     "orders_cube" -> ordersCube,
+    "orders_grouping_sets" -> ordersGroupingSets,
     "order_value_quantiles" -> orderValueQuantiles,
   )
 
@@ -92,6 +111,13 @@ object Olap {
         | count(*) AS n_orders,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "orders_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "order_value_quantiles" ->
       """SELECT o_orderstatus,
         | floor(quantile_cont(o_totalprice, 0.5)*1e4)/1e4 AS p50,
