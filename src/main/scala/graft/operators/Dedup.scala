@@ -165,7 +165,12 @@ object Dedup {
     val a = shinglePostingsOf(incoming)
       .select(col("doc_id").as("in_id"), col("n").as("na"), xxhash64(col("sh")).as("h"))
     a.join(refPost, Seq("h"))
-      .filter(greatest(col("na"), col("nb")) <= lit(1.0 / tau) * least(col("na"), col("nb")))
+      // conservative length prefilter: jacc ≥ tau requires min ≥ tau·max;
+      // the epsilon keeps boundary pairs that a rounded tau·max would
+      // wrongly prune (e.g. 0.26·50 = 13.000000000000002 > 13) — spurious
+      // keeps are removed by the exact verification below
+      .filter(lit(tau) * greatest(col("na"), col("nb")) <=
+        least(col("na"), col("nb")) + lit(1e-6))
       .groupBy(col("in_id"), col("ref_id"), col("na"), col("nb"))
       .agg(count(lit(1)).cast("double").as("i"))
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
@@ -302,7 +307,7 @@ object Dedup {
   /** Materialize iteration state to the session's reliable checkpoint dir,
     * defaulting it when unset (local runs / tests).
     */
-  private def durable(df: DataFrame): DataFrame = {
+  private[graft] def durable(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(

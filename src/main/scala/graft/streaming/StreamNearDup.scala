@@ -23,11 +23,13 @@ object StreamNearDup {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  def start(s: SparkSession, inDir: String, reference: DataFrame,
+  /** Gate against an ALREADY-materialized postings table — the deployment
+    * shape for a long-lived gate (persisted/bucketed postings, rebuilt on
+    * corpus refresh, shared across query restarts).
+    */
+  def startWithPostings(s: SparkSession, inDir: String, refPost: DataFrame,
       outDir: String, checkpointDir: String, tau: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // static side: one materialization for the life of the query
-    val refPost = Dedup.referencePostings(reference).localCheckpoint()
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     s.readStream.schema(docSchema).json(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -37,7 +39,18 @@ object StreamNearDup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-  }
+
+  /** Convenience: derive the postings from raw reference docs, materialized
+    * to RELIABLE storage (not localCheckpoint: query-lifetime state must
+    * survive executor loss — the same rule dedup_clusters' iteration state
+    * follows).
+    */
+  def start(s: SparkSession, inDir: String, reference: DataFrame,
+      outDir: String, checkpointDir: String, tau: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWithPostings(s, inDir,
+      Dedup.durable(Dedup.referencePostings(reference)),
+      outDir, checkpointDir, tau, trigger)
 
   def readFlagged(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)

@@ -32,9 +32,9 @@ class StreamNearDupSpec extends AnyFunSuite {
     val incoming = copies.unionByName(mutated).unionByName(novel).localCheckpoint()
 
     def drop(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      df.toJSON.coalesce(1).write.mode("overwrite").text(s"$tmp/stage_$name")
+      df.coalesce(1).write.mode("overwrite").json(s"$tmp/stage_$name")
       val src = new java.io.File(s"$tmp/stage_$name").listFiles()
-        .filter(_.getName.endsWith(".txt")).head
+        .filter(_.getName.endsWith(".json")).head
       Files.copy(src.toPath, Paths.get(in, s"$name.json"))
     }
     def run(): Unit =
