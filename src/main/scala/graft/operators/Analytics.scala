@@ -192,6 +192,30 @@ object Analytics {
   def eventsHourly(s: SparkSession, d: String): DataFrame =
     hourlyAgg(Tables.events(s, d))
 
+  /** Volume-anomaly detection over hourly event counts: flag hours outside
+    * the Tukey fences (p25/p75 ± 1.5·IQR). Exact interpolated percentiles,
+    * NOT mean/stddev z-scores — quantiles of integer counts are dyadic
+    * (engine-exact), while stddev's accumulation order varies by partition
+    * layout. The fence row is a two-double scalar broadcast; detection is
+    * one scan of the (already bounded) hourly frame.
+    */
+  def eventsHourlyAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val fences = hourly
+      .agg(expr("percentile(n_events, 0.25)").as("p25"),
+        expr("percentile(n_events, 0.75)").as("p75"))
+      .select((col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
+    hourly.crossJoin(broadcast(fences))
+      .filter(col("n_events") < col("lo") || col("n_events") > col("hi"))
+      .select(col("hour"), col("n_events"),
+        when(col("n_events") < col("lo"), "low").otherwise("high").as("side"),
+        (floor(col("lo") * 1e4) / 1e4).as("lo_fence"),
+        (floor(col("hi") * 1e4) / 1e4).as("hi_fence"))
+  }
+
   def eventsJsonProps(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -419,6 +443,7 @@ object Analytics {
     "top_customers" -> topCustomers,
     "customer_ltv" -> customerLtv,
     "events_hourly" -> eventsHourly,
+    "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
     "events_retention" -> eventsRetention,
@@ -606,6 +631,17 @@ object Analytics {
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_hourly_anomaly" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT quantile_cont(n_events, 0.25) AS p25, quantile_cont(n_events, 0.75) AS p75 FROM h),
+        |x AS (SELECT hour, n_events,
+        |    p25 - 1.5*(p75-p25) AS lo, p75 + 1.5*(p75-p25) AS hi FROM h, f)
+        |SELECT hour, n_events,
+        | CASE WHEN n_events < lo THEN 'low' ELSE 'high' END AS side,
+        | floor(lo*1e4)/1e4 AS lo_fence, floor(hi*1e4)/1e4 AS hi_fence
+        |FROM x WHERE n_events < lo OR n_events > hi""".stripMargin,
     "events_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         | floor(CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS DOUBLE)/count(*)*1e4)/1e4 AS avg_k,

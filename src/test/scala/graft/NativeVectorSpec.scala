@@ -34,4 +34,30 @@ class NativeVectorSpec extends AnyFunSuite {
     val dotLine = plan.linesIterator.find(_.contains("graft_dot")).getOrElse("")
     assert(dotLine.trim.startsWith("*("), plan)
   }
+
+  test("argmaxDot equals the per-cell struct-max formulation, ties to lowest cell") {
+    // 4 centroids, the last a DUPLICATE of the first: every row that picks
+    // centroid 0 exercises the lowest-k tie-break against centroid 3
+    val cents = Array(
+      Array.tabulate(64)(i => math.sin(i + 1.0)),
+      Array.tabulate(64)(i => math.cos(i * 0.7)),
+      Array.tabulate(64)(i => 1.0 / (i + 1)),
+      Array.tabulate(64)(i => math.sin(i + 1.0)))
+    def n2(v: Array[Double]) = { var a = 0.0; v.foreach(x => a += x * x); a }
+    val sn = cents.map(c => math.sqrt(n2(c)))
+    val flat = typedlit(cents.flatten.toIndexedSeq)
+    val snLit = typedlit(sn.toIndexedSeq)
+    val structMax = array(cents.indices.map(k =>
+      struct((NativeVector.dot(col("v"), typedlit(cents(k).toIndexedSeq)) / lit(sn(k))).as("s"),
+        lit(-k).as("negk"))): _*)
+    val diff = e
+      .withColumn("fast", NativeVector.argmaxDot(col("v"), flat, snLit))
+      .withColumn("ref", -array_max(structMax).getField("negk"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // and the duplicate centroid can never win: cell 3 must not appear
+    val cells = e.select(NativeVector.argmaxDot(col("v"), flat, snLit).as("c"))
+      .groupBy("c").count().collect().map(_.getInt(0)).toSet
+    assert(!cells.contains(3), s"tie must resolve to the LOWEST cell, got $cells")
+  }
 }
