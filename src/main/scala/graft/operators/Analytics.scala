@@ -371,6 +371,25 @@ object Analytics {
         col("o_totalprice"), col("total_qty"))
   }
 
+  /** TPC-H Q19-style: discounted revenue under a DISJUNCTION of brand ×
+    * size × quantity bands — the complex-predicate shape: the only
+    * join-independent conjunct (quantity ≤ the max band) pushes to the
+    * lineitem scan, the OR-of-ANDs evaluates post-join in one codegen'd
+    * filter, and part still broadcasts by size. No per-branch union-of-joins
+    * (which would scan lineitem three times).
+    */
+  def q19BrandRevenue(s: SparkSession, d: String): DataFrame = {
+    def band(brand: String, sizeMax: Int, qLo: Int, qHi: Int): Column =
+      col("p_brand") === brand && col("p_size").between(1, sizeMax) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= 30)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+        band("Brand#34", 15, 20, 30))
+      .agg(sumD(revenueExpr, 2).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
   /** Customers who never placed an URGENT order — a LEFT ANTI join
     * (NOT EXISTS), the dual of q4's semi join.
     */
@@ -428,6 +447,7 @@ object Analytics {
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q14_promo_revenue" -> q14PromoRevenue,
     "q18_large_orders" -> q18LargeOrders,
+    "q19_brand_revenue" -> q19BrandRevenue,
     "customers_inactive" -> customersInactive,
     "top_suppliers" -> topSuppliers,
     "profile_orders" -> profileOrders,
@@ -530,6 +550,13 @@ object Analytics {
         | strftime(o_orderdate,'%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         | JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_brand_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "customers_inactive" ->
       """SELECT c_nationkey, count(*) AS n_inactive,
         | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS idle_balance
