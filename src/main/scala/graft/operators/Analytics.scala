@@ -196,13 +196,15 @@ object Analytics {
     * the Tukey fences (p25/p75 ± 1.5·IQR). Exact interpolated percentiles,
     * NOT mean/stddev z-scores — quantiles of integer counts are dyadic
     * (engine-exact), while stddev's accumulation order varies by partition
-    * layout. The fence row is a two-double scalar broadcast; detection is
-    * one scan of the (already bounded) hourly frame.
+    * layout. The hourly frame materializes once — fences and detection both
+    * read it, so the events fact scans and aggregates ONCE; the fence row
+    * is a two-double scalar broadcast over that small frame.
     */
   def eventsHourlyAnomaly(s: SparkSession, d: String): DataFrame = {
     val hourly = Tables.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val fences = hourly
       .agg(expr("percentile(n_events, 0.25)").as("p25"),
         expr("percentile(n_events, 0.75)").as("p75"))
@@ -372,18 +374,18 @@ object Analytics {
   }
 
   /** TPC-H Q19-style: discounted revenue under a DISJUNCTION of brand ×
-    * size × quantity bands — the complex-predicate shape: the only
-    * join-independent conjunct (quantity ≤ the max band) pushes to the
-    * lineitem scan, the OR-of-ANDs evaluates post-join in one codegen'd
-    * filter, and part still broadcasts by size. No per-branch union-of-joins
-    * (which would scan lineitem three times).
+    * size × quantity bands — the complex-predicate shape. Catalyst's
+    * constraint propagation extracts the quantity-only disjunction from the
+    * OR-of-ANDs and pushes it into the lineitem scan on its own (visible in
+    * EXPLAINS.md PushedFilters — no manual pre-filter needed); the full
+    * predicate then evaluates post-join in one codegen'd filter. No
+    * per-branch union-of-joins (which would scan lineitem three times).
     */
   def q19BrandRevenue(s: SparkSession, d: String): DataFrame = {
     def band(brand: String, sizeMax: Int, qLo: Int, qHi: Int): Column =
       col("p_brand") === brand && col("p_size").between(1, sizeMax) &&
         col("l_quantity").between(qLo, qHi)
     Tables.lineitem(s, d)
-      .filter(col("l_quantity") <= 30)
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
         band("Brand#34", 15, 20, 30))

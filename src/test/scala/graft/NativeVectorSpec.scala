@@ -55,9 +55,11 @@ class NativeVectorSpec extends AnyFunSuite {
       .withColumn("ref", -array_max(structMax).getField("negk"))
       .filter(col("fast") =!= col("ref"))
     assert(diff.count() === 0)
-    // and the duplicate centroid can never win: cell 3 must not appear
+    // the tie must actually be EXERCISED (some row picks the duplicated
+    // centroid) and resolve to the lowest cell — 3 must never appear
     val cells = e.select(NativeVector.argmaxDot(col("v"), flat, snLit).as("c"))
       .groupBy("c").count().collect().map(_.getInt(0)).toSet
+    assert(cells.contains(0), s"no row picked the duplicated centroid — tie untested ($cells)")
     assert(!cells.contains(3), s"tie must resolve to the LOWEST cell, got $cells")
   }
 }
