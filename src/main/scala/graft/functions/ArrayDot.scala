@@ -144,18 +144,32 @@ object NativeVector {
     case _ => throw new IllegalArgumentException("graft_dot takes exactly 2 arguments")
   }
 
-  /** Register `graft_dot` into a live session's function registry. */
-  def register(spark: SparkSession): Unit =
+  private val argmaxInfo =
+    new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot")
+  private def argmaxBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(v, m, s) => ArgmaxScaledDot(v, m, s)
+    case _ => throw new IllegalArgumentException("graft_argmax_dot takes exactly 3 arguments")
+  }
+
+  /** Register the native vector functions into a live session's registry. */
+  def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", info, builder)
+    GraftSqlBridge.registerFunction(spark, "graft_argmax_dot", argmaxInfo, argmaxBuilder)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — rung (c):
   * library functions installed at session build time, usable from pure SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
         (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_argmax_dot"),
+        new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot"),
+        (children: Seq[Expression]) => ArgmaxScaledDot(children(0), children(1), children(2))))
+  }
 }

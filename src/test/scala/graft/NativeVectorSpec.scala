@@ -18,13 +18,17 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
-  test("graft_dot is callable from SQL after registration") {
+  test("graft_dot and graft_argmax_dot are callable from SQL after registration") {
     NativeVector.register(spark)
     e.createOrReplaceTempView("emb_native_spec")
     val r = spark.sql(
       "SELECT vec_id, graft_dot(v, v) AS n2 FROM emb_native_spec ORDER BY vec_id LIMIT 1")
       .collect()
     assert(r.length === 1 && r(0).getDouble(1) > 0.0)
+    val a = spark.sql(
+      """SELECT graft_argmax_dot(v, array(1.0d, 0.0d, 0.0d, 1.0d), array(1.0d, 1.0d)) AS c
+        |FROM emb_native_spec LIMIT 3""".stripMargin).collect()
+    assert(a.forall(row => row.getInt(0) == 0 || row.getInt(0) == 1))
   }
 
   test("native dot stays inside whole-stage codegen") {
