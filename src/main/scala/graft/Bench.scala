@@ -1,26 +1,26 @@
 package graft
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen paths so the alphabetically-first query doesn't
-    // absorb several seconds of one-time startup cost.
-    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    // optional arg: comma-separated query-name filter (dev iteration)
-    val only = args.headOption.map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+  /** One measured unit: elapsed seconds and, for a failed query, the error
+    * marker that REPLACES its timing in the report (a broken query must
+    * never masquerade as a fast one).
+    */
+  final case class Result(name: String, elapsed: Double, err: Option[String])
+
+  /** Time each query with a full-materialization reduce. Factored out of
+    * main so BenchSpec can prove the error-marker contract with a
+    * deliberately-broken query.
+    */
+  def measure(queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      spark: SparkSession, sfDir: String): Seq[Result] =
+    queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Hash-reduce over every output column so Catalyst cannot prune the
       // projected expressions (a bare count() measures only the scan for
       // map-only queries) — each query's full compute path is on the clock.
-      // A failure is recorded as an {"err": ...} marker, NEVER a timing — a
-      // broken query must not masquerade as a fast one.
       val err: Option[String] = try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("h"))
@@ -38,23 +38,45 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       System.gc()
-      (name, elapsed, err)
+      Result(name, elapsed, err)
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  /** The driver-facing JSON line: successful queries report seconds, failed
+    * ones an {"err": ...} object; total sums successes only and `errors`
+    * counts failures so a partial total can't read as a full one.
+    */
+  def toJson(results: Seq[Result], sfDir: String): String = {
     val qs = results.map {
-      case (k, v, None) => s"\"" + k + "\":" + v
-      case (k, _, Some(e)) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
+      case Result(k, v, None) => s"\"" + k + "\":" + v
+      case Result(k, _, Some(e)) => s"\"" + k + "\":{\"err\":" + jstr(e) + "}"
     }.mkString("{", ",", "}")
-    // total covers successful queries only; failures are counted separately
-    // so a partial total can't read as a full-suite one
-    val total = results.collect { case (_, v, None) => v }.sum
-    val nErr = results.count(_._3.isDefined)
-    results.foreach { case (k, _, e) =>
-      e.foreach(msg => System.err.println(s"[bench] $k FAILED: $msg")) }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
+    val total = results.collect { case Result(_, v, None) => v }.sum
+    val nErr = results.count(_.err.isDefined)
+    s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen paths so the alphabetically-first query doesn't
+    // absorb several seconds of one-time startup cost.
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    // optional arg: comma-separated query-name filter (dev iteration)
+    val only = args.headOption.map(_.split(",").toSet)
+    val results = measure(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) },
+      spark, sfDir)
+    results.foreach(r =>
+      r.err.foreach(msg => System.err.println(s"[bench] ${r.name} FAILED: $msg")))
+    val line = toJson(results, sfDir)
     // sbt prefixes stdout with [info], which broke the driver's JSON parse in
     // round 1 — also persist the line to a file the driver can read directly.
     // Filtered dev runs go to a separate file so a partial total can never
