@@ -34,6 +34,18 @@ object CdcOps {
       .drop("sign")
   }
 
+  /** ReplacingMergeTree `FINAL` at an arbitrary past instant (time travel):
+    * the current state the table had at `asOf` = the latest version per key
+    * among events with version <= `asOf`, tombstones dropped. The predicate
+    * lands on the scan (pushed filter), then the same one-shuffle partial
+    * `max_by` as [[snapshotLatest]] — no SCD2 interval materialization, no
+    * window over the changelog.
+    */
+  def snapshotAsOf(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      payloadCols: Seq[String], asOf: Column, tieBreak: Column = lit(0)): DataFrame =
+    snapshotLatest(changes.filter(col(versionCol) <= asOf),
+      keyCols, versionCol, payloadCols, tieBreak)
+
   /** At-least-once redelivery guard: drop exact redeliveries of the same
     * (key, version, op). One shuffle; at scale this is the cheap idempotence
     * layer in front of snapshot/SCD2.

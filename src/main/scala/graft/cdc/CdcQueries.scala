@@ -24,6 +24,21 @@ object CdcQueries {
   def changelogStats(s: SparkSession, d: String): DataFrame =
     CdcOps.changelogStats(CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms")
 
+  /** SCD2 time travel: the snapshot as of the changelog's midpoint instant
+    * ((min+max) div 2 of ts_ms — a data-derived timestamp so the query is
+    * meaningful at every SF). The threshold is a 1-row aggregate joined
+    * back broadcast — no driver collect — and the filtered snapshot is the
+    * same one-shuffle partial max_by as cdc_snapshot_latest.
+    */
+  def snapshotAsOf(s: SparkSession, d: String): DataFrame = {
+    // one parse for both the threshold agg and the filtered snapshot
+    val ch = CdcSim.parsedChangelog(s, d).localCheckpoint()
+    val t = ch.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("t_asof"))
+    val filtered = ch.join(broadcast(t))
+      .filter(col("ts_ms") <= col("t_asof")).drop("t_asof")
+    CdcOps.snapshotLatest(filtered, Seq("id"), "ts_ms", payloadCols)
+  }
+
   /** Redelivery guard: replay every event of keys with id%3==0 (simulated
     * at-least-once duplication), then count raw vs deduped per op.
     */
@@ -90,6 +105,7 @@ object CdcQueries {
     "cdc_parse_envelope" -> parseEnvelope,
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
+    "cdc_snapshot_asof" -> snapshotAsOf,
     "cdc_scd2_history" -> scd2History,
     "cdc_changelog_stats" -> changelogStats,
     "cdc_del_dup_guard" -> delDupGuard,
@@ -110,6 +126,16 @@ object CdcQueries {
     "cdc_parse_envelope" -> s"$C\nSELECT op, id, custkey, price, status, ts_ms, sign FROM ev",
     "cdc_snapshot_latest" -> snapshotOracle,
     "cdc_snapshot_stream" -> snapshotOracle,
+    "cdc_snapshot_asof" ->
+      s"""$C,
+         |t AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_asof FROM ev),
+         |f AS (SELECT ev.* FROM ev, t WHERE ev.ts_ms <= t.t_asof),
+         |snap AS (
+         |  SELECT id, arg_max(custkey, ts_ms) AS custkey,
+         |    arg_max(price, ts_ms) AS price, arg_max(status, ts_ms) AS status,
+         |    arg_max(sign, ts_ms) AS sign, max(ts_ms) AS ts_ms
+         |  FROM f GROUP BY id)
+         |SELECT id, custkey, price, status, ts_ms FROM snap WHERE sign = 1""".stripMargin,
     "cdc_scd2_history" ->
       s"""$C,
          |v AS (

@@ -55,6 +55,30 @@ class CdcPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotAsOf: high-water mark ≡ full snapshot, pre-history ≡ empty, " +
+      "interior instant ≡ the SCD2 interval lookup") {
+    for (seed <- 1L to 8L) {
+      val ch = genChangelog(seed).localCheckpoint()
+      val full = CdcOps.snapshotLatest(ch, Seq("id"), "ts_ms", payloadCols)
+      val atMax = CdcOps.snapshotAsOf(ch, Seq("id"), "ts_ms", payloadCols,
+        lit(Long.MaxValue))
+      assertSame(full, atMax, s"seed=$seed asof=maxTs")
+      assert(CdcOps.snapshotAsOf(ch, Seq("id"), "ts_ms", payloadCols, lit(0L))
+        .count() === 0, s"seed=$seed asof before history must be empty")
+      // interior instant: state via the filtered max_by must equal the SCD2
+      // interval containing t (valid_from <= t < valid_to, open-ended last)
+      val t = ch.agg(expr("(min(ts_ms) + max(ts_ms)) div 2"))
+        .head().getLong(0)
+      val viaAsOf = CdcOps.snapshotAsOf(ch, Seq("id"), "ts_ms", payloadCols, lit(t))
+        .select(col("id"), col("v"), col("ts_ms"))
+      val viaScd2 = CdcOps.scd2(ch, Seq("id"), "ts_ms")
+        .filter(col("valid_from") <= t &&
+          (col("valid_to") === -1L || col("valid_to") > t))
+        .select(col("id"), col("v"), col("valid_from").as("ts_ms"))
+      assertSame(viaAsOf, viaScd2, s"seed=$seed asof=$t")
+    }
+  }
+
   test("dedupRedelivery is idempotent under arbitrary redelivery") {
     for (seed <- 1L to 8L) {
       val ch = genChangelog(seed)
