@@ -108,10 +108,29 @@ object TextQueries {
     */
   val ContainmentTau = 0.8
 
+  /** Fingerprint document-frequency cap: a fingerprint present in more than
+    * this many documents is dropped from the postings before the self-join.
+    * The join's cost is Σ_fp df², so one boilerplate fingerprint (license
+    * header, template) with df = millions would dominate the whole job;
+    * capped, the per-fp work is bounded at df² ≤ cap². Containment is then
+    * measured over non-ubiquitous fingerprints only (sizes use the same
+    * capped postings, so the score stays in [0,1]) — boilerplate-block
+    * matching is the exact-dup pipeline's job. The cap is restated in the
+    * oracle SQL (parity exact at every scale) and asserted dormant at test
+    * scale in DedupSpec — the minhash `MaxBandWidth` pattern.
+    */
+  val MaxFpDf = 64
+
   def textContainment(s: SparkSession, d: String): DataFrame = {
-    // materialize once: the self-join + size agg would recompute the whole
-    // winnow pipeline three times
-    val fps = textWinnowFp(s, d).localCheckpoint()
+    // df via a window count on the fp partition: one shuffle by fp (the
+    // same key the pairing join needs), linear even on a degenerate fp,
+    // and the wide fps are gone before any quadratic work. Materialize
+    // once: sizes + both join sides would recompute the winnow pipeline.
+    val wdf = Window.partitionBy(col("fp"))
+    val fps = textWinnowFp(s, d)
+      .withColumn("df", count(lit(1)).over(wdf))
+      .filter(col("df") <= MaxFpDf).drop("df")
+      .localCheckpoint()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val shared = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -359,9 +378,12 @@ object TextQueries {
          |SELECT doc_id, fp FROM p""".stripMargin,
     "text_containment" ->
       s"""WITH $winnowPostingsCte,
-         |sz AS (SELECT doc_id, count(*) AS nfp FROM p GROUP BY 1),
+         |pk AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM p)
+         |  WHERE df <= $MaxFpDf),
+         |sz AS (SELECT doc_id, count(*) AS nfp FROM pk GROUP BY 1),
          |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |  FROM pk a JOIN pk b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |c AS (SELECT doc_a, doc_b, shared,
          |    CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) AS containment
          |  FROM sh JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)

@@ -26,6 +26,15 @@ class DedupSpec extends AnyFunSuite {
       "band buckets are wide enough that the stop-band cap would change results")
   }
 
+  test("no winnow fingerprint approaches the df cap at test scale") {
+    val dfs = graft.operators.TextQueries.textWinnowFp(spark, sf)
+      .groupBy(col("fp")).count()
+    val maxDf = dfs.agg(max(col("count"))).collect()(0).getLong(0)
+    info(s"max winnow fp df = $maxDf (cap ${graft.operators.TextQueries.MaxFpDf})")
+    assert(maxDf < graft.operators.TextQueries.MaxFpDf / 2,
+      "fp postings are wide enough that the df cap would change results")
+  }
+
   test("capped minhash pipeline still finds every verified near-dup pair") {
     // the 0.5-jaccard ground truth comes from the exact all-pairs plan;
     // LSH banding at (16 hashes, 4 bands) must recover all of it here
