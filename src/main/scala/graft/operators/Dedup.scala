@@ -245,14 +245,59 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- simhash
-  /** 60-bit SimHash over the distinct-token set (md5-derived bits), near
-    * pairs via 4×15-bit chunk banding + exact hamming ≤ 20.
+  /** Exact hamming-radius SimHash dedup, Manku et al. (WWW'07)-style
+    * multi-chunk concatenated keys.
+    *
+    * 60-bit SimHash over the distinct-token set (md5-derived bits). The
+    * result is EXACTLY every pair at hamming distance ≤ [[SimhashRadius]]:
+    * the fingerprint splits into m chunks, and every concatenation of
+    * c = m − radius chunks is a bucket key (C(m, c) tables). A pair
+    * differing in ≤ radius bits touches at most radius chunks, so at least
+    * c chunks match and one key collides (pigeonhole); candidates verify
+    * with an exact bit_count. The oracle is a structurally INDEPENDENT
+    * brute-force all-pairs scan — completeness of the banding is exactly
+    * what CORRECTNESS checks.
+    *
+    * The geometry is corpus-parametric ([[simhashGeometry]]): m grows with
+    * log2(n), so the key space 2^keyBits stays ≫ corpus and expected bucket
+    * width stays ≤ [[SimhashTargetWidth]]. The fixed 4×15-bit single-chunk
+    * banding this replaces saturated its 32k-value chunk space at billions
+    * of docs (~n²/32k candidate pairs); here key width rises (12→20→26→30
+    * bits as n crosses 64k / 16M / 0.5G) while the table count stays
+    * polynomial (5 / 15 / 35 / 70 = C(m, radius)).
     *
     * Bit sums run as one 60-column aggregation over exploded distinct-token
     * rows (map-side partial, codegen'd) rather than 60 interpreted array
     * folds per document.
     */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  val SimhashRadius = 4
+  val SimhashTargetWidth = 16 // expected-docs-per-bucket design ceiling
+
+  private def chunkWidths(m: Int): Seq[Int] = {
+    val (base, extra) = (60 / m, 60 % m)
+    Seq.tabulate(m)(i => if (i < extra) base + 1 else base)
+  }
+
+  /** Chunk widths + all c-of-m combination key tables for corpus size n:
+    * the smallest m (≥ radius+1) whose worst-case key width (the c
+    * narrowest chunks) keeps expected bucket width n/2^keyBits at or under
+    * [[SimhashTargetWidth]]. Completeness holds for EVERY m by pigeonhole;
+    * n only buys selectivity.
+    */
+  def simhashGeometry(n: Long): (Seq[Int], Seq[Seq[Int]]) = {
+    val needBits =
+      math.max(0.0, math.log(math.max(1L, n).toDouble / SimhashTargetWidth) / math.log(2.0))
+    val m = (SimhashRadius + 1 to 59).find { m =>
+      val c = m - SimhashRadius
+      chunkWidths(m).sorted.take(c).sum >= needBits
+    }.getOrElse(59)
+    (chunkWidths(m), (0 until m).combinations(m - SimhashRadius).toSeq)
+  }
+
+  /** (doc_id, sim) — the 60-bit fingerprints, shared by the pair query and
+    * the DedupSpec geometry audits.
+    */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val toksRows = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hexH(col("tok")))
@@ -260,29 +305,45 @@ object Dedup {
       .agg(sum((col("h") % 2L) * 2L - 1L).as("s0"),
         (1 until 60).map(i =>
           sum((shiftright(col("h"), i) % 2L) * 2L - 1L).as(s"s$i")): _*)
-    val base = bitSums.withColumn("sim",
+    bitSums.withColumn("sim",
       (0 until 60).map(i =>
         when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
       .select("doc_id", "sim")
-    // NO stop-band cap here, deliberately: the 15-bit chunk space (32k
-    // values) saturates as the corpus grows, so wide chunk buckets are
-    // STRUCTURAL, not degenerate — a width cap measurably guts recall
-    // (22.7k → 6.9k pairs at sf0.01). The scale lever for simhash is chunk
-    // geometry (more/wider chunks for the target hamming radius), not
-    // pruning.
-    val chunked = base.select(col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"),
-          (shiftright(col("sim"), 15 * k) % lit(32768L)).as("c"))): _*)).as("b"))
-      .select(col("doc_id"), col("sim"), col("b.k").as("k"), col("b.c").as("c"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.k") === col("b.k") && col("a.c") === col("b.c") &&
+  }
+
+  /** One row per (table, packed key) per doc: C(m, c) keys, each the
+    * concatenation of that combination's chunk values — pure bit
+    * arithmetic, codegen'd, no shuffle until the bucket join.
+    */
+  private[graft] def simhashKeys(base: DataFrame,
+      widths: Seq[Int], combos: Seq[Seq[Int]]): DataFrame = {
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftright(col("sim"), offsets(i)) % lit(1L << widths(i))
+    base.select(col("doc_id"), col("sim"),
+      explode(array(combos.zipWithIndex.map { case (combo, t) =>
+        val packed = combo.foldLeft((lit(0L), 0)) { case ((acc, shift), i) =>
+          (acc + chunk(i) * lit(1L << shift), shift + widths(i))
+        }._1
+        struct(lit(t).as("t"), packed.as("key"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.t").as("t"), col("b.key").as("key"))
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // corpus size for the geometry rule — a parquet-footer count, the same
+    // metadata-only dispatch pattern as dedupEmbedding's kernel choice
+    val n = Tables.documents(s, d).count()
+    val (widths, combos) = simhashGeometry(n)
+    val keyed = simhashKeys(simhashFingerprints(s, d), widths, combos)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       // filter BEFORE distinct: hamming is computable per candidate row, so
       // far pairs never enter the dedup exchange
-      .filter(col("hamming") <= 20)
+      .filter(col("hamming") <= SimhashRadius)
       .distinct()
   }
 
@@ -483,15 +544,16 @@ object Dedup {
          |  FROM pairs JOIN m ma ON doc_a = ma.doc_id JOIN m mb ON doc_b = mb.doc_id)
          |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc, floor(est*1e4)/1e4 AS est
          |FROM j WHERE jacc >= 0.5""".stripMargin,
+    // structurally independent oracle: brute-force ALL pairs at the radius.
+    // The Spark side only ever compares docs sharing a multi-chunk key, so
+    // the banding's pigeonhole COMPLETENESS is what this check proves.
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |$simhashSql,
-         |ch AS (SELECT doc_id, sim, k, (sim >> (15*k)) % 32768 AS c
-         |  FROM sh, (SELECT unnest([0,1,2,3]) AS k)),
-         |pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    bit_count(xor(a.sim, b.sim)) AS hamming
-         |  FROM ch a JOIN ch b ON a.k = b.k AND a.c = b.c AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 20""".stripMargin,
+         |$simhashSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.sim, b.sim)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashRadius""".stripMargin,
     "dedup_embedding" -> embeddingOracleSql,
     // the blocked kernel computes the identical exact result set
     "dedup_embedding_blocked" -> embeddingOracleSql,

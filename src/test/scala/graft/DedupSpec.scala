@@ -26,6 +26,74 @@ class DedupSpec extends AnyFunSuite {
       "band buckets are wide enough that the stop-band cap would change results")
   }
 
+  test("simhash geometry scales key space with corpus size") {
+    // the rule must keep expected bucket width <= target at every n, keep
+    // the table count C(m, radius)-polynomial, and never shrink below the
+    // minimal complete split
+    for (n <- Seq(1L, 500L, 64_000L, 16_000_000L, 500_000_000L, 100_000_000_000L)) {
+      val (widths, combos) = Dedup.simhashGeometry(n)
+      val m = widths.length
+      val c = m - Dedup.SimhashRadius
+      assert(widths.sum === 60 && c >= 1)
+      assert(combos.length === choose(m, c), s"n=$n: all C($m,$c) tables")
+      val worstKeyBits = widths.sorted.take(c).sum
+      val expWidth = n.toDouble / math.pow(2.0, worstKeyBits)
+      assert(expWidth <= Dedup.SimhashTargetWidth,
+        s"n=$n m=$m: expected bucket width $expWidth over target")
+      info(s"n=$n -> m=$m chunks, ${combos.length} tables, >=$worstKeyBits-bit keys")
+    }
+    // monotone: more docs never means fewer chunks
+    val ms = Seq(1L, 1000L, 1000000L, 1000000000L)
+      .map(n => Dedup.simhashGeometry(n)._1.length)
+    assert(ms === ms.sorted)
+  }
+
+  private def choose(n: Int, k: Int): Int =
+    (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i).toInt
+
+  test("simhash multi-chunk keys are complete at the radius (pigeonhole, random fingerprints)") {
+    // pure-Scala mirror of the packed-key construction: any pair within the
+    // radius must share at least one table key, at every geometry the rule
+    // can pick
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(500L, 16_000_000L, 500_000_000L)) {
+      val (widths, combos) = Dedup.simhashGeometry(n)
+      val offsets = widths.scanLeft(0)(_ + _)
+      def keys(sim: Long): Seq[(Int, Long)] = combos.zipWithIndex.map {
+        case (combo, t) =>
+          val packed = combo.foldLeft((0L, 0)) { case ((acc, shift), i) =>
+            (acc + ((sim >>> offsets(i)) % (1L << widths(i))) * (1L << shift),
+              shift + widths(i))
+          }._1
+          (t, packed)
+      }
+      for (_ <- 1 to 200) {
+        val a = rnd.nextLong() >>> 4 // 60-bit
+        val flips = rnd.shuffle((0 until 60).toList)
+          .take(rnd.nextInt(Dedup.SimhashRadius + 1))
+        val b = flips.foldLeft(a)((v, i) => v ^ (1L << i))
+        assert(keys(a).toSet.intersect(keys(b).toSet).nonEmpty,
+          s"n=$n: pair at hamming ${flips.length} shares no key")
+      }
+    }
+  }
+
+  test("simhash bucket widths stay near the design target at test scale") {
+    val n = graft.Tables.documents(spark, sf).count()
+    val (widths, combos) = Dedup.simhashGeometry(n)
+    val keyed = graft.operators.Dedup.simhashKeys(
+      Dedup.simhashFingerprints(spark, sf), widths, combos)
+    val stats = keyed.groupBy(col("t"), col("key")).count()
+      .agg(max(col("count")).as("maxw"), avg(col("count")).as("avgw"))
+      .collect()(0)
+    info(s"n=$n geometry m=${widths.length}/${combos.length} tables: " +
+      s"max bucket ${stats.getLong(0)}, avg ${stats.getDouble(1)}")
+    // identical-fingerprint families are real duplicates (same bucket by
+    // construction) — allow them, but the bulk must sit near the target
+    assert(stats.getDouble(1) <= Dedup.SimhashTargetWidth,
+      "average simhash bucket width exceeds the design target")
+  }
+
   test("no winnow fingerprint approaches the df cap at test scale") {
     val dfs = graft.operators.TextQueries.textWinnowFp(spark, sf)
       .groupBy(col("fp")).count()
