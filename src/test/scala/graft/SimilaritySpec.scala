@@ -27,6 +27,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.85)
   }
 
+  test("auto-tuned LSH hits the recall floor at sf0.001 AND sf0.01 with no hand-set constants") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ex = neighborSet(Similarity.knnBrute(spark, dir))
+      val auto = neighborSet(Similarity.knnLshAuto(spark, dir))
+      val r = ex.map { case (q, nn) =>
+        auto.get(q).map(a => (a intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+      }.sum / ex.size
+      val cfg = Similarity.tunedConfig(spark, dir)
+      info(f"$dir: auto config bits=${cfg.sigBits} tables=${cfg.numTables} " +
+        f"sStar=${cfg.sStar}%.3f recall=$r%.3f")
+      assert(r >= 0.85, s"$dir auto-tuned recall below floor")
+    }
+    // restore the single-dir cache state the generated-oracle contract
+    // expects (Verify runs one sf dir per JVM; this test deliberately
+    // tuned two)
+    Similarity.tuneCache.remove("/root/testdata/sf0.01")
+  }
+
+  test("tuner picks selective configs for tight corpora and recall-heavy ones for weak") {
+    // Synthetic profiles where every vector's k-th in-sample neighbor sits
+    // exactly at cosine s: clusters of 16 vectors v_j = cos(a)·e1 +
+    // sin(a)·u_j with orthonormal u_j, so every in-cluster pair has cosine
+    // cos²(a) = s and the 10th neighbor is at s. A tight corpus (s=0.9)
+    // must afford more signature bits (selectivity) and a cheaper scan
+    // than a weak one (s=0.2) — the measured SURVEY §4 tradeoff as a
+    // property.
+    def fakeSample(s: Double): Array[Array[Double]] = {
+      val a = math.acos(math.sqrt(s))
+      (for {
+        cluster <- 0 until 3 // 17 dims each: e1 + 16 u_j
+        j <- 0 until 16
+      } yield Array.tabulate(64) { dim =>
+        if (dim == cluster * 17) math.cos(a)
+        else if (dim == cluster * 17 + 1 + j) math.sin(a)
+        else 0.0
+      }).toArray
+    }
+    val tight = Similarity.tuneFromSample(fakeSample(0.9))
+    val weak = Similarity.tuneFromSample(fakeSample(0.2))
+    info(s"tight=$tight weak=$weak")
+    assert(tight.sStar > 0.85 && weak.sStar < 0.3, "profile must reach sStar")
+    assert(tight.sigBits > weak.sigBits,
+      "tight corpus must afford more signature bits")
+    def scanned(c: Similarity.LshConfig) =
+      1.0 - math.pow(1.0 - (1.0 + c.sigBits) / math.pow(2.0, c.sigBits), c.numTables)
+    assert(scanned(tight) < scanned(weak),
+      "tight corpus must tune to a cheaper expected scan")
+  }
+
   test("IVF top-k recall vs brute force") {
     val r = recall(neighborSet(Similarity.knnIvf(spark, sf)))
     info(f"ivf recall = $r%.3f")

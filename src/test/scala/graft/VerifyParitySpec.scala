@@ -14,11 +14,12 @@ class VerifyParitySpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
   test("every oracle key is a registered query and vice versa") {
-    // knn_ivf's oracle is GENERATED from its trained centroids, so it only
-    // exists after the query has run once in this JVM — exactly Verify's
-    // order (run queries, then dump oracle_sql.json). Train it, then demand
-    // full 1:1 coverage.
+    // knn_ivf's / knn_lsh_auto's oracles are GENERATED from the trained
+    // centroids / tuned config, so they only exist after each query has run
+    // once in this JVM — exactly Verify's order (run queries, then dump
+    // oracle_sql.json). Train/tune, then demand full 1:1 coverage.
     graft.operators.Similarity.knnIvf(spark, sf).count()
+    graft.operators.Similarity.knnLshAuto(spark, sf).count()
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
