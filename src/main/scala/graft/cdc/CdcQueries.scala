@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.CdcStream
+import graft.operators.Scale
 
 /** Driver-facing CDC queries + DuckDB oracles, all over the deterministic
   * simulated orders changelog (CdcSim).
@@ -32,7 +33,7 @@ object CdcQueries {
     */
   def snapshotAsOf(s: SparkSession, d: String): DataFrame = {
     // one parse for both the threshold agg and the filtered snapshot
-    val ch = CdcSim.parsedChangelog(s, d).localCheckpoint()
+    val ch = CdcSim.parsedChangelog(s, d).transform(Scale.materialize)
     val t = ch.agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("t_asof"))
     val filtered = ch.join(broadcast(t))
       .filter(col("ts_ms") <= col("t_asof")).drop("t_asof")
@@ -45,7 +46,7 @@ object CdcQueries {
   def delDupGuard(s: SparkSession, d: String): DataFrame = {
     // materialize once: both union branches would otherwise re-run the whole
     // to_json→from_json simulated-changelog pipeline (measured ~2× on bench)
-    val ch = CdcSim.parsedChangelog(s, d).localCheckpoint()
+    val ch = CdcSim.parsedChangelog(s, d).transform(Scale.materialize)
     val redelivered = ch.unionByName(ch.filter(col("id") % 3 === 0))
     // n_dedup = distinct (id, ts_ms) within each op group — the same result
     // as dropDuplicates-then-count, in one pass over one parse of the log.

@@ -204,7 +204,7 @@ object Analytics {
     val hourly = Tables.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
       .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint()
+      .transform(Scale.materialize)
     val fences = hourly
       .agg(expr("percentile(n_events, 0.25)").as("p25"),
         expr("percentile(n_events, 0.75)").as("p75"))

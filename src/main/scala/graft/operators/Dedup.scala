@@ -93,7 +93,7 @@ object Dedup {
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
       // materialize once: downstream joins would otherwise recompute the
       // whole tokenize→shingle→distinct pipeline per side
-      .localCheckpoint()
+      .transform(Scale.materialize)
     // global canonical order = (document frequency asc, hash): rarest first.
     // df as agg + re-join, NOT a window over h: with near-unique shingles a
     // window by h makes millions of single-row partitions (measured 1.7×
@@ -132,7 +132,7 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val postings = shinglePostings(s, d)
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
-      .localCheckpoint()
+      .transform(Scale.materialize)
     val shared = postings.as("a").join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
@@ -205,10 +205,10 @@ object Dedup {
     // exact-Jaccard verification all reuse one materialized pipeline.
     val postings = shinglePostings(s, d)
       .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
-      .localCheckpoint()
+      .transform(Scale.materialize)
     // m feeds four subtrees (band stats, band pairing, and both est sides):
     // materialize the signature agg once instead of recomputing it per use
-    val m = minhashSignatures(postings).localCheckpoint()
+    val m = minhashSignatures(postings).transform(Scale.materialize)
     val bands = m.select(col("doc_id"), explode(array((0 until Bands).map(k =>
       struct(lit(k).as("k"),
         concat_ws(",", slice(col("mh"), k * RowsPerBand + 1, RowsPerBand)).as("sig"))): _*)).as("b"))

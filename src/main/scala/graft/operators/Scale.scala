@@ -85,6 +85,27 @@ object Scale {
       .filter(col("rnk") <= k)
   }
 
+  /** One-shot materialization seam for subtrees consumed by several
+    * downstream phases. Executor-local blocks by default (fast; a lost
+    * executor fails the job and the retry recomputes — acceptable
+    * retry-once semantics for single-pass jobs). Clusters that want a lost
+    * executor to NOT fail a long job set `spark.graft.durableMaterialize=
+    * true` and a checkpoint dir on durable storage
+    * (`SparkContext.setCheckpointDir`) — then the same call writes a
+    * reliable checkpoint instead. Iterative state (dedup_clusters) is
+    * always reliable-checkpointed regardless (Dedup.durable).
+    */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.durableMaterialize")
+        .exists(_.toBoolean)) Dedup.durable(df)
+    else df.localCheckpoint()
+
+  /** Buckets ≈ this many offset rows when prefixSum derives its own width —
+    * small enough that the offsets window (one partition of #buckets rows)
+    * is trivial, large enough that bucket-local sorts stay bounded.
+    */
+  val PrefixSumTargetBuckets = 32768L
+
   /** Distributed prefix sum (inclusive cumsum of `valueCol` in `orderCol`
     * order) — the two-phase parallel scan: range-bucket the key
     * (floor-division keeps buckets contiguous in key order), cumsum inside
@@ -93,20 +114,35 @@ object Scale {
     * Result-identical to `sum() OVER (ORDER BY orderCol)` — which at scale
     * sorts the whole table on ONE reducer; here every sort is bucket-local
     * and the only global state is one tiny row per bucket (proved equal in
-    * SkewSpec).
+    * SkewSpec at several widths).
     *
-    * `orderCol` must be unique (it is the total order); values sum as LONG
-    * (exact, order-independent).
+    * `bucketWidth` defaults to derived-from-data: the materialized input's
+    * max key over [[PrefixSumTargetBuckets]], so the offsets partition
+    * never grows past ~32k rows no matter the key range — a fixed width
+    * would make it keyRange/width rows, a single-reducer liability again at
+    * 10B+ keys. Callers with a known key density can still pass an explicit
+    * width.
+    *
+    * `orderCol` must be unique and non-negative (it is the total order);
+    * values sum as LONG (exact, order-independent).
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
-      bucketWidth: Long = 4096): DataFrame = {
+      bucketWidth: Option[Long] = None): DataFrame = {
     require(!df.columns.contains("cum"), "prefixSum emits a 'cum' column")
     val b = Iterator.from(0).map(i => s"_pb$i").find(!df.columns.contains(_)).get
-    // materialize once: the local-cumsum and bucket-totals phases both
-    // consume this subtree — without it the caller's input (for corpus_pack,
-    // a full-corpus tokenize) computes twice
-    val bucketed = df.withColumn(b, floor(col(orderCol) / bucketWidth))
-      .localCheckpoint()
+    // materialize once: the width probe, local-cumsum and bucket-totals
+    // phases all consume this subtree — without it the caller's input (for
+    // corpus_pack, a full-corpus tokenize) computes up to three times
+    val mat = materialize(df)
+    val width = bucketWidth.getOrElse {
+      val row = mat.agg(max(col(orderCol).cast("long"))).head()
+      if (row.isNullAt(0)) 1L
+      else math.max(1L, row.getLong(0) / PrefixSumTargetBuckets + 1L)
+    }
+    require(width > 0, s"bucketWidth must be positive, got $width")
+    // integer div, not floor(double): exact for the full long key range
+    val bucketed = mat.withColumn(b,
+      expr(s"CAST(`${orderCol.replace("`", "``")}` AS BIGINT) div CAST($width AS BIGINT)"))
     val local = bucketed.withColumn("cum",
       sum(col(valueCol)).over(
         Window.partitionBy(col(b)).orderBy(col(orderCol))))

@@ -130,7 +130,7 @@ object TextQueries {
     val fps = textWinnowFp(s, d)
       .withColumn("df", count(lit(1)).over(wdf))
       .filter(col("df") <= MaxFpDf).drop("df")
-      .localCheckpoint()
+      .transform(Scale.materialize)
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val shared = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -22,19 +22,35 @@ import graft.cdc.Envelope
 object CdcPipeline {
 
   sealed trait Source
-  /** Kafka topic of Debezium envelopes (cdc_processor.py:64-70). */
+  /** Kafka topic of Debezium envelopes (cdc_processor.py:64-70).
+    * `maxOffsetsPerTrigger` is the backpressure knob a production reader
+    * carries (bounds per-micro-batch reads); None emits no option — the
+    * reference's exact shape.
+    */
   final case class Kafka(bootstrapServers: String, topic: String,
-      startingOffsets: String = "earliest") extends Source
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None) extends Source {
+    /** The full reader option map, pure — spec-pinned against the
+      * documented kafka-source contract (KafkaSourceSpec) since the
+      * connector jar itself is not resolvable in this environment
+      * (SURVEY §6): a typo here must fail a test, not a cluster deploy.
+      */
+    def options: Map[String, String] =
+      Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topic,
+        "startingOffsets" -> startingOffsets) ++
+        maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+    val format = "kafka"
+  }
   /** Directory of envelope-JSON text files (one JSON per line). */
   final case class Files(dir: String) extends Source
 
   /** A `value: string` stream of envelope JSON. */
   def read(spark: SparkSession, src: Source): DataFrame = src match {
-    case Kafka(servers, topic, offsets) =>
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", offsets)
+    case k: Kafka =>
+      spark.readStream.format(k.format)
+        .options(k.options)
         .load()
         .selectExpr("CAST(value AS STRING) AS value")
     case Files(dir) =>

@@ -25,17 +25,33 @@ class SkewSpec extends AnyFunSuite {
     assert(joinSection.contains("Bucketed: true"), plan)
     assert(joined.count() > 0)
   }
-  test("two-phase prefix sum equals the single-window running sum") {
+  test("two-phase prefix sum equals the single-window running sum at several widths") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("v"))
-    // small bucket width so the test actually exercises multi-bucket offsets
-    val fast = Scale.prefixSum(docs, "doc_id", "v", bucketWidth = 64)
     val slow = docs.withColumn("cum", sum(col("v")).over(Window.orderBy(col("doc_id"))))
-    assert(fast.exceptAll(slow).count() === 0)
-    assert(slow.exceptAll(fast).count() === 0)
+    // explicit small widths exercise multi-bucket offsets; None exercises
+    // the derived-from-data width
+    for (w <- Seq(Some(64L), Some(257L), None)) {
+      val fast = Scale.prefixSum(docs, "doc_id", "v", bucketWidth = w)
+      assert(fast.exceptAll(slow).count() === 0, s"width=$w")
+      assert(slow.exceptAll(fast).count() === 0, s"width=$w")
+    }
+  }
+
+  test("durable-materialization seam produces identical results") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("v"))
+    val local = Scale.prefixSum(docs, "doc_id", "v").collect().toSet
+    spark.conf.set("spark.graft.durableMaterialize", "true")
+    try {
+      val durable = Scale.prefixSum(docs, "doc_id", "v").collect().toSet
+      assert(durable === local)
+    } finally spark.conf.unset("spark.graft.durableMaterialize")
   }
 
   test("two-phase top-k equals the single-window top-k") {
