@@ -43,12 +43,14 @@ object JdbcSink {
         // for exists/missing differs per backend — Derby X0Y32/42X05,
         // Postgres 42P07/42P01 — so probe by behavior, not state codes),
         // and the create itself is race-guarded for concurrent queries.
+        // The DDL is dialect-routed: ClickHouse ledgers need an engine
+        // clause, ANSI ones a PRIMARY KEY (SinkDialect).
         val exists =
           try { con.createStatement().executeQuery(s"SELECT 1 FROM $ledger WHERE 1=0").close(); true }
           catch { case _: java.sql.SQLException => false }
         if (!exists)
           try con.createStatement().executeUpdate(
-            s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+            SinkDialect.forUrl(url).ledgerDdl(ledger))
           catch { case _: java.sql.SQLException => () /* lost the create race */ }
       }
       ledgerReady.add(s"$url#$ledger")
@@ -59,8 +61,10 @@ object JdbcSink {
     * with its batch_id) and record the id.
     */
   def idempotentJdbc(url: String, table: String,
-      props: Properties = new Properties)(batch: DataFrame, batchId: Long): Unit = {
+      props: Properties = new Properties,
+      keyCols: Seq[String] = Seq("id"))(batch: DataFrame, batchId: Long): Unit = {
     val ledger = s"${table}_batches"
+    val dialect = SinkDialect.forUrl(url)
     ensureLedger(url, ledger)
     val committed = withConn(url) { con =>
       val rs = con.createStatement()
@@ -82,8 +86,13 @@ object JdbcSink {
           con.createStatement().executeUpdate(
             s"DELETE FROM $table WHERE ${quoteId(con, "batch_id")} = $batchId")
       }
-      batch.withColumn("batch_id", lit(batchId))
-        .write.mode("append").jdbc(url, table, props)
+      // engine-appropriate table creation when the writer provisions the
+      // table: ClickHouse gets the reference's ReplacingMergeTree clause
+      // (init-clickhouse.sql:18-19); ANSI engines need no options
+      val engineOpts = dialect.createTableOptions(keyCols)
+      val writer = batch.withColumn("batch_id", lit(batchId)).write.mode("append")
+      (if (engineOpts.nonEmpty) writer.option("createTableOptions", engineOpts)
+       else writer).jdbc(url, table, props)
       // best-effort index so the repair DELETE is a key lookup, not a table
       // scan growing with sink size (exists / race / unsupported → ignore)
       ensureBatchIndex(url, table)
