@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.functions.PortableHash.{hexH, Bands, RowsPerBand}
+import graft.operators.{Dedup, Similarity, TextQueries}
+
+/** Data-shape scale-stress evidence for the dedup/ANN family: bucket-width
+  * histograms and candidate-pair counts at a given sf dir — the measured
+  * backing for the SURVEY §6 claims that the blocking structures stay
+  * subquadratic as the corpus grows. Dev tool: prints one table per
+  * structure.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ScaleStress
+  */
+object ScaleStress {
+
+  /** Histogram of a width column: p50/p90/max plus the share of total
+    * pairwork (Σ w·(w−1)/2) carried by the widest decile.
+    */
+  private def widthStats(widths: DataFrame, what: String): Unit = {
+    val w = widths.select(col("w").cast("long")).localCheckpoint()
+    val n = w.count()
+    val row = w.agg(
+      expr("percentile(w, 0.5)").as("p50"),
+      expr("percentile(w, 0.9)").as("p90"),
+      expr("percentile(w, 0.99)").as("p99"),
+      max(col("w")).as("max"),
+      sum(expr("w * (w - 1) / 2")).as("pairwork")).head()
+    println(f"$what%-28s buckets=$n%9d p50=${row.getDouble(0)}%8.1f " +
+      f"p90=${row.getDouble(1)}%8.1f p99=${row.getDouble(2)}%9.1f " +
+      f"max=${row.getLong(3)}%7d pairwork=${row.getDouble(4)}%.3e")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val nDocs = Tables.documents(spark, d).count()
+    println(s"== ScaleStress $d (n_docs=$nDocs) ==")
+
+    // minhash LSH band buckets (cap MaxBandWidth=64)
+    val postings = Dedup.shinglePostings(spark, d)
+      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp")).localCheckpoint()
+    val bands = Dedup.minhashSignatures(postings)
+      .select(col("doc_id"), explode(array((0 until Bands).map(k =>
+        concat_ws(",", lit(k), slice(col("mh"), k * RowsPerBand + 1, RowsPerBand))): _*)).as("b"))
+    widthStats(bands.groupBy(col("b")).agg(count(lit(1)).as("w")), "minhash band buckets")
+
+    // simhash multi-chunk key buckets (corpus-parametric geometry)
+    val (widths, combos) = Dedup.simhashGeometry(nDocs)
+    println(s"simhash geometry: m=${widths.length} chunks, ${combos.length} tables, " +
+      s"key>=${widths.sorted.take(widths.length - Dedup.SimhashRadius).sum} bits")
+    val keyed = Dedup.simhashKeys(
+      Dedup.simhashFingerprints(spark, d), widths, combos)
+    widthStats(keyed.groupBy(col("t"), col("key")).agg(count(lit(1)).as("w")),
+      "simhash key buckets")
+
+    // containment winnow-fp postings (df cap MaxFpDf=64)
+    val fpDf = TextQueries.textWinnowFp(spark, d)
+      .groupBy(col("fp")).agg(count(lit(1)).as("w"))
+    widthStats(fpDf, "winnow fp postings df")
+    val capped = fpDf.filter(col("w") > TextQueries.MaxFpDf).count()
+    println(s"winnow fps over df cap ${TextQueries.MaxFpDf}: $capped")
+
+    // shingle postings df (jaccard join cost driver)
+    widthStats(postings.groupBy(col("hp")).agg(count(lit(1)).as("w")),
+      "jaccard shingle postings df")
+
+    // candidate-pair counts vs verified results
+    val mh = Dedup.dedupMinhashLsh(spark, d).count()
+    val sh = Dedup.dedupSimhash(spark, d).count()
+    val ct = TextQueries.textContainment(spark, d).count()
+    val jc = Dedup.dedupNgramJaccard(spark, d).count()
+    println(s"verified pairs: minhash_lsh=$mh simhash(h<=${Dedup.SimhashRadius})=$sh " +
+      s"containment=$ct jaccard=$jc")
+
+    // LSH auto-tune choice at this scale
+    val cfg = Similarity.tunedConfig(spark, d)
+    println(f"knn auto-tune: bits=${cfg.sigBits} tables=${cfg.numTables} sStar=${cfg.sStar}%.3f")
+    spark.stop()
+  }
+}
