@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.CdcStream
 import graft.operators.Scale
@@ -38,6 +39,45 @@ object CdcQueries {
     val filtered = ch.join(broadcast(t))
       .filter(col("ts_ms") <= col("t_asof")).drop("t_asof")
     CdcOps.snapshotLatest(filtered, Seq("id"), "ts_ms", payloadCols)
+  }
+
+  /** Temporal dimension join — "dimension state as of fact time", the
+    * classic SCD2 consumption query: every lineitem joins the version of
+    * its ORDER that was valid when the item shipped, then rolls up revenue
+    * by that point-in-time status. Composed as a union + per-key
+    * carry-forward window (one shuffle on the shared key; partitions are
+    * per-order — bounded at any scale; no interval-range join, no
+    * event×version blowup). Tombstones ride along as sign=-1 markers so a
+    * fact shipping after its order's delete matches NO version — interval
+    * semantics, not last-known-state. The oracle is structurally
+    * independent: DuckDB's native ASOF JOIN over the SCD2 intervals.
+    */
+  def scd2DimJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    val ch = CdcSim.parsedChangelog(s, d)
+      .select(col("id"), col("ts_ms"), col("sign"), col("status"))
+    val facts = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("id"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("ts_ms"),
+      col("l_extendedprice").as("price"))
+    val unioned = ch
+      .select(col("id"), col("ts_ms"), lit(0).as("is_fact"), col("sign"),
+        col("status"), lit(null).cast("double").as("price"))
+      .unionByName(facts.select(col("id"), col("ts_ms"), lit(1).as("is_fact"),
+        lit(null).cast("int").as("sign"), lit(null).cast("string").as("status"),
+        col("price")))
+    // dimension events sort before facts at the same instant: a version
+    // becomes visible AT its ts (valid_from <= ts), matching ASOF >=
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("ts_ms"), col("is_fact"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("cur_status", last(col("status"), ignoreNulls = true).over(w))
+      .withColumn("cur_sign", last(col("sign"), ignoreNulls = true).over(w))
+      .filter(col("is_fact") === 1 && col("cur_sign") === 1)
+      .groupBy(col("cur_status").as("status_at_ship"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("price").cast("decimal(18,4)")), 2).cast("double").as("revenue"))
   }
 
   /** Redelivery guard: replay every event of keys with id%3==0 (simulated
@@ -107,6 +147,7 @@ object CdcQueries {
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
     "cdc_snapshot_asof" -> snapshotAsOf,
+    "cdc_scd2_dim_join" -> scd2DimJoin,
     "cdc_scd2_history" -> scd2History,
     "cdc_changelog_stats" -> changelogStats,
     "cdc_del_dup_guard" -> delDupGuard,
@@ -137,6 +178,25 @@ object CdcQueries {
          |    arg_max(sign, ts_ms) AS sign, max(ts_ms) AS ts_ms
          |  FROM f GROUP BY id)
          |SELECT id, custkey, price, status, ts_ms FROM snap WHERE sign = 1""".stripMargin,
+    // structurally independent oracle: explicit disjoint-interval join over
+    // the SCD2 validity windows (valid_from <= ts < valid_to), sign=1 rows
+    // only. Deliberately NOT an ASOF JOIN + post-filter: DuckDB pushes a
+    // WHERE on the right side INTO the asof pick, which silently rematches
+    // a deleted order to its last live version — the interval form keeps
+    // tombstone semantics (a fact shipping after its order's delete matches
+    // nothing) under any optimizer.
+    "cdc_scd2_dim_join" ->
+      s"""$C,
+         |v AS (SELECT id, status, sign, ts_ms AS valid_from,
+         |  coalesce(lead(ts_ms) OVER (PARTITION BY id ORDER BY ts_ms),
+         |    9223372036854775807) AS valid_to FROM ev),
+         |f AS (SELECT l_orderkey AS id, epoch_ms(l_shipdate) AS ts,
+         |  l_extendedprice AS price FROM lineitem),
+         |j AS (SELECT f.price, v.status FROM f JOIN v ON f.id = v.id
+         |  AND f.ts >= v.valid_from AND f.ts < v.valid_to AND v.sign = 1)
+         |SELECT status AS status_at_ship, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(round(sum(CAST(price AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+         |FROM j GROUP BY 1""".stripMargin,
     "cdc_scd2_history" ->
       s"""$C,
          |v AS (
