@@ -27,11 +27,16 @@ object PortableHash {
   /** Base hash reduced into the family's field. */
   def hmod(c: Column): Column = hexH(c) % P
 
-  /** Fixed-seed LCG → NumHashes (a, b) pairs, a ∈ [1, P), b ∈ [0, P). */
+  /** Fixed-seed LCG → (a, b) pairs, a ∈ [1, P), b ∈ [0, P). Pool sized for
+    * the largest auto-tuned signature; the first NumHashes draws are the
+    * default family (same stream prefix, so the fixed-config oracles are
+    * byte-stable against pool growth).
+    */
+  val MaxHashes = 256
   val coefs: IndexedSeq[(Long, Long)] = {
     var x = 88172645463325252L
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; math.floorMod(x, P) }
-    (0 until NumHashes).map(_ => (math.floorMod(next(), P - 1) + 1, next()))
+    (0 until MaxHashes).map(_ => (math.floorMod(next(), P - 1) + 1, next()))
   }
 
   /** h_i over an already-reduced hash column. */

@@ -179,16 +179,16 @@ object Dedup {
   }
 
   // --------------------------------------------------------- minhash + LSH
-  /** MinHash signatures as an aggregation over the shingle postings: 16
-    * portable-hash minima per doc in ONE map-side-partial groupBy — no
-    * per-row array lambdas. Returns (doc_id, n, mh array).
+  /** MinHash signatures as an aggregation over the shingle postings:
+    * `numHashes` portable-hash minima per doc in ONE map-side-partial
+    * groupBy — no per-row array lambdas. Returns (doc_id, n, mh array).
     */
-  def minhashSignatures(postings: DataFrame): DataFrame =
+  def minhashSignatures(postings: DataFrame, numHashes: Int = NumHashes): DataFrame =
     postings
       .withColumn("hm", col("hp") % lit(P))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("n"),
-        array((0 until NumHashes).map(i => min(affine(i, col("hm")))): _*).as("mh"))
+        array((0 until numHashes).map(i => min(affine(i, col("hm")))): _*).as("mh"))
 
   /** Band-bucket width cap: a bucket wider than this generates no candidate
     * pairs. A degenerate band (boilerplate / near-identical bodies hashing
@@ -200,7 +200,15 @@ object Dedup {
     */
   val MaxBandWidth = 64
 
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshWith(s, d, Bands, RowsPerBand)
+
+  /** The banding pipeline, parametric in (bands, rowsPerBand) — shared by
+    * the fixed default and the auto-tuned config.
+    */
+  private def minhashLshWith(s: SparkSession, d: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
     // Portable md5 hash rides on the postings so minhash, banding, and the
     // exact-Jaccard verification all reuse one materialized pipeline.
     val postings = shinglePostings(s, d)
@@ -208,17 +216,17 @@ object Dedup {
       .transform(Scale.materialize)
     // m feeds four subtrees (band stats, band pairing, and both est sides):
     // materialize the signature agg once instead of recomputing it per use
-    val m = minhashSignatures(postings).transform(Scale.materialize)
-    val bands = m.select(col("doc_id"), explode(array((0 until Bands).map(k =>
+    val m = minhashSignatures(postings, numHashes).transform(Scale.materialize)
+    val bands0 = m.select(col("doc_id"), explode(array((0 until bands).map(k =>
       struct(lit(k).as("k"),
-        concat_ws(",", slice(col("mh"), k * RowsPerBand + 1, RowsPerBand)).as("sig"))): _*)).as("b"))
+        concat_ws(",", slice(col("mh"), k * rowsPerBand + 1, rowsPerBand)).as("sig"))): _*)).as("b"))
       .select(col("doc_id"), col("b.k").as("k"), col("b.sig").as("sig"))
     // width-capped buckets: bucket stats are one small row per OCCUPIED
     // bucket; the semi-join prunes degenerate buckets before any pairing
-    val okBuckets = bands.groupBy(col("k"), col("sig"))
+    val okBuckets = bands0.groupBy(col("k"), col("sig"))
       .agg(count(lit(1)).as("bw")).filter(col("bw") <= MaxBandWidth)
       .select(col("k"), col("sig"))
-    val kept = bands.join(okBuckets, Seq("k", "sig"), "left_semi")
+    val kept = bands0.join(okBuckets, Seq("k", "sig"), "left_semi")
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.k") === col("b.k") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -238,10 +246,97 @@ object Dedup {
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
       .withColumn("est", aggregate(zip_with(col("ma"), col("mb"),
         (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-        .cast("double") / NumHashes)
+        .cast("double") / numHashes)
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a"), col("doc_b"),
         detRound(col("jacc"), 4).as("jacc"), detRound(col("est"), 4).as("est"))
+  }
+
+  // ----------------------------------------- minhash auto-tuned banding
+  /** Per-corpus (bands, rowsPerBand) chosen from a sampled pair-similarity
+    * profile instead of the fixed 4×4 — the knn_lsh_auto pattern applied to
+    * the banding S-curve.
+    *
+    * Model: a pair at jaccard s shares a band of r rows with probability
+    * s^r, so b bands catch it with S(s) = 1 − (1 − s^r)^b. The corpus
+    * enters through two measured points: sDup = the WEAKEST observed
+    * near-dup similarity in a bounded deterministic sample (every pair at
+    * or above it must band together: S(sDup) ≥ 0.999 — banding misses are
+    * permanent recall loss, verification can't recover them), and sJunk =
+    * the background-similarity p90 floored at 0.2 (sub-threshold pairs
+    * must rarely band: S(sJunk) ≤ 0.05 — candidate waste is the join
+    * cost). Cheapest (b·r, then fewest bands) feasible config wins: a
+    * tight corpus (dups ≈ 0.95) tunes to FEWER hashes than the fixed 16,
+    * a loose one (dups near τ) spends more — the S-curve knee driven by
+    * data instead of constants.
+    */
+  final case class MinhashConfig(bands: Int, rows: Int, sDup: Double, sJunk: Double)
+
+  val MhTuneSample = 512
+  val MhTuneRecall = 0.999
+  val MhTuneJunkMax = 0.05
+  val MhTuneMaxBands = 64
+  val MhTuneMaxRows = 8
+
+  private[graft] val mhTuneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MinhashConfig]()
+
+  private[graft] def mhTunedConfig(s: SparkSession, d: String): MinhashConfig =
+    mhTuneCache.computeIfAbsent(d, _ => {
+      // bounded deterministic sample → driver-side pairwise jaccard over
+      // shingle-hash sets (~512² sorted-set intersections, well under a
+      // second; sample bytes fixed regardless of corpus size)
+      val rows = shinglePostingsOf(Tables.documents(s, d)
+          .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(MhTuneSample))
+        .select(col("doc_id"), hexH(col("sh")).as("h")).collect()
+      val sets = rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).distinct.sorted).values.toArray
+      val (dup, bg) = (Array.newBuilder[Double], Array.newBuilder[Double])
+      for (i <- sets.indices; j <- i + 1 until sets.length) {
+        val inter = intersectSorted(sets(i), sets(j))
+        val s = inter.toDouble / (sets(i).length + sets(j).length - inter)
+        if (s >= 0.5) dup += s else bg += s
+      }
+      tuneMinhashFromProfile(dup.result().toSeq, bg.result().toSeq)
+    })
+
+  private def intersectSorted(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1 else j += 1
+    }
+    n
+  }
+
+  private[graft] def tuneMinhashFromProfile(dupSims: Seq[Double],
+      bgSims: Seq[Double]): MinhashConfig = {
+    // weakest observed dup; with no dups in sample assume the worst case a
+    // τ=0.5 pipeline must catch arrives midway between τ and 1
+    val sDup = if (dupSims.nonEmpty) math.max(0.5, dupSims.min) else 0.75
+    val sJunk = {
+      val p90 = if (bgSims.nonEmpty) {
+        val ss = bgSims.sorted; ss((ss.length * 0.9).toInt.min(ss.length - 1))
+      } else 0.0
+      math.max(0.2, p90).min(sDup * 0.9)
+    }
+    def sCurve(s: Double, r: Int, b: Int) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val feasible = for {
+      r <- 1 to MhTuneMaxRows
+      b <- 1 to MhTuneMaxBands
+      if b * r <= MaxHashes
+      if sCurve(sDup, r, b) >= MhTuneRecall && sCurve(sJunk, r, b) <= MhTuneJunkMax
+    } yield (b, r)
+    val (b, r) =
+      if (feasible.isEmpty) (Bands, RowsPerBand) // fixed default, floor-safe
+      else feasible.minBy { case (b, r) => (b * r, b) }
+    MinhashConfig(b, r, sDup, sJunk)
+  }
+
+  def dedupMinhashAuto(s: SparkSession, d: String): DataFrame = {
+    val cfg = mhTunedConfig(s, d)
+    minhashLshWith(s, d, cfg.bands, cfg.rows)
   }
 
   // --------------------------------------------------------------- simhash
@@ -476,6 +571,7 @@ object Dedup {
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_minhash_auto" -> dedupMinhashAuto,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_blocked" -> ((s, d) => BlockedVectors.dedupEmbeddingBlocked(s, d)),
@@ -494,12 +590,37 @@ object Dedup {
   private def jaccSql(a: String, b: String) =
     s"(CAST(len(list_intersect($a,$b)) AS DOUBLE) / (len($a)+len($b)-len(list_intersect($a,$b))))"
 
-  private val mhSql: String = {
-    val mins = (0 until NumHashes)
+  private def mhSqlFor(numHashes: Int): String = {
+    val mins = (0 until numHashes)
       .map(i => s"list_min(list_transform(hs, h -> ${affineSql(i, "h")}))")
       .mkString("[", ", ", "]")
     s"""h AS (SELECT doc_id, shs, list_transform(shs, sh -> ${hexHSql("sh")} % $P) AS hs FROM s),
        |m AS (SELECT doc_id, shs, $mins AS mh FROM h)""".stripMargin
+  }
+
+  /** The banding+verification oracle, parametric in (bands, rows) — the
+    * fixed entry uses (Bands, RowsPerBand); dedup_minhash_auto's entry is
+    * GENERATED from the tuned config (the knn_lsh_auto pattern: emitted
+    * only when exactly one sf dir tuned in this JVM, so the SQL always
+    * restates the exact banding the Spark plan used).
+    */
+  private def minhashOracleSql(bands: Int, rowsPerBand: Int): String = {
+    val numHashes = bands * rowsPerBand
+    s"""WITH $docShinglesSql,
+       |${mhSqlFor(numHashes)},
+       |bands AS (SELECT doc_id, k,
+       |    array_to_string(list_slice(mh, k*$rowsPerBand+1, k*$rowsPerBand+$rowsPerBand), ',') AS sig
+       |  FROM m, (SELECT unnest([${(0 until bands).mkString(",")}]) AS k)),
+       |bw AS (SELECT k, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $MaxBandWidth),
+       |kept AS (SELECT bands.* FROM bands JOIN bw USING (k, sig)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b, ${jaccSql("ma.shs", "mb.shs")} AS jacc,
+       |    CAST(list_sum(list_transform(range(1, ${numHashes + 1}), i ->
+       |      CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $numHashes AS est
+       |  FROM pairs JOIN m ma ON doc_a = ma.doc_id JOIN m mb ON doc_b = mb.doc_id)
+       |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc, floor(est*1e4)/1e4 AS est
+       |FROM j WHERE jacc >= 0.5""".stripMargin
   }
 
   private val simhashSql: String =
@@ -511,7 +632,7 @@ object Dedup {
        |         THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS sim
        |  FROM hb)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = maybeAutoOracle ++ Map(
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
@@ -528,22 +649,7 @@ object Dedup {
          |  UNION
          |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH $docShinglesSql,
-         |$mhSql,
-         |bands AS (SELECT doc_id, k,
-         |    array_to_string(list_slice(mh, k*$RowsPerBand+1, k*$RowsPerBand+$RowsPerBand), ',') AS sig
-         |  FROM m, (SELECT unnest([0,1,2,3]) AS k)),
-         |bw AS (SELECT k, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $MaxBandWidth),
-         |kept AS (SELECT bands.* FROM bands JOIN bw USING (k, sig)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |j AS (SELECT doc_a, doc_b, ${jaccSql("ma.shs", "mb.shs")} AS jacc,
-         |    CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), i ->
-         |      CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $NumHashes AS est
-         |  FROM pairs JOIN m ma ON doc_a = ma.doc_id JOIN m mb ON doc_b = mb.doc_id)
-         |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc, floor(est*1e4)/1e4 AS est
-         |FROM j WHERE jacc >= 0.5""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
     // structurally independent oracle: brute-force ALL pairs at the radius.
     // The Spark side only ever compares docs sharing a multi-chunk key, so
     // the banding's pigeonhole COMPLETENESS is what this check proves.
@@ -558,6 +664,17 @@ object Dedup {
     // the blocked kernel computes the identical exact result set
     "dedup_embedding_blocked" -> embeddingOracleSql,
   )
+
+  /** dedup_minhash_auto's generated oracle: only once its tuner has run in
+    * this JVM, and only when exactly ONE sf dir tuned (Verify runs queries,
+    * then dumps oracle_sql.json — so the SQL always restates the banding
+    * the plan used, never another dataset's).
+    */
+  private def maybeAutoOracle: Map[String, String] =
+    if (mhTuneCache.size == 1) {
+      val cfg = mhTuneCache.values.iterator.next()
+      Map("dedup_minhash_auto" -> minhashOracleSql(cfg.bands, cfg.rows))
+    } else Map.empty
 
   private lazy val jaccardOracleSql: String =
     s"""WITH $docShinglesSql,

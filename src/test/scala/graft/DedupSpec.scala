@@ -112,4 +112,32 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(lsh) && lsh.subsetOf(exact))
   }
+
+  test("auto-tuned minhash banding finds every verified near-dup pair") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.dedupMinhashAuto(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cfg = Dedup.mhTunedConfig(spark, sf)
+    info(s"auto config: bands=${cfg.bands} rows=${cfg.rows} " +
+      f"sDup=${cfg.sDup}%.3f sJunk=${cfg.sJunk}%.3f")
+    assert(exact.subsetOf(auto) && auto.subsetOf(exact))
+  }
+
+  test("minhash tuner: tight corpora tune cheaper than loose ones, junk stays bounded") {
+    val tight = Dedup.tuneMinhashFromProfile(Seq(0.95, 0.96, 0.97), Seq.fill(100)(0.05))
+    val loose = Dedup.tuneMinhashFromProfile(Seq(0.7, 0.8, 0.9), Seq.fill(100)(0.05))
+    info(s"tight=$tight loose=$loose")
+    def sCurve(s: Double, c: Dedup.MinhashConfig) =
+      1.0 - math.pow(1.0 - math.pow(s, c.rows), c.bands)
+    for (c <- Seq(tight, loose)) {
+      assert(sCurve(c.sDup, c) >= Dedup.MhTuneRecall, s"recall constraint: $c")
+      assert(sCurve(c.sJunk, c) <= Dedup.MhTuneJunkMax, s"junk constraint: $c")
+    }
+    assert(tight.bands * tight.rows < loose.bands * loose.rows,
+      "a tight corpus must need fewer hashes")
+    // no dups observed → conservative mid-band fallback, still feasible
+    val blind = Dedup.tuneMinhashFromProfile(Seq.empty, Seq.empty)
+    assert(sCurve(0.75, blind) >= Dedup.MhTuneRecall)
+  }
 }
