@@ -389,11 +389,17 @@ object Dedup {
     (chunkWidths(m), (0 until m).combinations(m - SimhashRadius).toSeq)
   }
 
-  /** (doc_id, sim) — the 60-bit fingerprints, shared by the pair query and
-    * the DedupSpec geometry audits.
+  /** (doc_id, sim) — the 60-bit fingerprints, shared by the pair query, the
+    * DedupSpec geometry audits, and the streaming ingestion gate.
     */
-  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    val toksRows = Tables.documents(s, d)
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    simhashFingerprintsOf(Tables.documents(s, d))
+
+  /** Same fingerprints over any (doc_id, text) frame — lets the streaming
+    * gate (StreamSimhashGate) run the identical pipeline on a micro-batch.
+    */
+  def simhashFingerprintsOf(docs: DataFrame): DataFrame = {
+    val toksRows = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hexH(col("tok")))
     val bitSums = toksRows.groupBy(col("doc_id"))

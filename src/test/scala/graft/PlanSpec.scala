@@ -31,10 +31,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("blocked dedup plans contain no cartesian product") {
     for (q <- Seq(Dedup.dedupNgramJaccard(spark, sf), Dedup.dedupMinhashLsh(spark, sf),
-        Dedup.dedupSimhash(spark, sf))) {
+        Dedup.dedupSimhash(spark, sf), Dedup.dedupMinhashAuto(spark, sf))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
     }
+  }
+
+  test("temporal dimension join is a carry-forward window, not an interval join") {
+    // union + ONE hash shuffle on the key + window; an interval-range
+    // formulation would surface as a nested-loop/cartesian join that goes
+    // quadratic per key at scale
+    val p = plan(graft.cdc.CdcQueries.scd2DimJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
   }
 
   test("aggregations are partial before the shuffle (map-side combine)") {
