@@ -392,6 +392,79 @@ object Analytics {
       .agg(sumD(revenueExpr, 2).as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join so
+    * zero-order customers count as c_count = 0, then a second aggregation
+    * over the counts. Both aggs shuffle on their group key with map-side
+    * partials; the outer join broadcasts nothing (both sides SF-scaled).
+    */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15-style top supplier: quarterly shipped revenue per supplier,
+    * keep the max-revenue supplier(s). Revenue stays DECIMAL through the
+    * max-equality join (exact, order-independent — a double max would be
+    * a tie-fragile last-ulp comparison), rounded only on output.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueExpr).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 2).cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems with quantity below
+    * a fifth of their part's average, rolled up per brand. The correlated
+    * average is an agg + equi-join back (no per-row subquery), and the
+    * threshold compares EXACTLY in integers/decimals — qty·5·cnt < Σqty
+    * instead of qty < 0.2·avg, so no float-division boundary can disagree
+    * between engines.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(stats, "l_partkey")
+      .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sum_qty"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(graft.functions.TextFunctions.detRound(
+          sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-style idle rich customers: above-average positive balance,
+    * no RECENT order (the data spans to 2001; "recent" = since 2000), per
+    * nation. The global average is a 1-row broadcast and the comparison is
+    * exact decimal cross-multiplication (bal·n > Σbal), the anti join is
+    * the NOT EXISTS with its date filter pushed to the orders scan.
+    */
+  def q22IdleRich(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_pos"))
+    cust.join(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sumD(dec(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   /** Customers who never placed an URGENT order — a LEFT ANTI join
     * (NOT EXISTS), the dual of q4's semi join.
     */
@@ -450,6 +523,10 @@ object Analytics {
     "q14_promo_revenue" -> q14PromoRevenue,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
+    "q13_custdist" -> q13Custdist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q22_idle_rich" -> q22IdleRich,
     "customers_inactive" -> customersInactive,
     "top_suppliers" -> topSuppliers,
     "profile_orders" -> profileOrders,
@@ -559,6 +636,46 @@ object Analytics {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH st AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/7.0)*1e2)/1e2 AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN st USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sum_qty
+        |GROUP BY 1""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_bal,
+        |    CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "customers_inactive" ->
       """SELECT c_nationkey, count(*) AS n_inactive,
         | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS idle_balance
