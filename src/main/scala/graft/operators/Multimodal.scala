@@ -113,14 +113,47 @@ object Multimodal {
         (floor(sum(col("width").cast("long")) / count(lit(1)) * 1e2) / 1e2).as("avg_width"),
         (floor(sum(col("height").cast("long")) / count(lit(1)) * 1e2) / 1e2).as("avg_height"))
 
+  /** Byte-budget media shard packing — the manifest a multimodal training
+    * loader consumes: a new shard every [[PackBytes]] payload bytes, doc
+    * order preserved. Same two-phase `Scale.prefixSum` as corpus_pack (no
+    * single-reducer global cumsum), summing payload SIZES only — the
+    * payloads themselves never shuffle.
+    */
+  val PackBytes = 65536L
+
+  def mmPack(s: SparkSession, d: String): DataFrame = {
+    val sizes = withPayload(s, d)
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"))
+    graft.operators.Scale.prefixSum(sizes, "doc_id", "n_bytes")
+      .withColumn("shard", floor((col("cum") - col("n_bytes")) / PackBytes))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_dedup_exact" -> mmDedupExact,
     "mm_kind_stats" -> mmKindStats,
+    "mm_pack" -> mmPack,
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_bytes,
+         |    sum(n_bytes) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |sh AS (SELECT doc_id, n_bytes,
+         |    CAST(floor(CAST(cum - n_bytes AS DOUBLE) / $PackBytes) AS BIGINT) AS shard FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM sh GROUP BY 1""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
