@@ -117,11 +117,13 @@ object Scale {
     * SkewSpec at several widths).
     *
     * `bucketWidth` defaults to derived-from-data: the materialized input's
-    * max key over [[PrefixSumTargetBuckets]], so the offsets partition
-    * never grows past ~32k rows no matter the key range — a fixed width
-    * would make it keyRange/width rows, a single-reducer liability again at
-    * 10B+ keys. Callers with a known key density can still pass an explicit
-    * width.
+    * key RANGE (max − min) over [[PrefixSumTargetBuckets]], so the offsets
+    * partition never grows past ~32k rows no matter the key range — a
+    * fixed width would make it keyRange/width rows, a single-reducer
+    * liability again at 10B+ keys, and a max-only rule would collapse
+    * offset-clustered keys (snowflake-style ids starting at 10^12) into
+    * ONE bucket, resurrecting the global sort. Callers with a known key
+    * density can still pass an explicit width.
     *
     * `orderCol` must be unique and non-negative (it is the total order);
     * values sum as LONG (exact, order-independent).
@@ -135,9 +137,10 @@ object Scale {
     // corpus_pack, a full-corpus tokenize) computes up to three times
     val mat = materialize(df)
     val width = bucketWidth.getOrElse {
-      val row = mat.agg(max(col(orderCol).cast("long"))).head()
+      val row = mat.agg(min(col(orderCol).cast("long")),
+        max(col(orderCol).cast("long"))).head()
       if (row.isNullAt(0)) 1L
-      else math.max(1L, row.getLong(0) / PrefixSumTargetBuckets + 1L)
+      else math.max(1L, (row.getLong(1) - row.getLong(0)) / PrefixSumTargetBuckets + 1L)
     }
     require(width > 0, s"bucketWidth must be positive, got $width")
     // integer div, not floor(double): exact for the full long key range

@@ -39,6 +39,21 @@ class SkewSpec extends AnyFunSuite {
       assert(fast.exceptAll(slow).count() === 0, s"width=$w")
       assert(slow.exceptAll(fast).count() === 0, s"width=$w")
     }
+    // offset-clustered keys (snowflake-style ids): the derived width must
+    // come from the RANGE, not the magnitude — a max-only rule would put
+    // every row in one bucket and still be result-correct, so pin the
+    // bucketing itself: derived width must keep per-bucket rows bounded
+    val shifted = docs.withColumn("doc_id", col("doc_id") + lit(1000000000000L))
+    val slowS = shifted.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("doc_id"))))
+    val fastS = Scale.prefixSum(shifted, "doc_id", "v")
+    assert(fastS.exceptAll(slowS).count() === 0)
+    assert(slowS.exceptAll(fastS).count() === 0)
+    val n = docs.count()
+    val derived = 1L + (shifted.agg(max(col("doc_id")) - min(col("doc_id")))
+      .head().getLong(0)) / Scale.PrefixSumTargetBuckets
+    assert(derived <= math.max(1L, n), // range ≈ n docs → width stays small
+      s"derived width $derived collapses offset keys into few buckets")
   }
 
   test("durable-materialization seam produces identical results") {
