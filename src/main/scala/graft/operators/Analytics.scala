@@ -465,6 +465,84 @@ object Analytics {
         sumD(dec(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q8-style national market share: of all PROMO-part revenue sold
+    * into ASIA over 1996–1997, the share supplied by NATION_7, per order
+    * year. The nation dimension plays two roles — the customer side fixes
+    * the market region, the supplier side names the competitor — so it is
+    * joined twice under distinct column names; both copies (25 rows at ANY
+    * scale factor) carry broadcast hints. The share divides two already-
+    * rounded decimals and floor-truncates so both engines decide the 4th
+    * decimal identically.
+    *
+    * Ref: init-clickhouse.sql mart roll-ups; the two-role dimension join
+    * follows q7's supplier/customer nation pattern.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val custNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_nationkey"), col("n_regionkey"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation"))
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sumD(when(col("supp_nation") === "NATION_7", revenueExpr)
+          .otherwise(lit(0).cast("decimal(18,4)")), 2).as("nation_volume"),
+        sumD(revenueExpr, 2).as("total_volume"))
+      .withColumn("mkt_share",
+        floor(col("nation_volume") / col("total_volume") * 1e4) / 1e4)
+  }
+
+  /** TPC-H Q21-style waiting suppliers, adapted to this schema's columns
+    * (no commit/receipt dates): a lineitem "kept the order waiting" when
+    * it shipped more than 90 days after the order date. For finished
+    * orders, count per supplier the late lineitems on multi-supplier
+    * orders where NO other supplier was late — the EXISTS (left semi) +
+    * NOT EXISTS (left anti) self-join pair on the fact table.
+    *
+    * Scale: the late set is materialized once (it feeds both its own
+    * probe side and the anti join's build side, and recomputing the
+    * fact-fact join twice is the bigger cost); all three joins key on
+    * l_orderkey so the fact shuffles on one key and the co-partitioning
+    * is reused; the supplier name join runs AFTER aggregation — one row
+    * per supplier, not one per late lineitem.
+    */
+  def q21LateSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = Scale.materialize(li
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90))
+      .select(col("l_orderkey").as("w_orderkey"), col("l_suppkey").as("w_suppkey")))
+    late
+      .join(li.select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey")),
+        col("w_orderkey") === col("x_orderkey") &&
+          col("x_suppkey") =!= col("w_suppkey"), "left_semi")
+      .join(late.select(col("w_orderkey").as("y_orderkey"), col("w_suppkey").as("y_suppkey")),
+        col("w_orderkey") === col("y_orderkey") &&
+          col("y_suppkey") =!= col("w_suppkey"), "left_anti")
+      .groupBy(col("w_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d), col("w_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
   /** Customers who never placed an URGENT order — a LEFT ANTI join
     * (NOT EXISTS), the dual of q4's semi join.
     */
@@ -527,6 +605,8 @@ object Analytics {
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,
     "q22_idle_rich" -> q22IdleRich,
+    "q8_market_share" -> q8MarketShare,
+    "q21_late_suppliers" -> q21LateSuppliers,
     "customers_inactive" -> customersInactive,
     "top_suppliers" -> topSuppliers,
     "profile_orders" -> profileOrders,
@@ -676,6 +756,44 @@ object Analytics {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
         |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS nation_volume,
+        |  CAST(round(sum(volume),2) AS DOUBLE) AS total_volume,
+        |  floor(CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE)
+        |    / CAST(round(sum(volume),2) AS DOUBLE) * 1e4) / 1e4 AS mkt_share
+        |FROM vol GROUP BY 1""".stripMargin,
+    "q21_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT w.l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM late w
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = w.l_orderkey AND l2.l_suppkey <> w.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |      WHERE l3.l_orderkey = w.l_orderkey AND l3.l_suppkey <> w.l_suppkey)
+        |  GROUP BY 1) t JOIN supplier ON suppkey = s_suppkey""".stripMargin,
     "customers_inactive" ->
       """SELECT c_nationkey, count(*) AS n_inactive,
         | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS idle_balance
