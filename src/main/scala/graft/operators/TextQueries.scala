@@ -50,6 +50,41 @@ object TextQueries {
         col("quality"),
         when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("keep"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, App. A1.1, public):
+    * the fraction of the document covered by its single most frequent
+    * 2-gram / 3-gram, and the fraction of n-gram occurrences that are
+    * duplicates (count ≥ 2) — the template/SEO-spam shape a training
+    * corpus filters before dedup even sees it. Token-level (the synthetic
+    * docs have no line structure), thresholds are the published ones
+    * adapted to tokens.
+    *
+    * Scale: explode → per-(doc, gram) count → per-doc agg, all partial
+    * map-side, keyed on doc_id throughout — the two gram sizes each
+    * shuffle once on doc_id and join co-partitioned on doc_id.
+    */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("n_tokens") >= 3)
+      .select(col("doc_id"), col("n_tokens"), col("toks"))
+    def gramAgg(n: Int) = base
+      .select(col("doc_id"), col("n_tokens"),
+        explode(transform(sequence(lit(0), col("n_tokens") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("c")).as(s"top${n}_cnt"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0))).as(s"dup${n}_occ"))
+    gramAgg(2).join(gramAgg(3).drop("n_tokens"), "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        detRound(col("top2_cnt").cast("double") * 2 / col("n_tokens"), 4).as("top2_frac"),
+        detRound(col("top3_cnt").cast("double") * 3 / col("n_tokens"), 4).as("top3_frac"),
+        detRound(col("dup2_occ").cast("double") / (col("n_tokens") - 1), 4).as("dup2_frac"),
+        detRound(col("dup3_occ").cast("double") / (col("n_tokens") - 2), 4).as("dup3_frac"))
+      .withColumn("keep",
+        when(col("top2_frac") <= 0.20 && col("dup3_frac") <= 0.30, lit(1))
+          .otherwise(lit(0)))
+  }
+
   /** Stopword-profile language ID with fixed tie order en > es > de > fr. */
   def textLangid(s: SparkSession, d: String): DataFrame =
     docs(s, d)
@@ -256,6 +291,7 @@ object TextQueries {
     "dataset_card" -> datasetCard,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "text_winnow_fp" -> textWinnowFp,
@@ -342,6 +378,34 @@ object TextQueries {
          | length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
          | length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
          |FROM t""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= 3),
+         |b2 AS (SELECT doc_id, n_tokens,
+         |    unnest(list_transform(range(0, len(toks)-1),
+         |      i -> array_to_string(list_slice(toks, i+1, i+2), ' '))) AS g
+         |  FROM base),
+         |c2 AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM b2 GROUP BY 1,2,3),
+         |a2 AS (SELECT doc_id, n_tokens, max(c) AS top2_cnt,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2_occ
+         |  FROM c2 GROUP BY 1,2),
+         |b3 AS (SELECT doc_id, n_tokens,
+         |    unnest(list_transform(range(0, len(toks)-2),
+         |      i -> array_to_string(list_slice(toks, i+1, i+3), ' '))) AS g
+         |  FROM base),
+         |c3 AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM b3 GROUP BY 1,2,3),
+         |a3 AS (SELECT doc_id, max(c) AS top3_cnt,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3_occ
+         |  FROM c3 GROUP BY 1),
+         |m AS (SELECT a2.doc_id, n_tokens,
+         |  floor(CAST(top2_cnt AS DOUBLE)*2 / n_tokens * 1e4)/1e4 AS top2_frac,
+         |  floor(CAST(top3_cnt AS DOUBLE)*3 / n_tokens * 1e4)/1e4 AS top3_frac,
+         |  floor(CAST(dup2_occ AS DOUBLE) / (n_tokens-1) * 1e4)/1e4 AS dup2_frac,
+         |  floor(CAST(dup3_occ AS DOUBLE) / (n_tokens-2) * 1e4)/1e4 AS dup3_frac
+         | FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id)
+         |SELECT doc_id, n_tokens, top2_frac, top3_frac, dup2_frac, dup3_frac,
+         | CASE WHEN top2_frac <= 0.20 AND dup3_frac <= 0.30 THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
