@@ -84,8 +84,46 @@ object Sampling {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Target training mixture by language, in permille — the published
+    * practice (Pile / DoReMi-style domain weights) of re-weighting a
+    * crawled corpus toward a chosen mixture at sampling time.
+    */
+  val MixTarget: Seq[(String, Long)] =
+    Seq("en" -> 500L, "de" -> 150L, "es" -> 150L, "fr" -> 100L, "zh" -> 100L)
+
+  /** Deterministic mixture resampling: accept each doc with a per-language
+    * rate so the SAMPLE approaches the target mixture, scaled so the most
+    * over-demanded language (max weight/available ratio) is consumed fully
+    * (no upsampling — rates are capped at 1 by construction). Acceptance is
+    * a pure hash of the doc id compared by INTEGER cross-multiplication —
+    * (h % 1e6)·w_b·n_l < w_l·n_b·1e6 — so no float-division boundary can
+    * disagree between engines, and membership is stable across runs and
+    * cluster layouts.
+    *
+    * Scale: one 5-row aggregate (partial map-side) to count languages, a
+    * 1-row binding selection, then a broadcast join + per-row filter —
+    * scan-parallel at any corpus size.
+    */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rates = counts.join(MixTarget.toDF("lang", "w"), "lang")
+    val binding = rates
+      .orderBy((col("w").cast("double") / col("n")).desc, col("lang"))
+      .limit(1)
+      .select(col("w").as("wb"), col("n").as("nb"))
+    docs.join(broadcast(rates), "lang")
+      .join(broadcast(binding))
+      .filter(
+        (hexH(concat(lit("mix:"), col("doc_id"))) % 1000000L) * (col("wb") * col("n"))
+          < col("w") * col("nb") * 1000000L)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
+    "sample_mixture" -> sampleMixture,
     "sample_split" -> sampleSplit,
     "text_hash_embed" -> textHashEmbed,
     "corpus_pack" -> corpusPack,
@@ -95,6 +133,15 @@ object Sampling {
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hexHSql("'sample:' || doc_id")} % 1000 < 200""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH w(lang, w) AS (VALUES ${MixTarget.map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")}),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |j AS (SELECT w.lang, w.w, n.n FROM w JOIN n USING (lang)),
+         |b AS (SELECT w AS wb, n AS nb FROM j
+         |  ORDER BY CAST(w AS DOUBLE)/n DESC, lang LIMIT 1)
+         |SELECT doc_id, d.lang, source FROM documents d JOIN j ON d.lang = j.lang, b
+         |WHERE (${hexHSql("'mix:' || doc_id")} % 1000000) * (wb * j.n)
+         |  < j.w * nb * 1000000""".stripMargin,
     "sample_split" ->
       s"""WITH b AS (SELECT doc_id, lang, source,
          |    ${hexHSql("'split:' || doc_id")} % 100 AS bucket FROM documents)
