@@ -85,6 +85,43 @@ object IncrementalSnapshot {
   def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
     latestVersion(dir).map(v => s.read.parquet(s"$dir/v=$v"))
 
+  /** All committed versions, ascending — the store's time-travel index
+    * (the DESCRIBE HISTORY role of a Delta/Iceberg table).
+    */
+  def versions(dir: String): Seq[Long] = committedVersions(dir).sorted
+
+  /** Time travel: the snapshot as of version `v` — the latest committed
+    * version ≤ v (VERSION AS OF semantics; batch ids are the version line).
+    * None when nothing ≤ v is committed (pre-history, or vacuumed away).
+    * Complements `CdcOps.snapshotAsOf`, which answers the same question at
+    * an arbitrary TIMESTAMP from the full event log: this one answers it
+    * in O(1) reads from the maintained store, at batch granularity.
+    */
+  def readSnapshotAsOf(s: SparkSession, dir: String, v: Long): Option[DataFrame] =
+    committedVersions(dir).filter(_ <= v).maxOption
+      .map(x => s.read.parquet(s"$dir/v=$x"))
+
+  /** Retention: drop all but the `keep` newest committed versions (marker
+    * first, then the data dir — a crash between the two leaves an orphan
+    * dir that is already invisible to readers, never a marker without
+    * data). The pointer's target is always retained. Returns the dropped
+    * version ids. The ReplacingMergeTree TTL/merge role for the store.
+    */
+  def vacuum(dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val all = committedVersions(dir).sorted
+    val pinned = pointerVersion(dir).toSet ++ all.takeRight(keep)
+    val drop = all.filterNot(pinned.contains)
+    drop.foreach { v =>
+      Files.deleteIfExists(Paths.get(dir, "_manifest", v.toString))
+      val data = Paths.get(dir, s"v=$v")
+      val files = Files.walk(data)
+      try files.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally files.close()
+    }
+    drop
+  }
+
   /** Merge one micro-batch of flattened signed change rows into the stored
     * snapshot. Stored rows re-enter the merge as state (op='r', sign=1) at
     * their stored version.

@@ -72,6 +72,49 @@ class IncrementalSnapshotSpec extends AnyFunSuite {
     assert(IncrementalSnapshot.latestVersion(dir) === Some(2L))
     assert(IncrementalSnapshot.readSnapshot(spark, dir).get.count() > 0)
   }
+  test("time travel reads every committed version; vacuum retains the newest") {
+    val tmp = Files.createTempDirectory("graft_tt").toString
+    val dir = s"$tmp/snap"
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+
+    // three batches with different key slices so every version differs
+    def slice(m: Int) = ch.filter(col("id") % 3 === m).limit(150).localCheckpoint()
+    def state(): Set[String] =
+      IncrementalSnapshot.readSnapshot(spark, dir).get
+        .select(concat_ws("|", col("id"), col("ts_ms"))).collect()
+        .map(_.getString(0)).toSet
+    val seen = (0L to 2L).map { b =>
+      IncrementalSnapshot.merge(dir, Seq("id"), CdcQueries.payloadCols)(slice(b.toInt), b)
+      b -> state()
+    }.toMap
+    assert(IncrementalSnapshot.versions(dir) === Seq(0L, 1L, 2L))
+    assert(seen(0L) !== seen(2L))
+
+    // VERSION AS OF: exact hit, rounding down, pre-history, and beyond-latest
+    def asOf(v: Long): Option[Set[String]] =
+      IncrementalSnapshot.readSnapshotAsOf(spark, dir, v)
+        .map(df => df.select(concat_ws("|", col("id"), col("ts_ms"))).collect()
+          .map(_.getString(0)).toSet)
+    (0L to 2L).foreach(v => assert(asOf(v) === Some(seen(v))))
+    assert(asOf(-1L) === None)
+    assert(asOf(99L) === Some(seen(2L)))
+
+    // vacuum to the newest 2: version 0 is gone from index, travel, and disk;
+    // the latest read and the pointer are untouched
+    assert(IncrementalSnapshot.vacuum(dir, keep = 2) === Seq(0L))
+    assert(IncrementalSnapshot.versions(dir) === Seq(1L, 2L))
+    assert(asOf(0L) === None)
+    assert(asOf(1L) === Some(seen(1L)))
+    assert(!Files.exists(Paths.get(dir, "v=0")))
+    assert(state() === seen(2L))
+
+    // a replayed pre-vacuum batch id must not resurrect: marker gone, but
+    // merge of batch 0 again would be a NEW merge on current state — the
+    // stream's checkpoint prevents that in practice; here we only assert
+    // vacuum never drops the pointer target even when keep is minimal
+    assert(IncrementalSnapshot.vacuum(dir, keep = 1) === Seq(1L))
+    assert(state() === seen(2L))
+  }
   test("a lost _LATEST pointer recovers from the manifest, not as empty state") {
     val tmp = Files.createTempDirectory("graft_lostptr").toString
     val dir = s"$tmp/snap"
