@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
@@ -119,6 +119,88 @@ case class ArgmaxScaledDot(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Product-quantization encoder: split `v` into `numSub` contiguous
+  * subvectors and, for each subspace m, emit the index k minimizing
+  * ||v_m − C[m][k]||² over the flattened codebook — computed in dot form,
+  * argmax_k (dot(v_m, C[m][k]) + bias[m][k]) with bias = −||C[m][k]||²/2,
+  * so the inner loop is the same fused multiply-add shape as ArrayDot.
+  * One codegen'd loop nest for all subspaces (8×16 struct-max equivalents
+  * would blow the janino budget the way ArgmaxScaledDot's docs describe).
+  * Ties keep the LOWEST k (strict `>` scanning ascending), matching the
+  * oracle's (score desc, k asc) row_number. Output: array<int> of length
+  * `numSub`.
+  *
+  * Layout contract: `mat` is row-major [m][k][subDim] with subDim =
+  * v.length / numSub and K = bias.length / numSub; `bias` is [m][k].
+  */
+case class PqEncode(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression {
+
+  override def children: Seq[Expression] = Seq(first, second, third, fourth)
+  override def dataType: DataType = ArrayTypes.intArray
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(v: Any, m: Any, b: Any, ns: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val bias = b.asInstanceOf[ArrayData]
+    val numSub = ns.asInstanceOf[Int]
+    val sub = x.numElements() / numSub
+    val kk = bias.numElements() / numSub
+    val codes = new Array[Int](numSub)
+    var mi = 0
+    while (mi < numSub) {
+      var best = 0.0; var bi = 0; var k = 0
+      while (k < kk) {
+        var acc = 0.0; var j = 0; val off = (mi * kk + k) * sub
+        while (j < sub) { acc += x.getDouble(mi * sub + j) * mat.getDouble(off + j); j += 1 }
+        val score = acc + bias.getDouble(mi * kk + k)
+        if (k == 0 || score > best) { best = score; bi = k }
+        k += 1
+      }
+      codes(mi) = bi
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, b, ns) => {
+      val mi = ctx.freshName("mi"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val sub = ctx.freshName("sub")
+      val kk = ctx.freshName("kk"); val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc"); val score = ctx.freshName("score")
+      val best = ctx.freshName("best"); val bi = ctx.freshName("bi")
+      val codes = ctx.freshName("codes")
+      s"""
+         |int $sub = $v.numElements() / $ns;
+         |int $kk = $b.numElements() / $ns;
+         |int[] $codes = new int[$ns];
+         |for (int $mi = 0; $mi < $ns; $mi++) {
+         |  double $best = 0.0; int $bi = 0;
+         |  for (int $k = 0; $k < $kk; $k++) {
+         |    double $acc = 0.0; int $off = ($mi * $kk + $k) * $sub;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      $acc += $v.getDouble($mi * $sub + $j) * $m.getDouble($off + $j);
+         |    }
+         |    double $score = $acc + $b.getDouble($mi * $kk + $k);
+         |    if ($k == 0 || $score > $best) { $best = $score; $bi = $k; }
+         |  }
+         |  $codes[$mi] = $bi;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): PqEncode =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+private object ArrayTypes {
+  val intArray: DataType = org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+}
+
 /** Column-API + SQL-registration surface for the native vector expressions. */
 object NativeVector {
 
@@ -138,6 +220,14 @@ object NativeVector {
     GraftSqlBridge.column(ArgmaxScaledDot(GraftSqlBridge.expression(v),
       GraftSqlBridge.expression(flatMatrix), GraftSqlBridge.expression(scale)))
 
+  /** PQ codes of `v` against a flattened [m][k][subDim] codebook with
+    * per-(m,k) biases (−||c||²/2 for L2 argmin); ties keep the lowest k.
+    */
+  def pqEncode(v: Column, flatCodebook: Column, bias: Column, numSub: Column): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(flatCodebook), GraftSqlBridge.expression(bias),
+      GraftSqlBridge.expression(numSub)))
+
   private val info = new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot")
   private def builder(children: Seq[Expression]): Expression = children match {
     case Seq(a, b) => ArrayDot(a, b)
@@ -151,10 +241,17 @@ object NativeVector {
     case _ => throw new IllegalArgumentException("graft_argmax_dot takes exactly 3 arguments")
   }
 
+  private val pqInfo = new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode")
+  private def pqBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(v, m, b, ns) => PqEncode(v, m, b, ns)
+    case _ => throw new IllegalArgumentException("graft_pq_encode takes exactly 4 arguments")
+  }
+
   /** Register the native vector functions into a live session's registry. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", info, builder)
     GraftSqlBridge.registerFunction(spark, "graft_argmax_dot", argmaxInfo, argmaxBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_pq_encode", pqInfo, pqBuilder)
   }
 }
 
@@ -171,5 +268,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_argmax_dot"),
         new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot"),
         (children: Seq[Expression]) => ArgmaxScaledDot(children(0), children(1), children(2))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pq_encode"),
+        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+        (children: Seq[Expression]) =>
+          PqEncode(children(0), children(1), children(2), children(3))))
   }
 }
