@@ -136,7 +136,6 @@ case class ArgmaxScaledDot(first: Expression, second: Expression, third: Express
 case class PqEncode(first: Expression, second: Expression, third: Expression,
     fourth: Expression) extends QuaternaryExpression {
 
-  override def children: Seq[Expression] = Seq(first, second, third, fourth)
   override def dataType: DataType = ArrayTypes.intArray
   override def prettyName: String = "graft_pq_encode"
 

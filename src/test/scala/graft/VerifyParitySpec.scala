@@ -20,6 +20,7 @@ class VerifyParitySpec extends AnyFunSuite {
     // oracle_sql.json). Train/tune, then demand full 1:1 coverage.
     graft.operators.Similarity.knnIvf(spark, sf).count()
     graft.operators.Similarity.knnLshAuto(spark, sf).count()
+    graft.operators.Similarity.knnPq(spark, sf).count()
     graft.operators.Dedup.mhTunedConfig(spark, sf)
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
