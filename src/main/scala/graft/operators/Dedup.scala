@@ -88,7 +88,21 @@ object Dedup {
     * blows up and THIS plan is the scale path — both are registered,
     * checked against the identical oracle.
     */
-  def dedupJaccardPpjoin(s: SparkSession, d: String): DataFrame = {
+  def dedupJaccardPpjoin(s: SparkSession, d: String): DataFrame =
+    ppjoinAt(s, d, 0.5)
+
+  /** The PPJoin pipeline, parametric in the jaccard threshold τ — shared
+    * by the fixed-τ `dedup_jaccard_ppjoin` and the per-corpus auto-tuned
+    * `dedup_jaccard_auto`. Prefix length per doc is n − ⌈τ·n⌉ + 1 (with
+    * the τ=0.5 length filter generalized to min ≥ τ·max): any pair at
+    * jacc ≥ τ shares ≥ ⌈τ·max(na,nb)⌉ ≥ ⌈τ·n⌉ shingles, so it must
+    * collide inside both prefixes. Both ⌈·⌉s carry a 1e-9/1e-6 epsilon
+    * DOWN so fp noise (0.26·50 = 13.000000000000002) can only lengthen a
+    * prefix / keep a boundary pair — spurious candidates are removed by
+    * the exact verification, while a too-short prefix would be permanent
+    * recall loss no verification can recover.
+    */
+  private def ppjoinAt(s: SparkSession, d: String, tau: Double): DataFrame = {
     val postings = shinglePostings(s, d)
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
       // materialize once: downstream joins would otherwise recompute the
@@ -102,12 +116,13 @@ object Dedup {
     val prefix = postings.join(freq, "h")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(col("rnk") <= floor(col("n") / 2) + 1)
+      .filter(col("rnk") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("n"), col("h"))
-    // jacc ≥ 0.5 requires max(na,nb) ≤ 2·min(na,nb): prune at generation.
+    // jacc ≥ τ requires min(na,nb) ≥ τ·max(na,nb): prune at generation.
     val pairs = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+          lit(tau) * greatest(col("a.n"), col("b.n")) <=
+            least(col("a.n"), col("b.n")) + lit(1e-6))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
@@ -120,7 +135,7 @@ object Dedup {
       .agg(count(lit(1)).cast("double").as("i"))
     shared
       .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jacc") >= 0.5)
+      .filter(col("jacc") >= lit(tau))
       .select(col("doc_a"), col("doc_b"), detRound(col("jacc"), 4).as("jacc"))
   }
 
@@ -281,23 +296,29 @@ object Dedup {
   private[graft] val mhTuneCache =
     new java.util.concurrent.ConcurrentHashMap[String, MinhashConfig]()
 
+  /** Bounded deterministic sample → driver-side pairwise jaccard over
+    * shingle-hash sets (~512² sorted-set intersections, well under a
+    * second; sample bytes fixed regardless of corpus size). Shared by the
+    * minhash banding tuner and the jaccard τ tuner.
+    */
+  private def sampledPairSims(s: SparkSession, d: String): Array[Double] = {
+    val rows = shinglePostingsOf(Tables.documents(s, d)
+        .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(MhTuneSample))
+      .select(col("doc_id"), hexH(col("sh")).as("h")).collect()
+    val sets = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).distinct.sorted).values.toArray
+    val sims = Array.newBuilder[Double]
+    for (i <- sets.indices; j <- i + 1 until sets.length) {
+      val inter = intersectSorted(sets(i), sets(j))
+      sims += inter.toDouble / (sets(i).length + sets(j).length - inter)
+    }
+    sims.result()
+  }
+
   private[graft] def mhTunedConfig(s: SparkSession, d: String): MinhashConfig =
     mhTuneCache.computeIfAbsent(d, _ => {
-      // bounded deterministic sample → driver-side pairwise jaccard over
-      // shingle-hash sets (~512² sorted-set intersections, well under a
-      // second; sample bytes fixed regardless of corpus size)
-      val rows = shinglePostingsOf(Tables.documents(s, d)
-          .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(MhTuneSample))
-        .select(col("doc_id"), hexH(col("sh")).as("h")).collect()
-      val sets = rows.groupBy(_.getLong(0)).view
-        .mapValues(_.map(_.getLong(1)).distinct.sorted).values.toArray
-      val (dup, bg) = (Array.newBuilder[Double], Array.newBuilder[Double])
-      for (i <- sets.indices; j <- i + 1 until sets.length) {
-        val inter = intersectSorted(sets(i), sets(j))
-        val s = inter.toDouble / (sets(i).length + sets(j).length - inter)
-        if (s >= 0.5) dup += s else bg += s
-      }
-      tuneMinhashFromProfile(dup.result().toSeq, bg.result().toSeq)
+      val sims = sampledPairSims(s, d)
+      tuneMinhashFromProfile(sims.filter(_ >= 0.5).toSeq, sims.filter(_ < 0.5).toSeq)
     })
 
   private def intersectSorted(a: Array[Long], b: Array[Long]): Int = {
@@ -338,6 +359,43 @@ object Dedup {
     val cfg = mhTunedConfig(s, d)
     minhashLshWith(s, d, cfg.bands, cfg.rows)
   }
+
+  // ------------------------------------------- jaccard auto-tuned τ
+  /** Per-corpus jaccard threshold from the same sampled similarity
+    * profile — the last fixed constant in the dedup family. A dup-bearing
+    * corpus is bimodal: background mass near 0, a dup cluster high; τ*
+    * belongs in the empty valley between them, where a small mis-estimate
+    * changes NOTHING (no pair lives near the boundary). The rule is the
+    * midpoint of the LARGEST similarity gap whose midpoint falls inside
+    * [JaccTauMin, JaccTauMax], floored to 2 decimals for a stable literal;
+    * a sentinel at 1.0 handles the dup-free corpus (the gap runs from the
+    * background top to 1.0, landing τ* conservatively high). Unimodal
+    * profiles with no usable gap keep the fixed 0.5.
+    */
+  val JaccTauMin = 0.3
+  val JaccTauMax = 0.9
+
+  private[graft] val jaccTauCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private[graft] def jaccTunedTau(s: SparkSession, d: String): Double =
+    jaccTauCache.computeIfAbsent(d, _ => tuneJaccardTau(sampledPairSims(s, d).toSeq))
+
+  private[graft] def tuneJaccardTau(sims: Seq[Double]): Double = {
+    val xs = (sims :+ 1.0).sorted
+    val cands = xs.lazyZip(xs.tail).map { case (a, b) => ((a + b) / 2, b - a) }
+      .filter { case (mid, _) => mid >= JaccTauMin && mid <= JaccTauMax }
+    if (cands.isEmpty) 0.5
+    else {
+      // widest gap wins; exact ties (same gap width) keep the LOWEST
+      // midpoint — deterministic, and recall-favoring over candidate-count
+      val best = cands.maxBy { case (mid, gap) => (gap, -mid) }
+      math.floor(best._1 * 100) / 100
+    }
+  }
+
+  def dedupJaccardAuto(s: SparkSession, d: String): DataFrame =
+    ppjoinAt(s, d, jaccTunedTau(s, d))
 
   // --------------------------------------------------------------- simhash
   /** Exact hamming-radius SimHash dedup, Manku et al. (WWW'07)-style
@@ -575,6 +633,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
+    "dedup_jaccard_auto" -> dedupJaccardAuto,
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_auto" -> dedupMinhashAuto,
@@ -676,19 +735,29 @@ object Dedup {
     * then dumps oracle_sql.json — so the SQL always restates the banding
     * the plan used, never another dataset's).
     */
-  private def maybeAutoOracle: Map[String, String] =
-    if (mhTuneCache.size == 1) {
+  private def maybeAutoOracle: Map[String, String] = {
+    val mh = if (mhTuneCache.size == 1) {
       val cfg = mhTuneCache.values.iterator.next()
       Map("dedup_minhash_auto" -> minhashOracleSql(cfg.bands, cfg.rows))
-    } else Map.empty
+    } else Map.empty[String, String]
+    // dedup_jaccard_auto's oracle restates the TUNED τ as a literal in the
+    // plain full-pairwise SQL — same generated-oracle contract as minhash
+    val jc = if (jaccTauCache.size == 1)
+      Map("dedup_jaccard_auto" ->
+        jaccardOracleSqlAt(jaccTauCache.values.iterator.next()))
+    else Map.empty[String, String]
+    mh ++ jc
+  }
 
-  private lazy val jaccardOracleSql: String =
+  private lazy val jaccardOracleSql: String = jaccardOracleSqlAt(0.5)
+
+  private def jaccardOracleSqlAt(tau: Double): String =
     s"""WITH $docShinglesSql,
        |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    ${jaccSql("a.shs", "b.shs")} AS jacc
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
-       |FROM j WHERE jacc >= 0.5""".stripMargin
+       |FROM j WHERE jacc >= $tau""".stripMargin
 
   private lazy val embeddingOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

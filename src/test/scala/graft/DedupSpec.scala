@@ -140,4 +140,39 @@ class DedupSpec extends AnyFunSuite {
     val blind = Dedup.tuneMinhashFromProfile(Seq.empty, Seq.empty)
     assert(sCurve(0.75, blind) >= Dedup.MhTuneRecall)
   }
+
+  test("jaccard τ tuner: lands in the bimodal valley, clamps, defaults") {
+    // bimodal: background mass near 0.1, dup cluster at 0.8 → τ* in the gap
+    val bimodal = Dedup.tuneJaccardTau(Seq.fill(50)(0.1) ++ Seq(0.8, 0.85, 0.9))
+    assert(bimodal > 0.1 && bimodal < 0.8, s"τ*=$bimodal not in the valley")
+    // dup-free: largest gap runs to the 1.0 sentinel, τ* conservative-high
+    val dupFree = Dedup.tuneJaccardTau(Seq.fill(50)(0.15))
+    assert(dupFree >= 0.5 && dupFree <= Dedup.JaccTauMax, s"τ*=$dupFree")
+    // no sample at all → fixed default
+    assert(Dedup.tuneJaccardTau(Seq.empty) === 0.5)
+    // τ* never leaves [JaccTauMin, JaccTauMax]
+    val hi = Dedup.tuneJaccardTau(Seq(0.97, 0.98, 0.99))
+    assert(hi >= Dedup.JaccTauMin && hi <= Dedup.JaccTauMax, s"τ*=$hi")
+  }
+
+  test("auto-τ jaccard equals the plain pairwise result at the tuned τ") {
+    val tau = Dedup.jaccTunedTau(spark, sf)
+    info(f"tuned τ* = $tau%.2f")
+    assert(tau >= Dedup.JaccTauMin && tau <= Dedup.JaccTauMax)
+    // independent ground truth: the naive postings self-join thresholded at
+    // τ* (reuses none of the prefix-filter machinery under test)
+    val post = Dedup.shinglePostings(spark, sf)
+      .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
+    val naive = post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).cast("double").as("i"))
+      .withColumn("jacc", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jacc") >= lit(tau))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.dedupJaccardAuto(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive === auto)
+  }
 }

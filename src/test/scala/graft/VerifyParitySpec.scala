@@ -22,6 +22,7 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.Similarity.knnLshAuto(spark, sf).count()
     graft.operators.Similarity.knnPq(spark, sf).count()
     graft.operators.Dedup.mhTunedConfig(spark, sf)
+    graft.operators.Dedup.jaccTunedTau(spark, sf)
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
