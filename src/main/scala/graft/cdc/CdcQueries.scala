@@ -41,6 +41,41 @@ object CdcQueries {
     CdcOps.snapshotLatest(filtered, Seq("id"), "ts_ms", payloadCols)
   }
 
+  /** Time travel against the MAINTAINED store (VERSION AS OF), not the
+    * event log: the changelog replays into an IncrementalSnapshot store as
+    * [[StoreBatches]] deterministic time-sliced micro-batches (batch of an
+    * event = ((ts − min_ts) · B) div (max_ts − min_ts + 1), integer-exact
+    * and restated verbatim in the oracle), then the query reads version
+    * [[StoreAsOfVersion]] back. The build runs once per JVM per dataset
+    * into a fresh temp dir through the real commit protocol (marker +
+    * pointer flip); the READ is the point — one parquet dir, no log scan:
+    * the Delta/Iceberg `VERSION AS OF` role, oracle-checked against the
+    * equivalent log-prefix snapshot (store-fold ≡ log-snapshot algebra is
+    * separately pinned in IncrementalSnapshotSpec / CdcPropertySpec).
+    */
+  val StoreBatches = 8
+  val StoreAsOfVersion = 3
+
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def builtStore(s: SparkSession, d: String): String =
+    storeCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_snapstore_").toString
+      val ch = CdcSim.parsedChangelog(s, d).transform(Scale.materialize)
+      val bounds = ch.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+      val t0 = bounds.getLong(0)
+      val span = bounds.getLong(1) - t0 + 1
+      for (k <- 0 until StoreBatches)
+        graft.streaming.IncrementalSnapshot.merge(dir, Seq("id"), payloadCols)(
+          ch.filter(expr(s"((ts_ms - $t0) * $StoreBatches) div $span = $k")), k.toLong)
+      dir
+    })
+
+  def snapshotAsOfStore(s: SparkSession, d: String): DataFrame =
+    graft.streaming.IncrementalSnapshot
+      .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
+
   /** Temporal dimension join — "dimension state as of fact time", the
     * classic SCD2 consumption query: every lineitem joins the version of
     * its ORDER that was valid when the item shipped, then rolls up revenue
@@ -147,6 +182,7 @@ object CdcQueries {
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
     "cdc_snapshot_asof" -> snapshotAsOf,
+    "cdc_snapshot_asof_store" -> snapshotAsOfStore,
     "cdc_scd2_dim_join" -> scd2DimJoin,
     "cdc_scd2_history" -> scd2History,
     "cdc_changelog_stats" -> changelogStats,
@@ -172,6 +208,19 @@ object CdcQueries {
       s"""$C,
          |t AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t_asof FROM ev),
          |f AS (SELECT ev.* FROM ev, t WHERE ev.ts_ms <= t.t_asof),
+         |snap AS (
+         |  SELECT id, arg_max(custkey, ts_ms) AS custkey,
+         |    arg_max(price, ts_ms) AS price, arg_max(status, ts_ms) AS status,
+         |    arg_max(sign, ts_ms) AS sign, max(ts_ms) AS ts_ms
+         |  FROM f GROUP BY id)
+         |SELECT id, custkey, price, status, ts_ms FROM snap WHERE sign = 1""".stripMargin,
+    // the store's version-v content ≡ the log-prefix snapshot over batches
+    // 0..v under the SAME deterministic time-slice rule the builder used
+    "cdc_snapshot_asof_store" ->
+      s"""$C,
+         |t AS (SELECT min(ts_ms) AS t0, max(ts_ms) - min(ts_ms) + 1 AS span FROM ev),
+         |f AS (SELECT ev.* FROM ev, t
+         |  WHERE ((ev.ts_ms - t.t0) * $StoreBatches) // t.span <= $StoreAsOfVersion),
          |snap AS (
          |  SELECT id, arg_max(custkey, ts_ms) AS custkey,
          |    arg_max(price, ts_ms) AS price, arg_max(status, ts_ms) AS status,
