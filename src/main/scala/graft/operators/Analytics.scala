@@ -543,6 +543,123 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
 
+  // ---- TPC-H shapes q2/q9/q11/q16/q20 over the available star schema.
+  // The testdata has NO partsupp table, so the five remaining TPC-H
+  // queries can't be ported literally; each below keeps the query's
+  // SHAPE (the plan structure that matters at scale) with lineitem as
+  // the part×supplier fact and documented stand-ins for the partsupp
+  // columns.
+
+  /** TPC-H Q2 shape — correlated min per group + decimal-exact equality
+    * join back (the q15 max-equality pattern, per part instead of global):
+    * for each small part, the EUROPE supplier(s) with the cheapest
+    * observed price. Cost stand-in for ps_supplycost: the supplier's
+    * minimum extended price for the part in lineitem. Both groupBys and
+    * the min-join shuffle on l_partkey — co-partitioned, no broadcast of
+    * SF-scaled sides; nation/region carry hints (constant 25/5 rows).
+    */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val offers = Tables.lineitem(s, d)
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val minCost = offers.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
+    offers.join(minCost, Seq("l_partkey"))
+      .filter(col("cost") === col("min_cost"))
+      .join(Tables.part(s, d).filter(col("p_size") < 10),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        round(col("cost"), 2).cast("double").as("min_price"))
+  }
+
+  /** TPC-H Q9 shape — multi-join profit rollup by (supplier nation, order
+    * year). Supply-cost stand-in for ps_supplycost: 40% of the part's
+    * retail price (exact DECIMAL multiply, so the profit expression stays
+    * order-independent and engine-exact like every money aggregate here).
+    */
+  def q9NationProfit(s: SparkSession, d: String): DataFrame = {
+    val profit = revenueExpr -
+      dec(col("p_retailprice")) * dec(col("l_quantity")) * dec(lit(0.4))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sumD(profit, 2).as("sum_profit"))
+  }
+
+  /** TPC-H Q11 shape — group sum HAVING a share of a global scalar:
+    * parts whose revenue exceeds 1.3× the mean part revenue (this
+    * corpus's per-part revenue is near-uniform — max/mean ≈ 1.8 — so
+    * 1.3× keeps ~6-8% of parts at every SF). The global (total, count)
+    * is a 1-row broadcast and the comparison is exact cross-
+    * multiplication (10·rev·n_parts > 13·total) — scale-invariant where
+    * Q11's fixed fraction goes empty as the part count grows with SF.
+    */
+  def q11ValueParts(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenueExpr).as("part_rev"))
+    val tot = rev.agg(sum(col("part_rev")).as("total_rev"),
+      count(lit(1)).as("n_parts"))
+    rev.join(broadcast(tot))
+      .filter(col("part_rev") * col("n_parts") * lit(10) > col("total_rev") * lit(13))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("part_rev"), 2).cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q16 shape — distinct-supplier distribution per part attribute,
+    * minus an anti-joined exclusion set. Complaint stand-in for the
+    * s_comment LIKE filter: suppliers whose lineitem return share exceeds
+    * 1/3 (3·returns > total, exact integers). countDistinct is Spark's
+    * two-phase partial distinct — no single-reducer de-dup.
+    */
+  def q16SupplierDist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val complained = li.groupBy(col("l_suppkey").as("bad_suppkey"))
+      .agg(count(when(col("l_returnflag") === "R", 1)).as("nr"),
+        count(lit(1)).as("nt"))
+      .filter(col("nr") * lit(3) > col("nt"))
+      .select(col("bad_suppkey"))
+    li.select(col("l_partkey"), col("l_suppkey"))
+      .join(complained, col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape — nested semi-join chain with a correlated share
+    * threshold: suppliers who DOMINATED a part's 1995 shipments (their
+    * quantity > half the part's total — availqty stand-in), decorated
+    * with nation. Exact decimal cross-mult (2·sq > tq); the dominant set
+    * reaches supplier as a LEFT SEMI join.
+    */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+    val tot = shipped.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+    val dominant = shipped.join(tot, Seq("l_partkey"))
+      .filter(col("sq") * lit(2) > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** Customers who never placed an URGENT order — a LEFT ANTI join
     * (NOT EXISTS), the dual of q4's semi join.
     */
@@ -607,6 +724,11 @@ object Analytics {
     "q22_idle_rich" -> q22IdleRich,
     "q8_market_share" -> q8MarketShare,
     "q21_late_suppliers" -> q21LateSuppliers,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q9_nation_profit" -> q9NationProfit,
+    "q11_value_parts" -> q11ValueParts,
+    "q16_supplier_dist" -> q16SupplierDist,
+    "q20_dominant_supplier" -> q20DominantSupplier,
     "customers_inactive" -> customersInactive,
     "top_suppliers" -> topSuppliers,
     "profile_orders" -> profileOrders,
@@ -780,6 +902,67 @@ object Analytics {
         |      ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE)
         |    / CAST(round(sum(volume),2) AS DOUBLE) * 1e4) / 1e4 AS mkt_share
         |FROM vol GROUP BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, n_name FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, s_suppkey, s_name, n_name,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+        |  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4),
+        |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM offers GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_name, n_name,
+        |  CAST(round(cost, 2) AS DOUBLE) AS min_price
+        |FROM offers JOIN mc USING (l_partkey) JOIN part ON l_partkey = p_partkey
+        |WHERE cost = min_cost AND p_size < 10""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))
+        |    - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))
+        |      * CAST(0.4 AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_value_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1 - CAST(l_discount AS DECIMAL(18,4)))) AS part_rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(part_rev) AS total_rev, CAST(count(*) AS BIGINT) AS n_parts FROM rev)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(round(part_rev, 2) AS DOUBLE) AS part_value
+        |FROM rev, tot WHERE part_rev * n_parts * 10 > total_rev * 13""".stripMargin,
+    "q16_supplier_dist" ->
+      """WITH bad AS (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY 1
+        |  HAVING count(CASE WHEN l_returnflag = 'R' THEN 1 END) * 3 > count(*))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+        |  WHERE sq * 2 > tq)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
     "q21_late_suppliers" ->
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey
