@@ -70,7 +70,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("knn top-k is two-phase bucketed — no corpus-sized single-reducer sort") {
     for (q <- Seq(Similarity.knnBrute(spark, sf), Similarity.knnLsh(spark, sf),
-        Similarity.knnIvf(spark, sf))) {
+        Similarity.knnIvf(spark, sf), Similarity.knnPq(spark, sf),
+        Similarity.knnIvfPq(spark, sf))) {
       val parts = "hashpartitioning\\([^)]*".r.findAllIn(plan(q)).toSeq
       // phase one windows over (q_id, bucket) — the only sorts are bounded
       assert(parts.exists(_.contains("_b0")),

@@ -88,9 +88,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.85)
   }
 
+  test("IVF-PQ top-k recall vs brute force") {
+    val r = recall(neighborSet(Similarity.knnIvfPq(spark, sf)))
+    info(f"ivfpq recall = $r%.3f")
+    assert(r >= 0.85)
+  }
+
   test("every query returns exactly k rows") {
     for (q <- Seq(Similarity.knnBrute _, Similarity.knnLsh _, Similarity.knnIvf _,
-        Similarity.knnPq _)) {
+        Similarity.knnPq _, Similarity.knnIvfPq _)) {
       val counts = q(spark, sf).groupBy("q_id").count().collect()
       assert(counts.length === Similarity.NumQueries)
       assert(counts.forall(_.getLong(1) === Similarity.K))

@@ -21,6 +21,7 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.Similarity.knnIvf(spark, sf).count()
     graft.operators.Similarity.knnLshAuto(spark, sf).count()
     graft.operators.Similarity.knnPq(spark, sf).count()
+    graft.operators.Similarity.knnIvfPq(spark, sf).count()
     graft.operators.Dedup.mhTunedConfig(spark, sf)
     graft.operators.Dedup.jaccTunedTau(spark, sf)
     val q = SparkEntry.queries.keySet
