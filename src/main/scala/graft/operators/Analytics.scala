@@ -412,11 +412,11 @@ object Analytics {
     * a tie-fragile last-ulp comparison), rounded only on output.
     */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    val rev = Scale.materialize(Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1996-04-01"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(revenueExpr).as("total_rev"))
+      .agg(sum(revenueExpr).as("total_rev")))
     val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -564,10 +564,12 @@ object Analytics {
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val offers = Tables.lineitem(s, d)
+    // offers feeds BOTH the min-cost agg and the equality join back —
+    // materialize once or the lineitem scan+join+agg runs twice
+    val offers = Scale.materialize(Tables.lineitem(s, d)
       .join(eur, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"), col("n_name"))
-      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost")))
     val minCost = offers.groupBy(col("l_partkey")).agg(min(col("cost")).as("min_cost"))
     offers.join(minCost, Seq("l_partkey"))
       .filter(col("cost") === col("min_cost"))
@@ -606,9 +608,10 @@ object Analytics {
     * Q11's fixed fraction goes empty as the part count grows with SF.
     */
   def q11ValueParts(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    // rev feeds both the global-scalar agg and the filter — one scan
+    val rev = Scale.materialize(Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
-      .agg(sum(revenueExpr).as("part_rev"))
+      .agg(sum(revenueExpr).as("part_rev")))
     val tot = rev.agg(sum(col("part_rev")).as("total_rev"),
       count(lit(1)).as("n_parts"))
     rev.join(broadcast(tot))
@@ -645,11 +648,12 @@ object Analytics {
     * reaches supplier as a LEFT SEMI join.
     */
   def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
-    val shipped = Tables.lineitem(s, d)
+    // shipped feeds both the per-part total and the share join — one scan
+    val shipped = Scale.materialize(Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1995-01-01") &&
         col("l_shipdate") < lit("1996-01-01"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .agg(sum(dec(col("l_quantity"))).as("sq")))
     val tot = shipped.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
     val dominant = shipped.join(tot, Seq("l_partkey"))
       .filter(col("sq") * lit(2) > col("tq"))

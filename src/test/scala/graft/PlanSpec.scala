@@ -63,6 +63,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Analytics.q4OrderPriority(spark, sf)).contains("LeftSemi"))
     assert(plan(Analytics.customersInactive(spark, sf)).contains("LeftAnti"))
   }
+
+  test("q16 plans an anti join, q20 a semi join, q2 no forced fact broadcast") {
+    assert(plan(Analytics.q16SupplierDist(spark, sf)).contains("LeftAnti"))
+    assert(plan(Analytics.q20DominantSupplier(spark, sf)).contains("LeftSemi"))
+    // q2's nation/region hints live INSIDE the materialized offers
+    // subtree (computed once, checkpointed); the OUTER plan — min-cost
+    // join + part join — must carry no forced broadcast at all, so the
+    // SF-scaled sides degrade to shuffle joins when they outgrow AQE's
+    // threshold
+    val hints = Analytics.q2MinCostSupplier(spark, sf).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h.child.toString }
+    assert(hints.isEmpty, hints.mkString("\n"))
+  }
   test("cdc snapshot aggregates map-side before the shuffle (partial max_by)") {
     val p = plan(graft.cdc.CdcQueries.snapshotLatest(spark, sf))
     assert(p.contains("partial_max_by") || p.contains("partial_max"), p.linesIterator.take(6).mkString("\n"))
