@@ -230,7 +230,10 @@ object Analytics {
     * running sum = session id. One shuffle by user; window partitions are
     * per-user so they stay small at any scale.
     */
-  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+  /** Events with their gap-based session number — the shared sessionize
+    * subtree (30-min inactivity boundary, per-user window).
+    */
+  private def sessionAssigned(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -239,10 +242,37 @@ object Analytics {
           unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, lit(1))
           .otherwise(lit(0)))
       .withColumn("session_seq", sum(col("new_sess")).over(byUser))
+  }
+
+  def eventsSessionize(s: SparkSession, d: String): DataFrame =
+    sessionAssigned(s, d)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         sumD(dec(col("value")), 2).as("session_value"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+
+  /** Outcome events attributed to session INTERVALS via the generic
+    * bucketized interval join ([[Scale.intervalJoin]]) — the range-join
+    * technique itself is the deliverable: an equi-join on (user, time
+    * bucket) plus an exact range post-filter, where a naive range
+    * predicate would plan a nested loop. Sessions are the short-interval
+    * case the cost model favors (minutes vs a 30-day domain → O(1)
+    * buckets each). The oracle restates the join as DuckDB's native range
+    * join over the same session intervals — structurally independent of
+    * both this plan and the sessionize window.
+    */
+  def eventsSessionAttrib(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionAssigned(s, d)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("s_from"),
+        max(unix_micros(col("ts"))).as("s_to"))
+    val facts = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("pt"))
+    Scale.intervalJoin(facts, sess, Seq("user_id"), "pt", "s_from", "s_to")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
   }
 
   /** Ordered multi-step funnel (view → click → purchase): a user converts a
@@ -751,6 +781,7 @@ object Analytics {
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
+    "events_session_attrib" -> eventsSessionAttrib,
     "events_retention" -> eventsRetention,
     "events_funnel" -> eventsFunnel,
   )
@@ -1114,6 +1145,30 @@ object Analytics {
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS session_value,
         | strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "events_session_attrib" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess0 AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |iv AS (SELECT user_id, session_seq,
+        |    min(epoch_us(ts)) AS s_from, max(epoch_us(ts)) AS s_to
+        |  FROM sess0 GROUP BY 1, 2),
+        |f AS (SELECT user_id, event_type, epoch_us(ts) AS pt FROM events
+        |  WHERE event_type IN ('purchase', 'error')),
+        |j AS (SELECT f.user_id, iv.session_seq, f.event_type
+        |  FROM f JOIN iv ON f.user_id = iv.user_id
+        |    AND f.pt >= iv.s_from AND f.pt <= iv.s_to)
+        |SELECT user_id, session_seq,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

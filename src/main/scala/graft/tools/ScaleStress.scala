@@ -78,6 +78,24 @@ object ScaleStress {
     // LSH auto-tune choice at this scale
     val cfg = Similarity.tunedConfig(spark, d)
     println(f"knn auto-tune: bits=${cfg.sigBits} tables=${cfg.numTables} sStar=${cfg.sStar}%.3f")
+
+    // IVF inverted-list balance: a cell holding an outsized corpus share
+    // makes every probe of it a scan of that share — the ANN scale risk
+    // that replaces the dedup families' bucket widths
+    widthStats(Similarity.diagCorpusCells(spark, d)
+      .groupBy(col("cell")).agg(count(lit(1)).as("w")), "ivf cell widths")
+
+    // PQ codebook utilization per subspace: degenerate training would
+    // concentrate codes and flatten the ADC ranking
+    widthStats(Similarity.diagPqCodes(spark, d)
+      .select(posexplode(col("codes")).as(Seq("m", "code")))
+      .groupBy(col("m"), col("code")).agg(count(lit(1)).as("w")),
+      "pq (m,code) utilization")
+
+    // jaccard auto-tune: threshold + the df statistic driving the dispatch
+    val prof = Dedup.sampledProfile(spark, d)
+    println(f"jaccard auto-tune: tau=${Dedup.jaccTunedTau(spark, d)}%.2f " +
+      f"meanDf=${prof.meanDf}%.3f (dispatch<=${Dedup.JaccDfDispatch}: plain join)")
     spark.stop()
   }
 }

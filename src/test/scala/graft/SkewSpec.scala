@@ -83,4 +83,26 @@ class SkewSpec extends AnyFunSuite {
     assert(twoPhase.exceptAll(single).count() === 0)
     assert(single.exceptAll(twoPhase).count() === 0)
   }
+
+  test("bucketized interval join equals the naive range join at several bucket counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // edge shapes on purpose: zero-length intervals, an interval covering
+    // the whole domain, adjacent intervals sharing a boundary, facts at
+    // interval endpoints, keys with no intervals at all
+    val facts = Seq((1L, 0L), (1L, 5L), (1L, 10L), (1L, 99L), (2L, 50L),
+      (3L, 7L)).toDF("k", "pt")
+    val ivs = Seq((1L, 0L, 0L, "a"), (1L, 1L, 10L, "b"), (1L, 10L, 99L, "c"),
+      (2L, 0L, 99L, "d"), (9L, 0L, 99L, "e")).toDF("k", "f", "t", "tag")
+    val naive = facts.join(ivs, facts("k") === ivs("k") &&
+        col("pt") >= col("f") && col("pt") <= col("t"))
+      .select(facts("k"), col("pt"), col("f"), col("t"), col("tag"))
+      .collect().map(_.toSeq).toSet
+    for (buckets <- Seq(1, 3, 4096)) {
+      val got = Scale.intervalJoin(facts, ivs, Seq("k"), "pt", "f", "t", buckets)
+        .select(col("k"), col("pt"), col("f"), col("t"), col("tag"))
+        .collect().map(_.toSeq).toSet
+      assert(got === naive, s"buckets=$buckets")
+    }
+  }
 }
