@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics in the PageRank shape: each superstep is one
+  * join (ranks onto out-edges) plus one aggregation (contributions by
+  * destination), with the iteration state materialized between steps —
+  * the Pregel execution pattern expressed as plain declarative Spark
+  * plans. The graph is part co-purchase: parts are linked when they
+  * appear in the same order.
+  *
+  * Arithmetic is LONG FIXED-POINT (PrScale units) end to end: every
+  * operation is an integer multiply/divide/sum, so the computation is
+  * deterministic BY CONSTRUCTION and the DuckDB oracle can restate the
+  * identical unrolled iterations — no float-summation order hazard, which
+  * is otherwise fatal to cross-engine parity in iterative numeric
+  * algorithms (a double contribution sum is accumulation-order-dependent
+  * and Spark's partial aggregation order is not the oracle's). The
+  * truncation the integer divisions introduce is part of the stated
+  * algorithm, not noise: both engines truncate identically, and the
+  * result approximates real PageRank to ~1e-6 of total mass.
+  *
+  * Scale: edges/degrees/nodes build once (bounded per-order quadratic —
+  * orders hold few distinct parts); each superstep shuffles edges once on
+  * src and once on dst, both SF-scaled keys with no hot node beyond
+  * co-purchase degree; dangling parts (single-item orders only) keep the
+  * teleport mass and drop out of the contribution join. The final top-k
+  * routes through the two-phase bucketed operator.
+  */
+object Graph {
+
+  val PrScale = 1000000000000L // 1e12 fixed-point units of rank mass
+  val PrIters = 5
+  val PrTopK = 100
+
+  def partPagerank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(Scale.materialize)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .transform(Scale.materialize)
+    val nodes = li.select(col("l_partkey").as("p")).distinct()
+      .transform(Scale.materialize)
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .transform(Scale.materialize)
+    var ranks = nodes.join(broadcast(nn))
+      .select(col("p"), expr(s"$PrScale div n_nodes").as("r"))
+      .transform(Scale.materialize)
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(ranks, col("src") === col("p"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("c"))
+      ranks = nodes.join(broadcast(nn))
+        .join(contrib, col("p") === col("dst"), "left_outer")
+        .select(col("p"),
+          (expr(s"(15 * $PrScale) div (100 * n_nodes)") +
+            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .transform(Scale.materialize)
+    }
+    Scale.topKPerGroup(ranks, Seq.empty, Seq(col("r").desc, col("p")),
+        k = PrTopK, saltSrc = col("p"))
+      .select(col("p").as("p_partkey"), col("r").as("rank_fp"),
+        col("rnk").as("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_pagerank" -> partPagerank,
+  )
+
+  /** The identical fixed-point iterations unrolled as chained CTEs — every
+    * `//` is the same integer division the Spark plan's `div` performs on
+    * the same operands, so parity is exact at every step.
+    */
+  private def pagerankOracle: String = {
+    val iters = (1 to PrIters).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS (
+         |  SELECT nodes.p AS p,
+         |    ((15 * $PrScale) // (100 * nn.n)) + (85 * coalesce(cc.c, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS p, CAST(sum(pr.r // deg.d) AS BIGINT) AS c
+         |    FROM e JOIN $prev pr ON e.src = pr.p JOIN deg ON e.src = deg.src
+         |    GROUP BY 1) cc ON cc.p = nodes.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |nodes AS (SELECT DISTINCT l_partkey AS p FROM li),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT p, $PrScale // n AS r FROM nodes, nn),
+       |$iters,
+       |fin AS (SELECT p, r, row_number() OVER (ORDER BY r DESC, p) AS rnk
+       |  FROM it$PrIters)
+       |SELECT p AS p_partkey, r AS rank_fp, rnk AS rank
+       |FROM fin WHERE rnk <= $PrTopK""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "part_pagerank" -> pagerankOracle,
+  )
+}
