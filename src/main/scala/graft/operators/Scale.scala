@@ -42,8 +42,61 @@ object Scale {
   def eventsUserStatsSalted(s: SparkSession, d: String): DataFrame =
     saltedSumCount(Tables.events(s, d), "user_id", "value")
 
+  // ------------------------------------------------------------- z-order
+  /** Multi-dimensional clustering for scan pruning (the Delta/Iceberg
+    * OPTIMIZE ZORDER role): interleave the bits of two dimension ranks so
+    * range-bucketing the single z-value yields files whose min/max
+    * bounding boxes are TIGHT IN BOTH dimensions — a predicate on either
+    * dim prunes most files, where a single-dim sort leaves the other dim
+    * spanning every file. All integer bit arithmetic (shift/mask/or),
+    * identical in both engines; ZorderSpec measures the bounding-box area
+    * vs a time-sorted layout. At 100 TB the dimension values would first
+    * rank-compress into [[ZBits]] bits; here user ids and the hour index
+    * already fit.
+    */
+  val ZBits = 8 // per-dimension bits AFTER rank normalization (256×256 grid)
+  val ZSide = 1 << ZBits
+  val ZFiles = 64
+  val HourUs = 3600000000L
+
+  /** SQL text of the interleaved z-value — built once, used verbatim by
+    * the Spark plan (`expr`) and the DuckDB-equivalent form, so both
+    * engines state the identical 2·ZBits-term integer expression.
+    * Inputs must already be normalized to [0, ZSide): interleaving RAW
+    * values of unequal cardinality degenerates the curve into a
+    * major/minor sort (measured: a 4-bit user dim against a 10-bit hour
+    * dim produced WORSE boxes than a plain hour sort — the dims must
+    * occupy the same bit width for the curve to be genuinely 2-D).
+    */
+  private[graft] def zvalSql(xCol: String, yCol: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"shiftleft(shiftright($xCol, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($yCol, $i) & 1, ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+
+  def eventsZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("ux"),
+        expr(s"unix_micros(ts) div $HourUs").as("h"))
+    val bounds = ev.agg(min(col("h")).as("_h0"), max(col("h")).as("_h1"),
+      min(col("ux")).as("_u0"), max(col("ux")).as("_u1"))
+    val zed = ev.join(broadcast(bounds))
+      .withColumn("hx", expr("h - _h0"))
+      .withColumn("un", expr(s"((ux - _u0) * $ZSide) div (_u1 - _u0 + 1)"))
+      .withColumn("hn", expr(s"(hx * $ZSide) div (_h1 - _h0 + 1)"))
+      .withColumn("z", expr(zvalSql("un", "hn")))
+    val zmax = zed.agg(max(col("z")).as("_zmax"))
+    zed.join(broadcast(zmax))
+      .withColumn("file", expr(s"(z * $ZFiles) div (_zmax + 1)"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ux")).as("u_min"), max(col("ux")).as("u_max"),
+        min(col("hx")).as("h_min"), max(col("hx")).as("h_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_user_stats_salted" -> eventsUserStatsSalted,
+    "events_zorder_layout" -> eventsZorderLayout,
   )
 
   /** The oracle states the plain single-phase semantics — salting is an
@@ -54,6 +107,29 @@ object Scale {
       """SELECT user_id, count(*) AS n,
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total
         |FROM events GROUP BY 1""".stripMargin,
+    // same zval expression text modulo operator spelling: DuckDB has no
+    // shiftleft/shiftright functions, so the bit terms use << / >> with
+    // identical semantics on BIGINT
+    "events_zorder_layout" -> {
+      val zduck = (0 until ZBits).flatMap { i =>
+        Seq(s"((((un >> $i) & 1)) << ${2 * i})",
+          s"((((hn >> $i) & 1)) << ${2 * i + 1})")
+      }.mkString("(", " + ", ")")
+      s"""WITH ev AS (SELECT user_id AS ux, epoch_us(ts) // $HourUs AS h FROM events),
+         |b AS (SELECT min(h) AS h0, max(h) AS h1,
+         |  min(ux) AS u0, max(ux) AS u1 FROM ev),
+         |zed0 AS (SELECT ux, h - b.h0 AS hx,
+         |  ((ux - b.u0) * $ZSide) // (b.u1 - b.u0 + 1) AS un,
+         |  ((h - b.h0) * $ZSide) // (b.h1 - b.h0 + 1) AS hn
+         |  FROM ev, b),
+         |zed AS (SELECT ux, hx, $zduck AS z FROM zed0),
+         |zm AS (SELECT max(z) AS zmax FROM zed)
+         |SELECT (z * $ZFiles) // (zm.zmax + 1) AS file,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ux) AS u_min, max(ux) AS u_max,
+         |  min(hx) AS h_min, max(hx) AS h_max
+         |FROM zed, zm GROUP BY 1""".stripMargin
+    },
   )
 
   /** Two-phase top-k per group: hash-bucket each group's rows, take top-k
