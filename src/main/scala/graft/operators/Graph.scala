@@ -39,23 +39,30 @@ object Graph {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
-    val edges = li.as("a").join(li.as("b"),
+    val edges0 = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
       .transform(Scale.materialize)
     val nodes = li.select(col("l_partkey").as("p")).distinct()
+      .repartition(col("p")) // align once: every superstep's contrib join keys on p
       .transform(Scale.materialize)
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // Degree rides ON the edge list (one row-local `d` per edge), and the
+    // edges are hash-partitioned on src ONCE: the per-superstep rank join
+    // then shuffles only the node-sized rank frame to the edges — the big
+    // edge relation never moves again across all PrIters supersteps
+    // (localCheckpoint preserves the partitioning).
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edges = edges0.join(deg, "src")
+      .repartition(col("src"))
       .transform(Scale.materialize)
     var ranks = nodes.join(broadcast(nn))
       .select(col("p"), expr(s"$PrScale div n_nodes").as("r"))
       .transform(Scale.materialize)
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(ranks, col("src") === col("p"))
-        .join(deg, "src")
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("c"))
       ranks = nodes.join(broadcast(nn))
