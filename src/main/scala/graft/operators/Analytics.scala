@@ -306,6 +306,63 @@ object Analytics {
           floor(col("n_purchase_after_click") / col("n_click_after_view") * 1e4) / 1e4))
   }
 
+  /** ClickHouse `windowFunnel` semantics (the reference's mart engine has
+    * this as a native aggregate): per user, the MAXIMUM funnel level over
+    * ALL view anchors, where the whole chain view → click → purchase must
+    * fit in `(anchor, anchor + window]` with strictly increasing event
+    * times. Differs from `events_funnel` (earliest-anchor, unbounded): a
+    * user whose first view leads nowhere still scores 3 if a LATER view
+    * converts inside the window.
+    *
+    * Greedy-earliest is exact here: taking the EARLIEST qualifying click
+    * maximizes the remaining purchase window, so a chain exists via the
+    * earliest click iff any chain exists — per-anchor level is computed
+    * from two "next event of type X after t" columns, not a per-anchor
+    * event scan.
+    *
+    * Scale: ONE shuffle on user_id drives everything — the two next-event
+    * columns come from a single range-framed window pass (ties at the same
+    * microsecond are safe: the frame is value-based, not row-based), the
+    * anchor→click fetch is an equi-join on the same user_id partitioning,
+    * and the remaining aggs are user-keyed. Per-user cost is O(events ·
+    * log events) sort, never O(anchors × events) — the naive per-anchor
+    * join the ORACLE deliberately uses, making the check structurally
+    * independent.
+    */
+  val FunnelWindowMicros: Long = 2L * 86400 * 1000000 // 2 days
+
+  def eventsWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    // value-based frame: rows with t' > t (strictly after), regardless of
+    // tie order in the sort
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val nexted = ev
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("t"))).over(wNext))
+      .withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("t"))).over(wNext))
+    val anchors = nexted.filter(col("event_type") === "view")
+      .select(col("user_id"), col("t").as("a"),
+        when(col("next_click") <= col("t") + FunnelWindowMicros,
+          col("next_click")).as("s2"))
+    val clicks = nexted.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("s2"),
+        col("next_purchase").as("np"))
+    val levels = anchors.join(clicks, Seq("user_id", "s2"), "left")
+      .withColumn("s3",
+        when(col("np") <= col("a") + FunnelWindowMicros, col("np")))
+      .select(col("user_id"),
+        (lit(1) + when(col("s2").isNotNull, 1).otherwise(0) +
+          when(col("s3").isNotNull, 1).otherwise(0)).as("lvl"))
+      .groupBy(col("user_id")).agg(max(col("lvl")).as("level"))
+    ev.select(col("user_id")).distinct()
+      .join(levels, Seq("user_id"), "left")
+      .groupBy(coalesce(col("level"), lit(0)).as("level"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Cohort retention: day-0 cohort per user → distinct active users per
     * (cohort_day, day_offset).
     */
@@ -784,6 +841,7 @@ object Analytics {
     "events_session_attrib" -> eventsSessionAttrib,
     "events_retention" -> eventsRetention,
     "events_funnel" -> eventsFunnel,
+    "events_window_funnel" -> eventsWindowFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1186,6 +1244,28 @@ object Analytics {
         | CASE WHEN n_click_after_view > 0
         |   THEN floor(CAST(n_purchase_after_click AS DOUBLE) / n_click_after_view * 1e4) / 1e4 END AS conv_purchase
         |FROM j""".stripMargin,
+    // deliberately the NAIVE per-anchor formulation (anchor × events join +
+    // min), structurally independent of the plan's single window pass
+    "events_window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         |v AS (SELECT user_id, t AS a FROM e WHERE event_type = 'view'),
+         |w2 AS (SELECT v.user_id, v.a, min(c.t) AS s2
+         |  FROM v LEFT JOIN e c ON c.user_id = v.user_id
+         |    AND c.event_type = 'click' AND c.t > v.a
+         |    AND c.t <= v.a + ${FunnelWindowMicros}
+         |  GROUP BY 1, 2),
+         |w3 AS (SELECT w2.user_id, w2.a, w2.s2, min(p.t) AS s3
+         |  FROM w2 LEFT JOIN e p ON p.user_id = w2.user_id
+         |    AND p.event_type = 'purchase' AND w2.s2 IS NOT NULL
+         |    AND p.t > w2.s2 AND p.t <= w2.a + ${FunnelWindowMicros}
+         |  GROUP BY 1, 2, 3),
+         |ul AS (SELECT user_id,
+         |    max(1 + (CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+         |          + (CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END)) AS level
+         |  FROM w3 GROUP BY 1),
+         |au AS (SELECT DISTINCT user_id FROM e)
+         |SELECT coalesce(ul.level, 0) AS level, count(*) AS n_users
+         |FROM au LEFT JOIN ul USING (user_id) GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)

@@ -7,6 +7,7 @@ import graft.Tables
 import graft.functions.TextFunctions.{normalize, tokens, detRound}
 import graft.functions.PortableHash._
 import graft.functions.VectorFunctions._
+import graft.functions.NativeVector
 
 /** Document deduplication family: exact, shingle-Jaccard, MinHash+LSH,
   * SimHash, embedding-cosine.
@@ -226,6 +227,63 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshWith(s, d, Bands, RowsPerBand)
 
+  /** Width-capped LSH band buckets → distinct candidate pairs
+    * (doc_a < doc_b) from a signature frame `m(doc_id, mh)` — the blocking
+    * stage shared by the jaccard-verified minhash dedups and the
+    * embedding-verified semantic dedup. Bucket stats are one small row per
+    * OCCUPIED bucket; the semi-join prunes degenerate buckets before any
+    * pairing, so per-bucket pairwork is bounded by `MaxBandWidth`².
+    */
+  private def lshCandidatePairs(m: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bands0 = m.select(col("doc_id"), explode(array((0 until bands).map(k =>
+      struct(lit(k).as("k"),
+        concat_ws(",", slice(col("mh"), k * rowsPerBand + 1, rowsPerBand)).as("sig"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.k").as("k"), col("b.sig").as("sig"))
+    val okBuckets = bands0.groupBy(col("k"), col("sig"))
+      .agg(count(lit(1)).as("bw")).filter(col("bw") <= MaxBandWidth)
+      .select(col("k"), col("sig"))
+    val kept = bands0.join(okBuckets, Seq("k", "sig"), "left_semi")
+    kept.as("a").join(kept.as("b"),
+        col("a.k") === col("b.k") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Cross-modal dedup arbitration: the SAME MinHash-LSH text blocking as
+    * `dedup_minhash_lsh` (band buckets, stop-band cap), but every candidate
+    * pair is scored by embedding cosine over the paired `embeddings` table
+    * (doc_id = vec_id, the TESTDATA contract) INSTEAD of exact Jaccard —
+    * the standard second signal in a training-data dedup stack (lexical
+    * blocking is cheap and high-recall; the embedding score arbitrates
+    * paraphrase-shaped duplicates whose shingle overlap sits below any
+    * lexical τ). The operator emits the score for every candidate; the
+    * keep/drop threshold is downstream policy, deliberately NOT baked in
+    * (on this synthetic corpus embeddings cluster by label, not by text,
+    * so any fixed τ would be either empty or arbitrary — the score column
+    * is the deliverable).
+    *
+    * Scale: candidate volume is the same bounded band join (≤ MaxBandWidth²
+    * pairs per bucket); scoring is two linear id-equi-joins against
+    * embeddings plus a codegen'd fused dot (`NativeVector.cosine`) — no new
+    * quadratic surface, no driver participation, and the 64-dim payloads
+    * only ride the two final id-keyed exchanges, never the band shuffle.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
+    val m = minhashSignatures(postings)
+    val pairs = lshCandidatePairs(m, Bands, RowsPerBand)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    pairs
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        detRound(NativeVector.cosine(col("va"), col("vb")), 6).as("cos"))
+  }
+
   /** The banding pipeline, parametric in (bands, rowsPerBand) — shared by
     * the fixed default and the auto-tuned config.
     */
@@ -240,21 +298,7 @@ object Dedup {
     // m feeds four subtrees (band stats, band pairing, and both est sides):
     // materialize the signature agg once instead of recomputing it per use
     val m = minhashSignatures(postings, numHashes).transform(Scale.materialize)
-    val bands0 = m.select(col("doc_id"), explode(array((0 until bands).map(k =>
-      struct(lit(k).as("k"),
-        concat_ws(",", slice(col("mh"), k * rowsPerBand + 1, rowsPerBand)).as("sig"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.k").as("k"), col("b.sig").as("sig"))
-    // width-capped buckets: bucket stats are one small row per OCCUPIED
-    // bucket; the semi-join prunes degenerate buckets before any pairing
-    val okBuckets = bands0.groupBy(col("k"), col("sig"))
-      .agg(count(lit(1)).as("bw")).filter(col("bw") <= MaxBandWidth)
-      .select(col("k"), col("sig"))
-    val kept = bands0.join(okBuckets, Seq("k", "sig"), "left_semi")
-    val pairs = kept.as("a").join(kept.as("b"),
-        col("a.k") === col("b.k") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = lshCandidatePairs(m, bands, rowsPerBand)
     // Exact verification: shared-shingle counts for candidate pairs only.
     // No broadcast hint: the candidate-pair set is data-dependent and
     // unbounded at scale — a plain shuffle join lets AQE broadcast it only
@@ -673,6 +717,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_auto" -> dedupMinhashAuto,
+    "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_blocked" -> ((s, d) => BlockedVectors.dedupEmbeddingBlocked(s, d)),
@@ -705,9 +750,14 @@ object Dedup {
     * only when exactly one sf dir tuned in this JVM, so the SQL always
     * restates the exact banding the Spark plan used).
     */
-  private def minhashOracleSql(bands: Int, rowsPerBand: Int): String = {
+  /** The shared blocking CTEs: doc shingles → minhash signatures → capped
+    * band buckets → candidate `pairs(doc_a, doc_b)` — the SQL twin of
+    * `lshCandidatePairs`, shared by the jaccard-verified and the
+    * embedding-verified oracles.
+    */
+  private def lshPairsCte(bands: Int, rowsPerBand: Int): String = {
     val numHashes = bands * rowsPerBand
-    s"""WITH $docShinglesSql,
+    s"""$docShinglesSql,
        |${mhSqlFor(numHashes)},
        |bands AS (SELECT doc_id, k,
        |    array_to_string(list_slice(mh, k*$rowsPerBand+1, k*$rowsPerBand+$rowsPerBand), ',') AS sig
@@ -715,7 +765,12 @@ object Dedup {
        |bw AS (SELECT k, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= $MaxBandWidth),
        |kept AS (SELECT bands.* FROM bands JOIN bw USING (k, sig)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM kept a JOIN kept b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |  FROM kept a JOIN kept b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashOracleSql(bands: Int, rowsPerBand: Int): String = {
+    val numHashes = bands * rowsPerBand
+    s"""WITH ${lshPairsCte(bands, rowsPerBand)},
        |j AS (SELECT doc_a, doc_b, ${jaccSql("ma.shs", "mb.shs")} AS jacc,
        |    CAST(list_sum(list_transform(range(1, ${numHashes + 1}), i ->
        |      CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $numHashes AS est
@@ -751,6 +806,13 @@ object Dedup {
          |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
+    "dedup_semantic" ->
+      s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, ${norm2Sql("v")} AS n2 FROM e),
+         |c AS (SELECT doc_a, doc_b, ${dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
+         |  FROM pairs JOIN en a ON doc_a = a.vec_id JOIN en b ON doc_b = b.vec_id)
+         |SELECT doc_a, doc_b, floor(cos*1e6)/1e6 AS cos FROM c""".stripMargin,
     // structurally independent oracle: brute-force ALL pairs at the radius.
     // The Spark side only ever compares docs sharing a multi-chunk key, so
     // the banding's pigeonhole COMPLETENESS is what this check proves.

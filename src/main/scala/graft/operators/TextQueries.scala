@@ -284,7 +284,40 @@ object TextQueries {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Integer-exact unigram surprisal — "how surprising is this document
+    * under the corpus' own unigram model", the LM-quality signal a
+    * pretraining filter ranks documents by (high = rare-token-heavy or
+    * noise; low = boilerplate). Computed entirely in bit-length fixed
+    * point: info(w) = bitlen(N) − bitlen(cnt(w)) — an integer
+    * ⌊log2(N)⌋−⌊log2(cnt)⌋ surrogate for −log2 p(w) — so cross-engine
+    * parity is EXACT (no transcendental log whose last ulp differs between
+    * java.lang.Math and libm; precedent: part_pagerank's integer
+    * fixed-point).
+    *
+    * Scale: token explode is a linear scan; the vocab agg shuffles one row
+    * per distinct word (Zipf ⇒ small vs corpus); the tokens⟕vocab join is
+    * left to Catalyst/AQE — an aggregated vocab broadcasts at runtime when
+    * it fits, and a Zipf-hot shuffle key falls to AQE skew handling
+    * otherwise (no forced hint, same policy as minhash verification). The
+    * 1-row total is an explicit broadcast (the q22 global-avg pattern).
+    */
+  def textSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), explode(col("toks")).as("w"))
+      .transform(graft.operators.Scale.materialize) // feeds vocab, total, and the join
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("n"))) - length(bin(col("cnt")))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits")).as("surprisal_bits"), count(lit(1)).as("n_toks"))
+      .withColumn("avg_centibits",
+        expr("(100 * surprisal_bits) div n_toks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_surprisal" -> textSurprisal,
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "corpus_clean" -> corpusClean,
@@ -453,6 +486,16 @@ object TextQueries {
          |  FROM sh JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
          |SELECT doc_a, doc_b, shared, floor(containment*1e4)/1e4 AS containment
          |FROM c WHERE containment >= $ContainmentTau""".stripMargin,
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM t)
+         |SELECT doc_id,
+         |  CAST(sum(length(bin(n)) - length(bin(cnt))) AS BIGINT) AS surprisal_bits,
+         |  count(*) AS n_toks,
+         |  (100 * CAST(sum(length(bin(n)) - length(bin(cnt))) AS BIGINT)) // count(*) AS avg_centibits
+         |FROM t JOIN c USING (w) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
     "text_topterms" ->
       s"""WITH t AS (SELECT source, unnest($toksSql) AS term FROM documents),
          |g AS (SELECT source, term, count(*) AS n FROM t GROUP BY 1, 2),
