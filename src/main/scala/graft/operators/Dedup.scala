@@ -536,11 +536,18 @@ object Dedup {
   /** Same fingerprints over any (doc_id, text) frame — lets the streaming
     * gate (StreamSimhashGate) run the identical pipeline on a micro-batch.
     */
-  def simhashFingerprintsOf(docs: DataFrame): DataFrame = {
-    val toksRows = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", hexH(col("tok")))
-    val bitSums = toksRows.groupBy(col("doc_id"))
+  def simhashFingerprintsOf(docs: DataFrame): DataFrame =
+    simhashOf(docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("f"))
+      .withColumn("h", hexH(col("f"))))
+
+  /** 60-bit majority-vote fingerprint from feature-hash rows (doc_id, h) —
+    * feature-agnostic: distinct tokens for text simhash, payload byte
+    * 8-grams for the multimodal pHash stub. One 60-column codegen'd
+    * aggregation, map-side partial.
+    */
+  private[graft] def simhashOf(hRows: DataFrame): DataFrame = {
+    val bitSums = hRows.groupBy(col("doc_id"))
       .agg(sum((col("h") % 2L) * 2L - 1L).as("s0"),
         (1 until 60).map(i =>
           sum((shiftright(col("h"), i) % 2L) * 2L - 1L).as(s"s$i")): _*)
@@ -569,12 +576,11 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("b.t").as("t"), col("b.key").as("key"))
   }
 
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // corpus size for the geometry rule — a parquet-footer count, the same
-    // metadata-only dispatch pattern as dedupEmbedding's kernel choice
-    val n = Tables.documents(s, d).count()
-    val (widths, combos) = simhashGeometry(n)
-    val keyed = simhashKeys(simhashFingerprints(s, d), widths, combos)
+  /** Key-table candidates → hamming-verified distinct pairs. Fingerprint-
+    * agnostic: any (doc_id, sim) 60-bit frame keyed by [[simhashKeys]]
+    * (text simhash here; payload pHash in Multimodal.mmPhashNeardup).
+    */
+  private[graft] def simhashPairs(keyed: DataFrame): DataFrame =
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -584,6 +590,13 @@ object Dedup {
       // far pairs never enter the dedup exchange
       .filter(col("hamming") <= SimhashRadius)
       .distinct()
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // corpus size for the geometry rule — a parquet-footer count, the same
+    // metadata-only dispatch pattern as dedupEmbedding's kernel choice
+    val n = Tables.documents(s, d).count()
+    val (widths, combos) = simhashGeometry(n)
+    simhashPairs(simhashKeys(simhashFingerprints(s, d), widths, combos))
   }
 
   // ------------------------------------------------------------ clustering

@@ -99,6 +99,41 @@ object Multimodal {
         count(lit(1)).as("n_dups"),
         sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
 
+  /** Perceptual-hash near-dup over media payloads — the image/video analog
+    * of text simhash. The fingerprint is a LOCALITY-SENSITIVE stub: a
+    * 60-bit majority-vote simhash over the payload's distinct rolling byte
+    * 8-grams, so payloads with mostly-shared content land at small hamming
+    * distance (a content hash would only ever find byte-exact copies —
+    * trivially empty next to mm_dedup_exact). This is the decode seam: a
+    * real deployment swaps the 8-gram features for decoder-derived ones
+    * (DCT coefficients of pixels), while everything downstream — the
+    * corpus-parametric Manku multi-chunk key tables and the hamming ≤ r
+    * verify — is modality-independent and exactly the machinery proven
+    * complete (pigeonhole, DedupSpec) on text simhash.
+    *
+    * Scale: the 8-gram explode is ~8× byte amplification feeding one
+    * map-side-partial 60-column aggregation — linear, no shuffle beyond
+    * the per-doc agg (a real pHash decode costs more per byte); the pair
+    * stage is the bounded key-table join. The oracle is the structurally
+    * independent brute-force: ALL fingerprint pairs at hamming ≤ r —
+    * proving the key tables lose nothing.
+    */
+  def mmPhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    val (widths, combos) = Dedup.simhashGeometry(n)
+    // distinct rolling 8-grams (shorter payloads fall back to the whole
+    // payload as one feature, the shingleSet convention)
+    val grams = withPayload(s, d).select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(octet_length(col("payload")) - 7, lit(1))),
+        i => col("payload").substr(i, lit(8))))).as("f"))
+      .withColumn("h", graft.functions.PortableHash.hexH(col("f")))
+    val ph = Dedup.simhashOf(grams.select(col("doc_id"), col("h")))
+    Dedup.simhashPairs(Dedup.simhashKeys(ph, widths, combos))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
   /** Per-kind media rollup — the dataset card for the binary side: volume,
     * bytes, dedup rate, stub-decoded dimension means (floor-rounded).
     */
@@ -137,11 +172,31 @@ object Multimodal {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_dedup_exact" -> mmDedupExact,
+    "mm_phash_neardup" -> mmPhashNeardup,
     "mm_kind_stats" -> mmKindStats,
     "mm_pack" -> mmPack,
   )
 
   val oracles: Map[String, String] = Map(
+    // structurally independent: brute-force ALL pairs at the radius (the
+    // dedup_simhash oracle pattern) — proves the key tables lose nothing.
+    // ASCII payloads make DuckDB's char-based substr byte-identical to
+    // Spark's binary substr.
+    "mm_phash_neardup" ->
+      s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(octet_length(CAST(text AS BLOB)) - 7, 1) + 1),
+         |    i -> substr(text, CAST(i AS INT), 8))) AS gs FROM documents),
+         |hb AS (SELECT doc_id,
+         |  list_transform(gs, gk -> ${graft.functions.PortableHash.hexHSql("gk")}) AS hts FROM g),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(range(0, 60), i ->
+         |    CASE WHEN list_sum(list_transform(hts, h -> ((h >> i) & 1)*2 - 1)) > 0
+         |         THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS sim
+         |  FROM hb)
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |  bit_count(xor(a.sim, b.sim)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= ${Dedup.SimhashRadius}""".stripMargin,
     "mm_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
