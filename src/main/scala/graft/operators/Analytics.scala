@@ -320,29 +320,39 @@ object Analytics {
     * from two "next event of type X after t" columns, not a per-anchor
     * event scan.
     *
-    * Scale: ONE shuffle on user_id drives everything — the two next-event
-    * columns come from a single range-framed window pass (ties at the same
-    * microsecond are safe: the frame is value-based, not row-based), the
-    * anchor→click fetch is an equi-join on the same user_id partitioning,
-    * and the remaining aggs are user-keyed. Per-user cost is O(events ·
-    * log events) sort, never O(anchors × events) — the naive per-anchor
-    * join the ORACLE deliberately uses, making the check structurally
-    * independent.
+    * Scale: every shuffle is LINEAR in the event count — one user_id
+    * exchange feeds the single range-framed window pass computing both
+    * next-event columns (value-based frame, so microsecond ties are safe),
+    * then the anchor→click fetch is a plain (user_id, t) equi-join of two
+    * window-pass projections, and the level aggs are user-keyed. Per-user
+    * cost is O(events · log events) sort, never O(anchors × events) — the
+    * naive per-anchor join the ORACLE deliberately uses, making the check
+    * structurally independent.
     */
   val FunnelWindowMicros: Long = 2L * 86400 * 1000000 // 2 days
 
-  def eventsWindowFunnel(s: SparkSession, d: String): DataFrame = {
+  /** The single window pass: every event row learns the next click and next
+    * purchase strictly after it (value-based desc range frame — tie-safe at
+    * equal microseconds). Exposed for the PlanSpec pin; the funnel
+    * materializes it once because BOTH the anchor and the click branch
+    * consume it (the minhash-signatures policy).
+    */
+  private[graft] def windowFunnelNexted(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
-    // value-based frame: rows with t' > t (strictly after), regardless of
-    // tie order in the sort
     val wNext = Window.partitionBy(col("user_id")).orderBy(col("t").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
-    val nexted = ev
-      .withColumn("next_click",
-        min(when(col("event_type") === "click", col("t"))).over(wNext))
-      .withColumn("next_purchase",
-        min(when(col("event_type") === "purchase", col("t"))).over(wNext))
+    // one select, both columns: chained withColumn would interleave
+    // Projects and defeat CollapseWindow into two Window operators
+    ev.select(col("user_id"), col("event_type"), col("t"),
+      min(when(col("event_type") === "click", col("t"))).over(wNext)
+        .as("next_click"),
+      min(when(col("event_type") === "purchase", col("t"))).over(wNext)
+        .as("next_purchase"))
+  }
+
+  def eventsWindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val nexted = windowFunnelNexted(s, d).transform(Scale.materialize)
     val anchors = nexted.filter(col("event_type") === "view")
       .select(col("user_id"), col("t").as("a"),
         when(col("next_click") <= col("t") + FunnelWindowMicros,
@@ -357,7 +367,7 @@ object Analytics {
         (lit(1) + when(col("s2").isNotNull, 1).otherwise(0) +
           when(col("s3").isNotNull, 1).otherwise(0)).as("lvl"))
       .groupBy(col("user_id")).agg(max(col("lvl")).as("level"))
-    ev.select(col("user_id")).distinct()
+    nexted.select(col("user_id")).distinct()
       .join(levels, Seq("user_id"), "left")
       .groupBy(coalesce(col("level"), lit(0)).as("level"))
       .agg(count(lit(1)).as("n_users"))

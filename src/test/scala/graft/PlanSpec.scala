@@ -31,9 +31,59 @@ class PlanSpec extends AnyFunSuite {
 
   test("blocked dedup plans contain no cartesian product") {
     for (q <- Seq(Dedup.dedupNgramJaccard(spark, sf), Dedup.dedupMinhashLsh(spark, sf),
-        Dedup.dedupSimhash(spark, sf), Dedup.dedupMinhashAuto(spark, sf))) {
+        Dedup.dedupSimhash(spark, sf), Dedup.dedupMinhashAuto(spark, sf),
+        Dedup.dedupSemantic(spark, sf),
+        graft.operators.Multimodal.mmPhashNeardup(spark, sf))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("window funnel is a value-framed window pass, not a per-anchor scan") {
+    // the shared pass: ONE Window operator computes both next-event
+    // columns, value-based (tie-safe) frame
+    val np = plan(Analytics.windowFunnelNexted(spark, sf))
+    assert(np.contains("RangeFrame") || np.contains("RANGE BETWEEN"), np)
+    assert(np.linesIterator.count(_.contains("Window [")) == 1, np)
+    // and the full funnel never falls back to a per-anchor event scan
+    val p = plan(Analytics.eventsWindowFunnel(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("Window [")) <= 1, p)
+  }
+
+  test("text_surprisal aggregates map-side before both shuffles") {
+    val p = plan(graft.operators.TextQueries.textSurprisal(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter prunes a fact scan behind a selective dim filter") {
+    // The 100 TB mechanism: a shuffle join whose build side carries a
+    // selective filter gets a bloom filter injected on the probe scan
+    // (Catalyst InjectRuntimeFilter). Size thresholds hide it at test
+    // scale — lower them to prove our declarative join shapes ADMIT it
+    // (an RDD/imperative formulation would not).
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf)
+      val p = plan(l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count())
+      assert(p.toLowerCase.contains("might_contain"),
+        "expected an injected bloom filter on the fact side:\n" + p.take(1500))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
     }
   }
 
