@@ -118,9 +118,10 @@ object Multimodal {
     * independent brute-force: ALL fingerprint pairs at hamming ≤ r —
     * proving the key tables lose nothing.
     */
-  def mmPhashNeardup(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.documents(s, d).count()
-    val (widths, combos) = Dedup.simhashGeometry(n)
+  /** The stub pHash fingerprints (doc_id, sim) — shared by the pair query
+    * and the ScaleStress bucket audit.
+    */
+  private[graft] def phashFingerprints(s: SparkSession, d: String): DataFrame = {
     // distinct rolling 8-grams (shorter payloads fall back to the whole
     // payload as one feature, the shingleSet convention)
     val grams = withPayload(s, d).select(col("doc_id"),
@@ -128,8 +129,14 @@ object Multimodal {
         sequence(lit(1), greatest(octet_length(col("payload")) - 7, lit(1))),
         i => col("payload").substr(i, lit(8))))).as("f"))
       .withColumn("h", graft.functions.PortableHash.hexH(col("f")))
-    val ph = Dedup.simhashOf(grams.select(col("doc_id"), col("h")))
-    Dedup.simhashPairs(Dedup.simhashKeys(ph, widths, combos))
+    Dedup.simhashOf(grams.select(col("doc_id"), col("h")))
+  }
+
+  def mmPhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    val (widths, combos) = Dedup.simhashGeometry(n)
+    Dedup.simhashPairs(
+      Dedup.simhashKeys(phashFingerprints(s, d), widths, combos))
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
   }

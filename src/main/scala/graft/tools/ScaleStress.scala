@@ -96,6 +96,18 @@ object ScaleStress {
     val prof = Dedup.sampledProfile(spark, d)
     println(f"jaccard auto-tune: tau=${Dedup.jaccTunedTau(spark, d)}%.2f " +
       f"meanDf=${prof.meanDf}%.3f (dispatch<=${Dedup.JaccDfDispatch}: plain join)")
+
+    // round-5 structures: the phash key tables reuse the simhash geometry
+    // over byte-8-gram fingerprints — same saturation question, different
+    // fingerprint distribution; semantic arbitration scores the SAME
+    // minhash candidate set (pair volume identical to the band join)
+    val phKeyed = Dedup.simhashKeys(
+      graft.operators.Multimodal.phashFingerprints(spark, d), widths, combos)
+    widthStats(phKeyed.groupBy(col("t"), col("key")).agg(count(lit(1)).as("w")),
+      "phash key buckets")
+    val sem = graft.operators.Dedup.dedupSemantic(spark, d).count()
+    val ph = graft.operators.Multimodal.mmPhashNeardup(spark, d).count()
+    println(s"dedup_semantic scored candidates=$sem mm_phash pairs(h<=${Dedup.SimhashRadius})=$ph")
     spark.stop()
   }
 }
