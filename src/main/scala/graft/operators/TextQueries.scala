@@ -284,6 +284,59 @@ object TextQueries {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Exact substring-span duplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr policy,
+    * re-expressed relationally): a K-token window is duplicated when its
+    * token string occurs more than once anywhere in the corpus (another
+    * document OR another position of the same document). Per affected doc:
+    * the number of duplicated windows and the fraction of token positions
+    * covered by the union of those windows — the span a training pipeline
+    * would cut. K = 12 ≈ a quarter of the mean synthetic doc (the paper
+    * uses 50 BPE tokens at web scale); the probe at sf0.01 shows 1.9k dup
+    * windows over 45 docs at this K, so the op has real signal here.
+    *
+    * Scale: this is the one dedup flavor that is INHERENTLY linear — no
+    * candidate pairs exist anywhere in the plan. Window rows shuffle once
+    * by gram for the occurrence count (a boilerplate gram with df = 10⁶
+    * contributes 10⁶ linear rows, never df²; AQE skew-splits the hot
+    * key), then once by doc_id for the two per-doc aggregations. Gram
+    * rows build with posexplode + window `lead` (the measured
+    * decontaminate convention — nested HOF slicing was 4× slower).
+    * Suffix arrays (the paper's tool) find variable-length maximal
+    * repeats; fixed-K windows find the same spans ≥ K at 1/K the index
+    * size, the right trade on a shared-nothing engine.
+    */
+  val SubstrK = 12
+
+  def textSubstrDedup(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("n_tokens") >= SubstrK)
+      .select(col("doc_id"), col("n_tokens"), col("toks"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var g = base.select(col("doc_id"), col("n_tokens"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    for (i <- 1 until SubstrK) g = g.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    val grams = g.filter(col(s"t${SubstrK - 1}").isNotNull)
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        concat_ws(" ", col("tok") +: (1 until SubstrK).map(i => col(s"t$i")): _*).as("gram"))
+    // occurrence count via a window over the gram partition: one linear
+    // shuffle by gram, no postings self-join. Materialized once — both
+    // per-doc aggregations below read the filtered window rows.
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+      .transform(Scale.materialize)
+    val perDoc = dup.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("dup_windows"))
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SubstrK - 1))).as("tpos"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("tpos")).as("covered"))
+    perDoc.join(covered, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_windows"), col("covered"),
+        detRound(col("covered").cast("double") / col("n_tokens"), 4).as("dup_frac"))
+  }
+
   /** Integer-exact unigram surprisal — "how surprising is this document
     * under the corpus' own unigram model", the LM-quality signal a
     * pretraining filter ranks documents by (high = rare-token-heavy or
@@ -317,6 +370,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_substr_dedup" -> textSubstrDedup,
     "text_surprisal" -> textSurprisal,
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
@@ -358,6 +412,22 @@ object TextQueries {
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_substr_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= $SubstrK),
+         |w AS (SELECT doc_id, n_tokens,
+         |    unnest(range(0, n_tokens - ${SubstrK - 1})) AS pos,
+         |    unnest(list_transform(range(0, n_tokens - ${SubstrK - 1}),
+         |      i -> array_to_string(list_slice(toks, i+1, i+$SubstrK), ' '))) AS gram
+         |  FROM b),
+         |o AS (SELECT doc_id, n_tokens, pos, count(*) OVER (PARTITION BY gram) AS occ FROM w),
+         |dw AS (SELECT doc_id, n_tokens, pos FROM o WHERE occ > 1),
+         |agg AS (SELECT doc_id, n_tokens, count(*) AS dup_windows FROM dw GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, count(DISTINCT tpos) AS covered FROM
+         |  (SELECT doc_id, unnest(range(pos, pos + $SubstrK)) AS tpos FROM dw) GROUP BY 1)
+         |SELECT doc_id, n_tokens, dup_windows, covered,
+         |  floor(CAST(covered AS DOUBLE) / n_tokens * 1e4)/1e4 AS dup_frac
+         |FROM agg JOIN cov USING (doc_id)""".stripMargin,
     "text_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |raw AS (SELECT doc_id,

@@ -175,4 +175,32 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(naive === auto)
   }
+
+  test("substring dedup: whole-doc exact duplicates have full span coverage") {
+    import graft.operators.TextQueries
+    val sub = TextQueries.textSubstrDedup(spark, sf)
+      .select("doc_id", "n_tokens", "dup_windows", "covered", "dup_frac")
+    val rows = sub.collect()
+    assert(rows.nonEmpty, "synthetic corpus has dup families; substr dedup must fire")
+    rows.foreach { r =>
+      val (n, dw, cov) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(cov <= n && dw <= n - TextQueries.SubstrK + 1,
+        s"doc ${r.getLong(0)}: coverage/window bounds violated")
+    }
+    // Cross-op invariant: a doc in an exact-dup group (and long enough to
+    // have windows) shares EVERY window with its twin → dup_frac = 1.0.
+    val exactDups = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(graft.functions.TextFunctions.normalize(col("text"))).as("fp"))
+      .withColumn("n_dups", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("n_dups") > 1).select("doc_id")
+    val flagged = sub.filter(col("dup_frac") === 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twins = exactDups.join(
+        TextQueries.textSubstrDedup(spark, sf).select("doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(twins.subsetOf(flagged),
+      s"exact-duplicate docs missing full coverage: ${twins -- flagged}")
+  }
 }
