@@ -39,28 +39,32 @@ object Graph {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
-    val edges0 = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-      .transform(Scale.materialize)
     val nodes = li.select(col("l_partkey").as("p")).distinct()
       .repartition(col("p")) // align once: every superstep's contrib join keys on p
       .transform(Scale.materialize)
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
-    // Degree rides ON the edge list (one row-local `d` per edge), and the
-    // edges are hash-partitioned on src ONCE: the per-superstep rank join
-    // then shuffles only the node-sized rank frame to the edges — the big
-    // edge relation never moves again across all PrIters supersteps
-    // (localCheckpoint preserves the partitioning).
-    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val edges = edges0.join(deg, "src")
-      .repartition(col("src"))
+    // Degree rides ON the edge list as a window count over the src
+    // partition — the same shuffle that hash-partitions the edges on src,
+    // so one pass builds (src, dst, d) already laid out for the loop: the
+    // per-superstep rank join then moves only the node-sized rank frame
+    // and the big edge relation never travels again across all PrIters
+    // supersteps (localCheckpoint preserves the partitioning). This fuses
+    // the former build (distinct → materialize → degree agg → join →
+    // repartition → materialize) into a single materialized pass — one
+    // fewer full scan of the edge relation, which is the term that
+    // dominates at cluster scale.
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .transform(Scale.materialize)
+    // Rank init is one map over the materialized nodes — no checkpoint of
+    // its own (lineage depth 1; superstep 1 reads it once).
     var ranks = nodes.join(broadcast(nn))
       .select(col("p"), expr(s"$PrScale div n_nodes").as("r"))
-      .transform(Scale.materialize)
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(ranks, col("src") === col("p"))
         .groupBy(col("dst"))
