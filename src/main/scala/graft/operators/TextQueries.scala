@@ -369,7 +369,73 @@ object TextQueries {
         expr("(100 * surprisal_bits) div n_toks"))
   }
 
+  /** CCNet-style quality tiers (Wenzek et al., 2020): per language, rank
+    * documents by model surprisal and cut the corpus into head / middle /
+    * tail thirds — the standard pretraining-data quality triage. The
+    * "model" is the corpus-unigram surprisal of [[textSurprisal]] (integer
+    * fixed point, so ordering is engine-exact); ranking is by
+    * (avg_centibits asc, doc_id) — lowest surprisal = most fluent = head.
+    *
+    * The oracle states it as plain `ntile(3) OVER (PARTITION BY lang ORDER
+    * BY ...)`. The Spark plan does NOT: a per-language ntile window puts an
+    * entire language's corpus in one reducer partition — the single-node
+    * sort this repo bans everywhere else. Instead the exact rank is
+    * assembled from three bounded pieces (the [[Scale.prefixSum]] design
+    * applied to ranking):
+    *   1. value-level cumulative offsets — a window over the AGGREGATED
+    *      (lang, value) frame, rows = distinct surprisal values per
+    *      language (bounded by value granularity, not corpus size);
+    *   2. tie ranks within (lang, value, doc_id div 4096) — partitions
+    *      hold ≤ 4096 doc ids BY CONSTRUCTION, whatever the tie width;
+    *   3. per-(lang, value) bucket offsets — a window over the per-bucket
+    *      counts (≤ n/4096 aggregated rows).
+    * rank = value offset + tie-bucket offset + in-bucket rank, then the
+    * ntile group arithmetic (first n%3 groups get one extra row) computed
+    * in integer `div`/`%` — identical in both engines.
+    */
+  val TierBuckets = 3
+  val TieBucket = 4096L
+
+  def textCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val x = textSurprisal(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("avg_centibits"))
+      .transform(Scale.materialize) // feeds totals, value counts, tie ranks
+    val totals = x.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val voff = x.groupBy(col("lang"), col("avg_centibits"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_centibits"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("avg_centibits"), col("off"))
+    val tb = x.withColumn("tb", expr(s"doc_id div $TieBucket"))
+    val boff = tb.groupBy(col("lang"), col("avg_centibits"), col("tb"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(sum(col("bc")).over(
+        Window.partitionBy(col("lang"), col("avg_centibits")).orderBy(col("tb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("avg_centibits"), col("tb"), col("boff"))
+    tb.withColumn("tr", row_number().over(
+        Window.partitionBy(col("lang"), col("avg_centibits"), col("tb"))
+          .orderBy(col("doc_id"))))
+      .join(boff, Seq("lang", "avg_centibits", "tb"))
+      .join(voff, Seq("lang", "avg_centibits"))
+      .join(broadcast(totals), "lang")
+      .withColumn("p", col("off") + col("boff") + col("tr") - 1) // 0-based rank
+      .withColumn("bucket",
+        when(col("p") < (expr(s"n div $TierBuckets") + 1) * (col("n") % TierBuckets),
+          expr(s"p div (n div $TierBuckets + 1)") + 1)
+        .otherwise(col("n") % TierBuckets +
+          expr(s"(p - (n div $TierBuckets + 1) * (n % $TierBuckets)) div (n div $TierBuckets)") + 1))
+      .select(col("doc_id"), col("lang"), col("avg_centibits"),
+        col("bucket").cast("int").as("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ccnet_buckets" -> textCcnetBuckets,
     "text_substr_dedup" -> textSubstrDedup,
     "text_surprisal" -> textSurprisal,
     "text_decontaminate" -> textDecontaminate,
@@ -412,6 +478,21 @@ object TextQueries {
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         |nt AS (SELECT count(*) AS nn FROM t),
+         |sur AS (SELECT doc_id,
+         |    (100 * CAST(sum(length(bin(nn)) - length(bin(cnt))) AS BIGINT)) // count(*) AS avg_centibits
+         |  FROM t JOIN c USING (w) CROSS JOIN nt GROUP BY doc_id),
+         |x AS (SELECT d.doc_id, d.lang, sur.avg_centibits
+         |  FROM documents d JOIN sur ON d.doc_id = sur.doc_id),
+         |b AS (SELECT doc_id, lang, avg_centibits,
+         |    ntile($TierBuckets) OVER (PARTITION BY lang ORDER BY avg_centibits, doc_id) AS bucket
+         |  FROM x)
+         |SELECT doc_id, lang, avg_centibits, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM b""".stripMargin,
     "text_substr_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t WHERE len(toks) >= $SubstrK),

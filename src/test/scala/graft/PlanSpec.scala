@@ -51,6 +51,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Window [")) <= 1, p)
   }
 
+  test("ccnet tiers: exact ntile without a corpus-sized window partition") {
+    val p = plan(graft.operators.TextQueries.textCcnetBuckets(spark, sf))
+    // the oracle's per-lang ntile must NOT leak into the plan (a lang-only
+    // window over raw docs puts a whole language on one reducer)
+    assert(!p.contains("ntile"), p)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach { l =>
+      val aggregatedInput = l.contains("sum(c#") || l.contains("sum(bc#")
+      val multiKey =
+        """windowspecdefinition\(lang#\d+, avg_centibits#""".r.findFirstIn(l).isDefined
+      assert(aggregatedInput || multiKey,
+        s"window partitioned on a corpus-sized key set: $l")
+    }
+  }
+
   test("text_surprisal aggregates map-side before both shuffles") {
     val p = plan(graft.operators.TextQueries.textSurprisal(spark, sf))
     assert(p.contains("partial_count") || p.contains("partial_"), p)
