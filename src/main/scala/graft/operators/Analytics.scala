@@ -192,6 +192,27 @@ object Analytics {
   def eventsHourly(s: SparkSession, d: String): DataFrame =
     hourlyAgg(Tables.events(s, d))
 
+  /** Equi-width value histogram per event type (the ClickHouse `histogram`
+    * dashboard shape, with FIXED deterministic bins rather than adaptive
+    * ones — adaptive bin edges depend on accumulation order and can't be
+    * engine-exact). 20 bins of width 25 cover the value domain; the last
+    * bin clamps the tail. One map-side-partial aggregation over the scan;
+    * output is bounded at types × bins rows at any corpus size.
+    */
+  val HistWidth = 25.0
+  val HistBins = 20
+
+  def eventsHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bin",
+        least(floor(col("value") / HistWidth), lit(HistBins - 1.0)).cast("int"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin") * HistWidth).cast("double").as("lo"),
+        ((col("bin") + 1) * HistWidth).cast("double").as("hi"),
+        col("n"))
+
   /** Volume-anomaly detection over hourly event counts: flag hours outside
     * the Tukey fences (p25/p75 ± 1.5·IQR). Exact interpolated percentiles,
     * NOT mean/stddev z-scores — quantiles of integer counts are dyadic
@@ -845,6 +866,7 @@ object Analytics {
     "top_customers" -> topCustomers,
     "customer_ltv" -> customerLtv,
     "events_hourly" -> eventsHourly,
+    "events_histogram" -> eventsHistogram,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
@@ -1181,6 +1203,13 @@ object Analytics {
       """SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_histogram" ->
+      s"""WITH b AS (SELECT event_type,
+         |    CAST(least(floor(value / $HistWidth), ${HistBins - 1}) AS INT) AS bin
+         |  FROM events)
+         |SELECT event_type, bin, CAST(bin * $HistWidth AS DOUBLE) AS lo,
+         |  CAST((bin + 1) * $HistWidth AS DOUBLE) AS hi, count(*) AS n
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "events_hourly_anomaly" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
         |    count(*) AS n_events
