@@ -157,6 +157,22 @@ object CdcQueries {
       .unionByName(summarize("part", part, "price"))
   }
 
+  /** Schema evolution: the topic's payload gained a column mid-stream
+    * (CdcSim.evolvedChangelog — v1 creates without `status`, v2
+    * updates/deletes with it). One `from_json` under the NEWEST schema
+    * reads both generations — a missing key parses as null, exactly the
+    * null backfill a warehouse applies to pre-DDL rows — and the snapshot
+    * then works unchanged. `schema_v` marks which generation each key's
+    * LATEST event came from (fields-present heuristic; a real Debezium
+    * feed also carries a registry id). Old-schema keys survive with null
+    * status — they are not dropped, not defaulted, not errors.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame =
+    CdcOps.snapshotLatest(
+        Envelope.parse(CdcSim.evolvedChangelog(s, d), CdcSim.payloadSchema),
+        Seq("id"), "ts_ms", Seq("custkey", "price", "status"))
+      .withColumn("schema_v", when(col("status").isNull, 1).otherwise(2))
+
   /** Malformed-envelope handling: a real CDC feed carries broken messages;
     * `from_json` yields a null struct for them, so validity splits on a
     * null `op`. Deterministic garbage (one line per orders key %17==0)
@@ -189,6 +205,7 @@ object CdcQueries {
     "cdc_del_dup_guard" -> delDupGuard,
     "cdc_multi_table_snapshot" -> multiTableSnapshot,
     "cdc_malformed_stats" -> malformedStats,
+    "cdc_schema_evolution" -> schemaEvolution,
   )
 
   private val C = CdcSim.oracleCtes
@@ -202,6 +219,16 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_parse_envelope" -> s"$C\nSELECT op, id, custkey, price, status, ts_ms, sign FROM ev",
+    "cdc_schema_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_custkey AS custkey, o_totalprice AS price,
+        |         o_orderstatus AS st, epoch_ms(o_orderdate) AS ts0
+        |  FROM orders)
+        |SELECT id, custkey, price,
+        |  CASE WHEN st <> 'O' THEN st ELSE NULL END AS status,
+        |  CASE WHEN st <> 'O' THEN ts0 + 86400000 ELSE ts0 END AS ts_ms,
+        |  CASE WHEN st <> 'O' THEN 2 ELSE 1 END AS schema_v
+        |FROM base WHERE id % 10 <> 0""".stripMargin,
     "cdc_snapshot_latest" -> snapshotOracle,
     "cdc_snapshot_stream" -> snapshotOracle,
     "cdc_snapshot_asof" ->

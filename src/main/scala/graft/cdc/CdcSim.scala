@@ -71,6 +71,35 @@ object CdcSim {
   def parsedChangelog(s: SparkSession, d: String): DataFrame =
     Envelope.parse(ordersChangelog(s, d), payloadSchema)
 
+  /** The orders topic with a MID-STREAM SCHEMA CHANGE (Debezium after
+    * `ALTER TABLE ADD COLUMN status`): every create is emitted under the
+    * v1 payload {id, custkey, price} — no `status` key in the JSON at all —
+    * while the later updates and deletes carry the v2 payload with
+    * `status`. The mixed log is what a real topic contains after an
+    * upstream DDL; the consumer must keep reading both generations.
+    */
+  def evolvedChangelog(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("custkey"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("st"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ts0"))
+    val v1 = struct(col("id"), col("custkey"), col("price"))
+    def v2(status: org.apache.spark.sql.Column) =
+      struct(col("id"), col("custkey"), col("price"), status.as("status"))
+    val creates = base.select(to_json(struct(
+      v1.as("after"), lit("c").as("op"), col("ts0").as("ts_ms"))).as("value"))
+    val updates = base.filter(col("st") =!= "O").select(to_json(struct(
+      v2(col("st")).as("after"), lit("u").as("op"),
+      (col("ts0") + DAY_MS).as("ts_ms"))).as("value"))
+    val lastStatus = when(col("st") =!= "O", col("st")).otherwise(lit(null))
+    val deletes = base.filter(col("id") % 10 === 0).select(to_json(struct(
+      v2(lastStatus).as("before"), lit("d").as("op"),
+      (col("ts0") + 2 * DAY_MS).as("ts_ms"))).as("value"))
+    creates.unionByName(updates).unionByName(deletes)
+  }
+
   // ------------------------------------------------------------------------
   // Heterogeneous-schema topics — the reference runs four concurrent streams
   // with four distinct payload shapes (cdc_processor.py:16-47,139-142); these

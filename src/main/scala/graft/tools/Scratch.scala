@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.cdc.CdcQueries
+import graft.operators.Multimodal
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
@@ -16,10 +16,8 @@ object Scratch {
     def reduce(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
     spark.read.parquet(s"$d/region.parquet").count()
-    time("multi_table run1") { reduce(CdcQueries.multiTableSnapshot(spark, d)) }
-    time("multi_table run2") { reduce(CdcQueries.multiTableSnapshot(spark, d)) }
-    time("asof_store run1") { reduce(CdcQueries.snapshotAsOfStore(spark, d)) }
-    time("asof_store run2") { reduce(CdcQueries.snapshotAsOfStore(spark, d)) }
+    time("phash run1") { reduce(Multimodal.mmPhashNeardup(spark, d)) }
+    time("phash run2") { reduce(Multimodal.mmPhashNeardup(spark, d)) }
     spark.stop()
   }
 }
