@@ -108,6 +108,26 @@ object ScaleStress {
     val sem = graft.operators.Dedup.dedupSemantic(spark, d).count()
     val ph = graft.operators.Multimodal.mmPhashNeardup(spark, d).count()
     println(s"dedup_semantic scored candidates=$sem mm_phash pairs(h<=${Dedup.SimhashRadius})=$ph")
+
+    // round-5b structures: substr-dedup gram occurrence counts — the
+    // linearity claim is that work is Σ df (never df²), so the evidence is
+    // the df histogram itself; ccnet tie widths bound the only per-row
+    // window by construction (≤ TieBucket rows per partition)
+    val k = TextQueries.SubstrK
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val gramDf = toks.select(explode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("w"))
+    widthStats(gramDf, s"substr ${k}-gram occurrences")
+    val tieWidths = TextQueries.textSurprisal(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tb", expr(s"doc_id div ${TextQueries.TieBucket}"))
+      .groupBy(col("lang"), col("avg_centibits"), col("tb"))
+      .agg(count(lit(1)).as("w"))
+    widthStats(tieWidths, "ccnet tie-rank partitions")
     spark.stop()
   }
 }
