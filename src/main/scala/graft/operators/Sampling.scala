@@ -121,8 +121,50 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Temperature-flattened language resampling (the mT5 / UniMax
+    * multilingual practice): keep each language with probability chosen so
+    * the sample's language distribution ∝ n_l^(1/T), T = 2 — rare
+    * languages keep everything, dominant ones are downsampled toward the
+    * flattened share. Target weight w_l = ⌊√n_l⌋: IEEE-754 requires sqrt
+    * to be CORRECTLY ROUNDED (unlike log/exp), so ⌊sqrt⌋ of a count is
+    * engine-exact — the one transcendental-adjacent function this repo's
+    * parity discipline permits. Rates scale so the most over-demanded
+    * language is fully consumed (rate 1, no upsampling) and acceptance is
+    * the same integer cross-multiplication as [[sampleMixture]] — no
+    * float-division boundary, membership stable across runs and layouts.
+    * Output: per-language kept counts against the originals (the rate
+    * table a pipeline records next to the sampled corpus).
+    *
+    * Scale: identical to sampleMixture — a language-count aggregate, a
+    * 1-row binding selection, broadcast join + per-row filter, then the
+    * same 5-row rollup.
+    */
+  val Temp = 2
+
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val binding = rates
+      .orderBy((col("w").cast("double") / col("n")).desc, col("lang"))
+      .limit(1).select(col("w").as("wb"), col("n").as("nb"))
+    val kept = docs.join(broadcast(rates), "lang")
+      .join(broadcast(binding))
+      .filter(
+        (hexH(concat(lit("temp:"), col("doc_id"))) % 1000000L) * (col("wb") * col("n"))
+          < col("w") * col("nb") * 1000000L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    counts.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n").as("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (floor(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n") * 1e4) / 1e4)
+          .as("kept_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
+    "sample_temperature" -> sampleTemperature,
     "sample_mixture" -> sampleMixture,
     "sample_split" -> sampleSplit,
     "text_hash_embed" -> textHashEmbed,
@@ -142,6 +184,19 @@ object Sampling {
          |SELECT doc_id, d.lang, source FROM documents d JOIN j ON d.lang = j.lang, b
          |WHERE (${hexHSql("'mix:' || doc_id")} % 1000000) * (wb * j.n)
          |  < j.w * nb * 1000000""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |j AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+         |b AS (SELECT w AS wb, n AS nb FROM j
+         |  ORDER BY CAST(w AS DOUBLE)/n DESC, lang LIMIT 1),
+         |k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM documents d JOIN j ON d.lang = j.lang, b
+         |  WHERE (${hexHSql("'temp:' || doc_id")} % 1000000) * (wb * j.n)
+         |    < j.w * nb * 1000000
+         |  GROUP BY 1)
+         |SELECT j.lang, j.n AS n_docs, coalesce(k.n_kept, 0) AS n_kept,
+         |  floor(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / j.n * 1e4)/1e4 AS kept_rate
+         |FROM j LEFT JOIN k USING (lang)""".stripMargin,
     "sample_split" ->
       s"""WITH b AS (SELECT doc_id, lang, source,
          |    ${hexHSql("'split:' || doc_id")} % 100 AS bucket FROM documents)
