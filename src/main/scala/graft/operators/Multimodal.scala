@@ -141,6 +141,66 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** Cross-modal caption retrieval — the CLIP-role query of a multimodal
+    * training pipeline: embed the media side and the text side into one
+    * space, retrieve each media item's top-k candidate captions, and carry
+    * an `is_self` marker so alignment quality (true caption's rank) is
+    * read straight off the result. The media encoder is the decode-seam
+    * stub: the SAME hashed-feature embedding as `text_hash_embed`, but
+    * computed through a LOSSY channel (every 3rd token dropped) — a
+    * deterministic stand-in for the modality gap; a real deployment swaps
+    * in decoder-derived features and keeps everything downstream.
+    *
+    * Engine-exact by construction: dims are integer hash buckets, dot
+    * products are INTEGER count sums (order-free), norms are sqrt of
+    * integer sums (IEEE sqrt is correctly rounded), so cos =
+    * int_dot / (l2q · l2c) is bit-identical in both engines — no float
+    * accumulation-order hazard anywhere.
+    *
+    * Scale: the query side is a bounded broadcast (NumQueries dense
+    * 64-long vectors); scoring is one linear pass over corpus embeddings
+    * with a codegen'd zip_with fold; top-k is the two-phase bucketed
+    * operator. The corpus-scale path for all-pairs retrieval is knn_graph;
+    * this is the monitored-query shape.
+    */
+  val CapQueries = 10
+  val CapK = 5
+
+  def mmCaptionRetrieval(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, detRound}
+    import graft.functions.PortableHash.hexH
+    val dim = Sampling.EmbedDim
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("dim", (hexH(col("tok")) % dim).cast("int"))
+      .transform(Scale.materialize) // corpus and query embeddings both read it
+    def densify(counts: DataFrame, key: String) = counts
+      .groupBy(col(key), col("dim")).agg(count(lit(1)).as("c"))
+      .groupBy(col(key))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("m"),
+        sqrt(sum(col("c") * col("c")).cast("double")).as("l2"))
+      .select(col(key),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("v"),
+        col("l2"))
+    val corpus = densify(toks.select(col("doc_id"), col("dim")), "doc_id")
+    val queries = densify(
+      toks.filter(col("doc_id") < CapQueries && (col("pos") + 1) % 3 =!= 0)
+        .select(col("doc_id").as("q_id"), col("dim")), "q_id")
+      .select(col("q_id"), col("v").as("qv"), col("l2").as("ql2"))
+    val scored = broadcast(queries).join(corpus)
+      .withColumn("dot", aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("cos", col("dot").cast("double") / (col("ql2") * col("l2")))
+    graft.operators.Scale.topKPerGroup(
+        scored.select(col("q_id"), col("doc_id"), col("cos")),
+        Seq("q_id"), Seq(col("cos").desc, col("doc_id")),
+        k = CapK, saltSrc = col("doc_id"))
+      .select(col("q_id"), col("doc_id"), col("rnk").as("rank"),
+        detRound(col("cos"), 6).as("cos"),
+        when(col("q_id") === col("doc_id"), 1).otherwise(0).as("is_self"))
+  }
+
   /** Per-kind media rollup — the dataset card for the binary side: volume,
     * bytes, dedup rate, stub-decoded dimension means (floor-rounded).
     */
@@ -182,9 +242,39 @@ object Multimodal {
     "mm_phash_neardup" -> mmPhashNeardup,
     "mm_kind_stats" -> mmKindStats,
     "mm_pack" -> mmPack,
+    "mm_caption_retrieval" -> mmCaptionRetrieval,
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_caption_retrieval" -> {
+      val toksSql =
+        "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+      val h = graft.functions.PortableHash.hexHSql("tok")
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |hh AS (SELECT doc_id, pos, CAST($h % ${Sampling.EmbedDim} AS INT) AS dim FROM t),
+         |c AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY 1, 2),
+         |cn AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS l2 FROM c GROUP BY 1),
+         |q AS (SELECT doc_id AS q_id, dim, CAST(count(*) AS BIGINT) AS cq
+         |  FROM hh WHERE doc_id < $CapQueries AND pos % 3 <> 0 GROUP BY 1, 2),
+         |qn AS (SELECT q_id, sqrt(CAST(sum(cq*cq) AS DOUBLE)) AS l2 FROM q GROUP BY 1),
+         |dotp AS (SELECT q_id, c.doc_id, CAST(sum(cq * c.c) AS BIGINT) AS d
+         |  FROM q JOIN c USING (dim) GROUP BY 1, 2),
+         |pairs AS (SELECT q_id, doc_id FROM (SELECT DISTINCT q_id FROM q),
+         |  (SELECT DISTINCT doc_id FROM c)),
+         |sc AS (SELECT p.q_id, p.doc_id,
+         |    CAST(coalesce(d, 0) AS DOUBLE) / (qn.l2 * cn.l2) AS cos
+         |  FROM pairs p
+         |  LEFT JOIN dotp ON p.q_id = dotp.q_id AND p.doc_id = dotp.doc_id
+         |  JOIN qn ON p.q_id = qn.q_id JOIN cn ON p.doc_id = cn.doc_id),
+         |r AS (SELECT q_id, doc_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT q_id, doc_id, rank, floor(cos*1e6)/1e6 AS cos,
+         |  CASE WHEN q_id = doc_id THEN 1 ELSE 0 END AS is_self
+         |FROM r WHERE rank <= $CapK""".stripMargin
+    },
     // structurally independent: brute-force ALL pairs at the radius (the
     // dedup_simhash oracle pattern) — proves the key tables lose nothing.
     // ASCII payloads make DuckDB's char-based substr byte-identical to
