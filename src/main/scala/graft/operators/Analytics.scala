@@ -407,6 +407,38 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Sliding 7-day active users (the ClickHouse `uniq` sliding-window
+    * classic) + DAU/WAU stickiness. Exact distinct per window WITHOUT a
+    * per-day scan: each event contributes its user to the 7 window-end
+    * days it falls into (a fixed ×7 explode — linear), then one
+    * countDistinct per window end, clipped to the observed day range via
+    * a 1-row broadcast bound (the q22 global-aggregate pattern). Window
+    * ends with activity only in their 6-day lookback still appear (left
+    * join, dau 0) — a retention dashboard must show the decay, not drop
+    * the row.
+    */
+  val WauDays = 7
+
+  def eventsWau(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val bounds = ev.agg(max(col("day")).as("hi"))
+    val wau = ev
+      .select(explode(sequence(lit(0), lit(WauDays - 1))).as("off"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("wday"), col("user_id"))
+      .join(broadcast(bounds))
+      .filter(col("wday") <= col("hi"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ev.groupBy(col("day").as("wday"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    wau.join(dau, Seq("wday"), "left_outer")
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        (floor(coalesce(col("dau"), lit(0L)).cast("double") / col("wau") * 1e4) / 1e4)
+          .as("stickiness"))
+  }
+
   /** TPC-H Q7-style: shipping volume between two nations by year. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
     val n1 = broadcast(Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
@@ -872,6 +904,7 @@ object Analytics {
     "events_sessionize" -> eventsSessionize,
     "events_session_attrib" -> eventsSessionAttrib,
     "events_retention" -> eventsRetention,
+    "events_wau" -> eventsWau,
     "events_funnel" -> eventsFunnel,
     "events_window_funnel" -> eventsWindowFunnel,
   )
@@ -1305,6 +1338,18 @@ object Analytics {
          |au AS (SELECT DISTINCT user_id FROM e)
          |SELECT coalesce(ul.level, 0) AS level, count(*) AS n_users
          |FROM au LEFT JOIN ul USING (user_id) GROUP BY 1""".stripMargin,
+    "events_wau" ->
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         |b AS (SELECT max(day) AS hi FROM ev),
+         |w AS (SELECT day + CAST(off AS INTEGER) AS wday, user_id
+         |  FROM ev, (SELECT unnest(range(0, $WauDays)) AS off) o),
+         |wau AS (SELECT wday, count(DISTINCT user_id) AS wau
+         |  FROM w, b WHERE wday <= hi GROUP BY 1),
+         |dau AS (SELECT day AS wday, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1)
+         |SELECT strftime(wau.wday, '%Y-%m-%d') AS day,
+         |  coalesce(dau.dau, 0) AS dau, wau.wau,
+         |  floor(CAST(coalesce(dau.dau, 0) AS DOUBLE) / wau.wau * 1e4)/1e4 AS stickiness
+         |FROM wau LEFT JOIN dau USING (wday)""".stripMargin,
     "events_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
