@@ -860,7 +860,7 @@ object Dedup {
     mh ++ jc
   }
 
-  private lazy val jaccardOracleSql: String = jaccardOracleSqlAt(0.5)
+  private[operators] lazy val jaccardOracleSql: String = jaccardOracleSqlAt(0.5)
 
   private def jaccardOracleSqlAt(tau: Double): String =
     s"""WITH $docShinglesSql,

@@ -249,6 +249,41 @@ object TextQueries {
           / count(lit(1)) * 1e4) / 1e4).as("mean_quality"))
   }
 
+  /** The WHOLE pretraining-data pipeline as one query — the artifact a
+    * training run actually consumes: exact-dup survivors, minus verified
+    * near-dups (greedy keep-lowest-id over the jaccard ≥ 0.5 pairs — the
+    * standard one-pass policy; full connected components is
+    * dedup_clusters' job), intersected with quality keepers, packed into
+    * token-budget shards with per-shard mean quality. Composes five
+    * independently-verified operators (dedupExact, dedupNgramJaccard,
+    * textQuality, tokenization, Scale.prefixSum) into the shard manifest.
+    *
+    * Scale: each stage is individually audited; the composition adds only
+    * doc_id-keyed joins (anti-join for drops) and the two-phase prefix
+    * sum — nothing quadratic beyond the bucketed candidate generation
+    * already inside the dedup stage.
+    */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val survivors = Dedup.dedupExact(s, d).select(col("keep_id").as("doc_id"))
+    val drops = Dedup.dedupNgramJaccard(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val keepers = textQuality(s, d).filter(col("keep") === 1)
+      .select(col("doc_id"), col("quality"))
+    val toks = docs(s, d).select(col("doc_id"), col("n_tokens"))
+    val clean = survivors.join(drops, Seq("doc_id"), "left_anti")
+      .join(keepers, "doc_id").join(toks, "doc_id")
+    Scale.prefixSum(clean, "doc_id", "n_tokens")
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")) / Sampling.PackBudget))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        (floor(sum(col("quality").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)) * 1e4) / 1e4).as("mean_quality"))
+  }
+
   /** Benchmark decontamination — the pre-training hygiene step: flag
     * training docs that share any contiguous N-token gram with the held-out
     * benchmark slice (here doc_id % 50 == 0 stands in for the eval set).
@@ -441,6 +476,7 @@ object TextQueries {
     "text_decontaminate" -> textDecontaminate,
     "text_pii_scrub" -> textPiiScrub,
     "corpus_clean" -> corpusClean,
+    "corpus_pipeline" -> corpusPipeline,
     "dataset_card" -> datasetCard,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
@@ -528,6 +564,33 @@ object TextQueries {
          | md5(regexp_replace(regexp_replace(norm, '$emailRe', '<EMAIL>', 'g'),
          |     '$digitsRe', '<NUM>', 'g')) AS scrubbed_fp
          |FROM t""".stripMargin,
+    "corpus_pipeline" ->
+      s"""WITH surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+         |np AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |${graft.operators.Dedup.jaccardOracleSql}
+         |)),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+         |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+         |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+         | FROM t),
+         |clean AS (SELECT s.doc_id, q.quality, q.n_tokens
+         |  FROM surv s JOIN q ON s.doc_id = q.doc_id
+         |  WHERE q.quality >= 0.5
+         |    AND s.doc_id NOT IN (SELECT doc_id FROM np)),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM clean),
+         |sh AS (SELECT doc_id, quality, n_tokens,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${Sampling.PackBudget}) AS BIGINT) AS shard
+         |  FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  floor(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)/count(*)*1e4)/1e4 AS mean_quality
+         |FROM sh GROUP BY 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH survivors AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
