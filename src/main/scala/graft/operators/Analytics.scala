@@ -272,6 +272,32 @@ object Analytics {
         sumD(dec(col("value")), 2).as("session_value"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
 
+  /** Session path mining (the product-analytics "top paths" query; the
+    * ClickHouse sequence-function family's reporting shape): the most
+    * common runs of [[PathLen]] consecutive event types WITHIN a session,
+    * ranked globally. Reuses the verified sessionize assignment; the path
+    * 3-grams come from two `lead`s over the session window (per-user
+    * partitions, the sessionize precedent), the count agg collapses to the
+    * tiny path alphabet (≤ types³ rows) map-side, and the final ranking is
+    * the two-phase bucketed top-k.
+    */
+  val PathLen = 3
+  val PathTopK = 10
+
+  def eventsPathAnalysis(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessionAssigned(s, d)
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    Scale.topKPerGroup(counts, Seq.empty, Seq(col("n").desc, col("path")),
+        k = PathTopK, saltSrc = col("path"))
+      .select(col("path"), col("n"), col("rnk").as("rank"))
+  }
+
   /** Outcome events attributed to session INTERVALS via the generic
     * bucketized interval join ([[Scale.intervalJoin]]) — the range-join
     * technique itself is the deliverable: an equi-join on (user, time
@@ -905,6 +931,7 @@ object Analytics {
     "events_session_attrib" -> eventsSessionAttrib,
     "events_retention" -> eventsRetention,
     "events_wau" -> eventsWau,
+    "events_path_analysis" -> eventsPathAnalysis,
     "events_funnel" -> eventsFunnel,
     "events_window_funnel" -> eventsWindowFunnel,
   )
@@ -1338,6 +1365,27 @@ object Analytics {
          |au AS (SELECT DISTINCT user_id FROM e)
          |SELECT coalesce(ul.level, 0) AS level, count(*) AS n_users
          |FROM au LEFT JOIN ul USING (user_id) GROUP BY 1""".stripMargin,
+    "events_path_analysis" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+         |  FROM flagged),
+         |p AS (
+         |  SELECT event_type || '>' || lead(event_type, 1) OVER w2
+         |      || '>' || lead(event_type, 2) OVER w2 AS path,
+         |    lead(event_type, 2) OVER w2 AS t2
+         |  FROM sess
+         |  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)),
+         |c AS (SELECT path, count(*) AS n FROM p WHERE t2 IS NOT NULL GROUP BY 1),
+         |r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+         |SELECT path, n, rank FROM r WHERE rank <= $PathTopK""".stripMargin,
     "events_wau" ->
       s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
          |b AS (SELECT max(day) AS hi FROM ev),
