@@ -469,7 +469,38 @@ object TextQueries {
           .otherwise(lit("tail")).as("tier"))
   }
 
+  /** Bigram conditional surprisal — the 2-gram upgrade of
+    * [[textSurprisal]]: info(w₂|w₁) = bitlen(cnt(w₁·)) − bitlen(cnt(w₁w₂)),
+    * the integer bit-length surrogate for −log₂ p(w₂|w₁). A conditional
+    * model scores local fluency (word-salad docs with plausible unigrams
+    * rank high-surprisal here), which is what a pretraining quality filter
+    * actually wants from its LM signal. Same exact-parity discipline: no
+    * transcendental log, every term an integer.
+    *
+    * Scale: the bigram frame materializes once and feeds the bigram
+    * vocabulary agg, the context agg, and the scoring join — Zipf keeps
+    * both vocabularies small relative to the corpus; the joins are
+    * left to Catalyst/AQE exactly like the unigram op.
+    */
+  def textBigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = docs(s, d).filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+      .transform(Scale.materialize)
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+    bi.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+      .select(col("doc_id"), (length(bin(col("cc"))) - length(bin(col("cb")))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bits")).as("surprisal_bits"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_centibits", expr("(100 * surprisal_bits) div n_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_surprisal" -> textBigramSurprisal,
     "text_ccnet_buckets" -> textCcnetBuckets,
     "text_substr_dedup" -> textSubstrDedup,
     "text_surprisal" -> textSurprisal,
@@ -514,6 +545,22 @@ object TextQueries {
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS w1,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) x
+         |  WHERE len(toks) >= 2),
+         |b0 AS (SELECT doc_id, w1,
+         |    lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+         |bi AS (SELECT doc_id, w1, w2 FROM b0 WHERE w2 IS NOT NULL),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |cc AS (SELECT w1, count(*) AS cc FROM bi GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(sum(length(bin(cc.cc)) - length(bin(bc.cb))) AS BIGINT) AS surprisal_bits,
+         |  count(*) AS n_bigrams,
+         |  (100 * CAST(sum(length(bin(cc.cc)) - length(bin(bc.cb))) AS BIGINT)) // count(*) AS avg_centibits
+         |FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1)
+         |GROUP BY doc_id""".stripMargin,
     "text_ccnet_buckets" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
          |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
