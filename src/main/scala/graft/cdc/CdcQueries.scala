@@ -76,6 +76,40 @@ object CdcQueries {
     graft.streaming.IncrementalSnapshot
       .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
 
+  /** Anti-entropy consistency audit — the reconciliation a production CDC
+    * team runs between the MAINTAINED store (built incrementally through
+    * the commit protocol) and the ground-truth log snapshot (one-shot
+    * latest-per-key over the full changelog): a full-outer key join
+    * classing every key as both-and-equal, log-only, store-only, or
+    * value-mismatch. Expected output is total parity — and the oracle
+    * states n_log = n_store = the snapshot cardinality COMPUTED from the
+    * log (not a constant) with zero discrepancies, so any store-corruption
+    * or missed-batch bug fails the hash gate, not just an eyeball check.
+    *
+    * Scale: both sides are key-partitioned snapshots; the audit is one
+    * co-keyed full-outer join + a 1-row aggregate — the cheap periodic
+    * job that buys trust in the incremental path.
+    */
+  def consistencyCheck(s: SparkSession, d: String): DataFrame = {
+    val store = graft.streaming.IncrementalSnapshot
+      .readSnapshot(s, builtStore(s, d)).get
+      .select(col("id"), col("custkey").as("s_custkey"), col("price").as("s_price"),
+        col("status").as("s_status"), col("ts_ms").as("s_ts"))
+    val log = CdcOps.snapshotLatest(
+        CdcSim.parsedChangelog(s, d), Seq("id"), "ts_ms", payloadCols)
+      .withColumn("in_log", lit(1))
+    log.join(store.withColumn("in_store", lit(1)), Seq("id"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_log"), lit(0))).cast("long").as("n_log"),
+        sum(coalesce(col("in_store"), lit(0))).cast("long").as("n_store"),
+        sum(when(col("in_store").isNull, 1).otherwise(0)).cast("long").as("log_only"),
+        sum(when(col("in_log").isNull, 1).otherwise(0)).cast("long").as("store_only"),
+        sum(when(col("in_log").isNotNull && col("in_store").isNotNull &&
+          (col("custkey") =!= col("s_custkey") || col("price") =!= col("s_price") ||
+            col("status") =!= col("s_status") || col("ts_ms") =!= col("s_ts")),
+          1).otherwise(0)).cast("long").as("n_mismatch"))
+  }
+
   /** Temporal dimension join — "dimension state as of fact time", the
     * classic SCD2 consumption query: every lineitem joins the version of
     * its ORDER that was valid when the item shipped, then rolls up revenue
@@ -206,6 +240,7 @@ object CdcQueries {
     "cdc_multi_table_snapshot" -> multiTableSnapshot,
     "cdc_malformed_stats" -> malformedStats,
     "cdc_schema_evolution" -> schemaEvolution,
+    "cdc_consistency_check" -> consistencyCheck,
   )
 
   private val C = CdcSim.oracleCtes
@@ -219,6 +254,15 @@ object CdcQueries {
 
   val oracles: Map[String, String] = Map(
     "cdc_parse_envelope" -> s"$C\nSELECT op, id, custkey, price, status, ts_ms, sign FROM ev",
+    "cdc_consistency_check" ->
+      s"""WITH snap AS (SELECT * FROM (
+         |$snapshotOracle
+         |))
+         |SELECT CAST(count(*) AS BIGINT) AS n_log,
+         |  CAST(count(*) AS BIGINT) AS n_store,
+         |  CAST(0 AS BIGINT) AS log_only, CAST(0 AS BIGINT) AS store_only,
+         |  CAST(0 AS BIGINT) AS n_mismatch
+         |FROM snap""".stripMargin,
     "cdc_schema_evolution" ->
       """WITH base AS (
         |  SELECT o_orderkey AS id, o_custkey AS custkey, o_totalprice AS price,
