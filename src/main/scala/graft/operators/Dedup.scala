@@ -70,6 +70,29 @@ object Dedup {
       .groupBy(md5(normalize(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-source duplication matrix — the dataset-curation diagnostic
+    * behind "how much of source A is republished in source B" (subset
+    * contamination drives both dedup priorities and mixture-weight
+    * corrections): verified NEAR-dup pairs (jaccard ≥ 0.5 — republication
+    * is rarely byte-exact; on this corpus 24 of 25 verified pairs span
+    * sources while zero exact dups do) that cross a source boundary,
+    * rolled up per unordered source pair.
+    *
+    * Scale: pair generation is the audited dedup op; this adds two
+    * doc_id-keyed joins of (doc_id, source) and a bounded-alphabet agg —
+    * sources² output rows at most.
+    */
+  def dedupSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    dedupNgramJaccard(s, d)
+      .join(src.toDF("doc_a", "sa"), "doc_a")
+      .join(src.toDF("doc_b", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
   /** PPJoin/All-Pairs prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08): under one global shingle order, a pair with overlap ≥ α must
@@ -724,6 +747,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
     "dedup_jaccard_auto" -> dedupJaccardAuto,
@@ -805,6 +829,18 @@ object Dedup {
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_source_overlap" ->
+      s"""WITH jp AS (SELECT doc_a, doc_b FROM (
+         |$jaccardOracleSql
+         |) j),
+         |s AS (SELECT doc_id, source FROM documents),
+         |x AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM jp JOIN s sa ON jp.doc_a = sa.doc_id
+         |    JOIN s sb ON jp.doc_b = sb.doc_id
+         |  WHERE sa.source <> sb.source)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM x GROUP BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracleSql,
     // prefix-filtered plan, identical exact result set
     "dedup_jaccard_ppjoin" -> jaccardOracleSql,
