@@ -53,6 +53,31 @@ object CdcOps {
   def dedupRedelivery(changes: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
     changes.dropDuplicates(keyCols :+ versionCol :+ "op")
 
+  /** Kafka-cleaner log compaction — the TOPIC view, not the table view
+    * ([[snapshotLatest]] is the table view): the latest record per key
+    * survives, INCLUDING delete tombstones, which are retained only while
+    * within `tombstoneRetention` version units of the log head
+    * (`delete.retention.ms`: a late-joining consumer must still observe
+    * recent deletes; aged-out tombstones disappear with their key).
+    *
+    * Scale: the same one-shuffle map-side-partial `max_by` as the snapshot,
+    * plus a 1-row global max broadcast into the retention filter — no
+    * second pass over the log, no window.
+    */
+  def logCompact(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      payloadCols: Seq[String], tombstoneRetention: Long): DataFrame = {
+    val picked = max_by(col("op"), col(versionCol)).as("op") +:
+      payloadCols.map(c => max_by(col(c), col(versionCol)).as(c)) :+
+      max(col(versionCol)).as(versionCol)
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(picked.head, picked.tail: _*)
+    val head = changes.agg(max(col(versionCol)).as("head_ver"))
+    latest.join(broadcast(head))
+      .filter(col("op") =!= "d" ||
+        col(versionCol) >= col("head_ver") - lit(tombstoneRetention))
+      .drop("head_ver")
+  }
+
   /** SCD-2 history: every state row (sign=1) becomes a version valid from its
     * ts until the next event on the key (including a tombstone, which closes
     * the final interval). Window partitions are per-key — bounded state at

@@ -110,6 +110,25 @@ object CdcQueries {
           1).otherwise(0)).cast("long").as("n_mismatch"))
   }
 
+  /** Tombstones stay observable for one year of log time after the head —
+    * long enough that the compacted topic still carries the final year's
+    * deletes, so the retention filter is exercised from BOTH sides at every
+    * SF (the orders dates span ~7 years).
+    */
+  val TombstoneRetentionMs: Long = 365L * 86400000L
+
+  /** Kafka-cleaner log compaction of the orders topic ([[CdcOps.logCompact]]):
+    * what a late-joining consumer reads — latest record per key with recent
+    * tombstones retained, aged-out tombstones (and their keys) removed.
+    * The reference's Kafka layer keeps its topics compacted exactly so this
+    * read stays O(keys), not O(history).
+    */
+  def logCompact(s: SparkSession, d: String): DataFrame = {
+    val ch = CdcSim.parsedChangelog(s, d).transform(Scale.materialize)
+    CdcOps.logCompact(ch, Seq("id"), "ts_ms", payloadCols, TombstoneRetentionMs)
+      .select("id", "op", "custkey", "price", "status", "ts_ms")
+  }
+
   /** Temporal dimension join — "dimension state as of fact time", the
     * classic SCD2 consumption query: every lineitem joins the version of
     * its ORDER that was valid when the item shipped, then rolls up revenue
@@ -232,6 +251,7 @@ object CdcQueries {
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
     "cdc_snapshot_asof" -> snapshotAsOf,
+    "cdc_log_compact" -> logCompact,
     "cdc_snapshot_asof_store" -> snapshotAsOfStore,
     "cdc_scd2_dim_join" -> scd2DimJoin,
     "cdc_scd2_history" -> scd2History,
@@ -285,6 +305,17 @@ object CdcQueries {
          |    arg_max(sign, ts_ms) AS sign, max(ts_ms) AS ts_ms
          |  FROM f GROUP BY id)
          |SELECT id, custkey, price, status, ts_ms FROM snap WHERE sign = 1""".stripMargin,
+    "cdc_log_compact" ->
+      s"""$C,
+         |h AS (SELECT max(ts_ms) AS head_ver FROM ev),
+         |latest AS (
+         |  SELECT id, arg_max(op, ts_ms) AS op, arg_max(custkey, ts_ms) AS custkey,
+         |    arg_max(price, ts_ms) AS price, arg_max(status, ts_ms) AS status,
+         |    max(ts_ms) AS ts_ms
+         |  FROM ev GROUP BY id)
+         |SELECT l.id, l.op, l.custkey, l.price, l.status, l.ts_ms
+         |FROM latest l, h
+         |WHERE l.op <> 'd' OR l.ts_ms >= h.head_ver - $TombstoneRetentionMs""".stripMargin,
     // the store's version-v content ≡ the log-prefix snapshot over batches
     // 0..v under the SAME deterministic time-slice rule the builder used
     "cdc_snapshot_asof_store" ->

@@ -53,4 +53,24 @@ class CdcSpec extends AnyFunSuite {
     val doubled = ch.unionByName(ch)
     assert(CdcOps.dedupRedelivery(doubled, Seq("id"), "ts_ms").count() === ch.count())
   }
+
+  test("log compaction = snapshot plus exactly the in-retention tombstones") {
+    val compact = CdcQueries.logCompact(spark, sf).cache()
+    val snap = CdcQueries.snapshotLatest(spark, sf)
+    // live slice of the compacted topic ≡ the table snapshot, payload included
+    val live = compact.filter(col("op") =!= "d").drop("op")
+    assert(live.exceptAll(snap).count() === 0)
+    assert(snap.exceptAll(live).count() === 0)
+    // every surviving tombstone is within the retention horizon of the head
+    val head = CdcSim.parsedChangelog(spark, sf)
+      .agg(max(col("ts_ms"))).collect()(0).getLong(0)
+    val tombs = compact.filter(col("op") === "d")
+    assert(tombs.filter(col("ts_ms") < head - CdcQueries.TombstoneRetentionMs).count() === 0)
+    // both sides of the retention boundary are exercised at this SF
+    val nDeleted = Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 0).count()
+    val nTombs = tombs.count()
+    assert(nTombs > 0, "no tombstone survived — retention never exercised")
+    assert(nTombs < nDeleted, "every tombstone survived — retention never aged one out")
+    compact.unpersist()
+  }
 }
