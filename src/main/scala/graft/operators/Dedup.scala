@@ -683,6 +683,35 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Keep-one canonical selection over the near-dup clusters — the step a
+    * dedup pipeline runs after clustering: every document maps to its
+    * cluster's canonical representative (longest text wins, smallest doc_id
+    * breaks ties) and singletons map to themselves, so `keep = 1` is the
+    * deduplicated corpus and the full mapping is the provenance record a
+    * dataset card cites.
+    *
+    * Scale: cluster labels cover only the (sparse) near-dup graph nodes;
+    * the canonical election is one groupBy(cluster_id) max_by over that
+    * sparse frame (map-side partial, ties impossible — doc_id is unique).
+    * The only corpus-sized steps are two equi-joins of `documents` against
+    * label/canon frames that are small whenever dedup is worth running —
+    * broadcastable, and plain hash joins past the threshold.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val labels = dedupClusters(s, d)
+    val canon = labels.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("canonical_id"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(canon, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        when(col("doc_id") === col("canonical_id"), lit(1)).otherwise(lit(0)))
+  }
+
   // ----------------------------------------------------- embedding cosine
   /** Exact pairwise cosine as a mapPartitions primitive-loop kernel over the
     * broadcast corpus — the "(d) last resort" of the custom-operator ladder,
@@ -752,6 +781,7 @@ object Dedup {
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
     "dedup_jaccard_auto" -> dedupJaccardAuto,
     "dedup_clusters" -> dedupClusters,
+    "dedup_canonical" -> dedupCanonical,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_auto" -> dedupMinhashAuto,
     "dedup_semantic" -> dedupSemantic,
@@ -854,6 +884,28 @@ object Dedup {
          |  UNION
          |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
          |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
+    // the clusters CTE chain verbatim, then the keep-one election: longest
+    // text wins, doc_id breaks ties; singletons are their own canon. A
+    // singleton's doc_id can never collide with a cluster label (labels are
+    // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracleSql) jp),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach AS (
+         |  SELECT doc, doc AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc),
+         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_id,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM alldocs)
+         |SELECT a.doc_id, a.cluster_id, c.canonical_id,
+         |  CASE WHEN a.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
+         |FROM alldocs a JOIN canon c ON a.cluster_id = c.cluster_id AND c.rn = 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
     "dedup_semantic" ->
       s"""WITH ${lshPairsCte(Bands, RowsPerBand)},

@@ -203,4 +203,30 @@ class DedupSpec extends AnyFunSuite {
     assert(twins.subsetOf(flagged),
       s"exact-duplicate docs missing full coverage: ${twins -- flagged}")
   }
+
+  test("canonical selection: total, one keeper per cluster, longest text wins") {
+    val canon = Dedup.dedupCanonical(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    // total mapping: every doc exactly once
+    assert(canon.count() === docs.count())
+    assert(canon.select("doc_id").distinct().count() === docs.count())
+    // exactly one keep=1 per cluster, and it IS the canonical
+    val perCluster = canon.groupBy("cluster_id")
+      .agg(sum(col("keep")).as("keepers"),
+        countDistinct(col("canonical_id")).as("canons"))
+    assert(perCluster.filter(col("keepers") =!= 1 || col("canons") =!= 1).count() === 0)
+    assert(canon.filter(col("keep") === 1 && col("doc_id") =!= col("canonical_id"))
+      .count() === 0)
+    // the canonical's text is maximal within its cluster
+    val withLen = canon.join(docs, "doc_id")
+    val maxLen = withLen.groupBy("cluster_id").agg(max(col("n_chars")).as("mx"))
+    val canonLen = withLen.filter(col("keep") === 1)
+      .select(col("cluster_id"), col("n_chars"))
+    assert(canonLen.join(maxLen, "cluster_id")
+      .filter(col("n_chars") =!= col("mx")).count() === 0)
+    // the clusters actually merge something at this SF (non-vacuous)
+    assert(canon.filter(col("keep") === 0).count() > 0,
+      "no doc was deduplicated — canonical selection untested")
+    canon.unpersist()
+  }
 }
