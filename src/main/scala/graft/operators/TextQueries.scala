@@ -180,6 +180,54 @@ object TextQueries {
         detRound(col("containment"), 4).as("containment"))
   }
 
+  /** The integer-valued per-doc quality signals whose pairwise correlation
+    * [[textSignalCorr]] audits. Integer-only on purpose: Pearson over exact
+    * BIGINT sums is the one formulation whose result is bit-identical
+    * across engines (float accumulation order never enters; the final
+    * /, *, sqrt are single correctly-rounded IEEE ops on exactly-
+    * representable integers).
+    */
+  val CorrSignals: Seq[String] =
+    Seq("n_tokens", "n_punct", "n_digits", "avg_centibits", "en_hits")
+
+  /** Signal-redundancy audit: Pearson correlation between every pair of
+    * integer quality signals (length, punctuation, digits, unigram
+    * surprisal, stopword hits). The number a curation team reads before
+    * stacking filters — two signals at |r| ≈ 1 gate the same documents
+    * twice, a signal near 0 against all others carries independent
+    * information.
+    *
+    * Scale: the doc-level frame is three co-partitioned doc_id equi-joins
+    * of existing signal queries; all 26 sums land in ONE map-side-partial
+    * aggregation to a single row (no per-pair passes), and the 10 pair
+    * rows are a literal array explode over that row — the whole query adds
+    * one full scan regardless of pair count.
+    */
+  def textSignalCorr(s: SparkSession, d: String): DataFrame = {
+    val f = textStats(s, d).select(col("doc_id"), col("n_tokens"), col("n_punct"), col("n_digits"))
+      .join(textSurprisal(s, d).select(col("doc_id"), col("avg_centibits")), "doc_id")
+      .join(textLangid(s, d).select(col("doc_id"), col("en_hits")), "doc_id")
+    val sigs = CorrSignals
+    val pairs = for { i <- sigs.indices; j <- i + 1 until sigs.size } yield (sigs(i), sigs(j))
+    def L(c: String) = col(c).cast("long")
+    val aggCols = (count(lit(1)).as("n") +:
+      sigs.flatMap(x => Seq(sum(L(x)).as(s"s_$x"), sum(L(x) * L(x)).as(s"ss_$x")))) ++
+      pairs.map { case (a, b) => sum(L(a) * L(b)).as(s"sp_${a}__$b") }
+    val g = f.agg(aggCols.head, aggCols.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      val num = col("n") * col(s"sp_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val da = col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val db = col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("signal_a"), lit(b).as("signal_b"),
+        when(da === 0 || db === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / sqrt(da.cast("double") * db.cast("double")))
+          .as("corr"))
+    }
+    g.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.signal_a").as("signal_a"), col("p.signal_b").as("signal_b"),
+        col("n"), col("p.corr").as("corr"))
+  }
+
   /** Top terms per source via two-phase top-k: the per-source window would
     * otherwise sort a vocabulary-sized partition on one reducer at scale.
     */
@@ -513,6 +561,7 @@ object TextQueries {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_langid" -> textLangid,
+    "text_signal_corr" -> textSignalCorr,
     "text_fingerprint" -> textFingerprint,
     "text_winnow_fp" -> textWinnowFp,
     "text_containment" -> textContainment,
@@ -525,6 +574,41 @@ object TextQueries {
   private val toksSql = s"string_split($normSql, ' ')"
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter(toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  /** text_signal_corr's oracle: the same exact-BIGINT sums (DuckDB widens to
+    * HUGEINT — still exact), then the identical CASE/CAST/sqrt association
+    * so the final double is bit-identical to the Spark plan's.
+    */
+  private def corrOracleSql: String = {
+    val sigs = CorrSignals
+    val pairs = for { i <- sigs.indices; j <- i + 1 until sigs.size } yield (sigs(i), sigs(j))
+    val sums = sigs.map(x =>
+      s"sum(CAST($x AS BIGINT)) AS s_$x, sum(CAST($x AS BIGINT)*CAST($x AS BIGINT)) AS ss_$x")
+    val sps = pairs.map { case (a, b) =>
+      s"sum(CAST($a AS BIGINT)*CAST($b AS BIGINT)) AS sp_${a}__$b" }
+    def corr(a: String, b: String) =
+      s"""CASE WHEN (n*ss_$a - s_$a*s_$a) = 0 OR (n*ss_$b - s_$b*s_$b) = 0 THEN NULL
+         |  ELSE CAST(n*sp_${a}__$b - s_$a*s_$b AS DOUBLE) /
+         |    sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE) * CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)) END""".stripMargin
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS signal_a, '$b' AS signal_b, n, ${corr(a, b)} AS corr FROM g" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       |  ${hitsSql(enStop)} AS en_hits FROM t),
+       |tu AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |c AS (SELECT w, count(*) AS cnt FROM tu GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM tu),
+       |su AS (SELECT doc_id,
+       |  (100 * CAST(sum(length(bin(nn.n)) - length(bin(cnt))) AS BIGINT)) // count(*) AS avg_centibits
+       |  FROM tu JOIN c USING (w) CROSS JOIN nn GROUP BY doc_id),
+       |f AS (SELECT st.doc_id, n_tokens, n_punct, n_digits, avg_centibits, en_hits
+       |  FROM st JOIN su ON st.doc_id = su.doc_id),
+       |g AS (SELECT count(*) AS n, ${(sums ++ sps).mkString(",\n  ")} FROM f)
+       |$rows""".stripMargin
+  }
 
   /** Winnow fingerprint postings `p(doc_id, fp)` — shared by the winnow and
     * containment oracles; same rolling hash / window-min / distinct as
@@ -663,6 +747,7 @@ object TextQueries {
          | CAST(sum(CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
          | floor(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)/count(*)*1e4)/1e4 AS mean_quality
          |FROM q JOIN g ON q.fp = g.fp GROUP BY 1""".stripMargin,
+    "text_signal_corr" -> corrOracleSql,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars_raw,
