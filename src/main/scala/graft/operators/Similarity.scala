@@ -72,6 +72,32 @@ object Similarity {
     topK(broadcast(q).join(c).withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ------------------------------------------------------------- filtered
+  /** Filtered kNN — "top-k under a metadata predicate", the filtered-search
+    * problem every production vector store has to answer (tenant / shard /
+    * label constraints). Here the predicate is label-equality with the
+    * query: the top-[[K]] most-similar corpus vectors SHARING the query's
+    * label (tenant-scoped search).
+    *
+    * Scale: the predicate is a JOIN KEY, not a post-filter — queries
+    * equi-join candidates on `label`, confining the pairwise work to
+    * same-tenant groups (Σ |Q_t|·|C_t|, the pre-filter plan a selective
+    * predicate wants; a skewed tenant splits under AQE). The alternative —
+    * post-filtering an unfiltered ANN index — must over-fetch k/selectivity
+    * neighbors to survive the predicate, the known recall/latency cliff;
+    * with the tenant as first-class blocking, the EXACT answer costs one
+    * broadcast equi-join plus the same bounded two-phase top-k as brute.
+    */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("label"))
+    val c = e.filter(col("vec_id") >= NumQueries)
+    topK(broadcast(q).join(c, "label")
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
+  }
+
   // ------------------------------------------------------------------ LSH
   /** Deterministic hyperplanes: component (table, bit, dim) from a
     * fixed-seed LCG in [-1, 1]. Literal arrays → pure Column math, broadcast
@@ -679,6 +705,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute_cosine" -> knnBrute,
+    "knn_filtered" -> knnFiltered,
     "knn_lsh" -> knnLsh,
     "knn_lsh_auto" -> knnLshAuto,
     "knn_ivf" -> knnIvf,
@@ -941,6 +968,21 @@ object Similarity {
        |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** knn_filtered's oracle: brute within label groups — the same cosine and
+    * ranking as [[bruteOracleSql]] with the tenant predicate as the join.
+    */
+  private def filteredOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, label FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |sc AS (SELECT q_id, vec_id, ${cosineSql("qv", "v")} AS cos
+       |  FROM q JOIN c ON q.label = c.label),
+       |r AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc)
+       |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
+       |FROM r WHERE rank <= $K""".stripMargin
+
   /** Recall eval restated by composing the brute and IVF oracles as
     * nested-WITH subqueries — structurally the same two searches the Spark
     * plan composes, joined on (q_id, nn_id).
@@ -963,6 +1005,7 @@ object Similarity {
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
+      "knn_filtered" -> filteredOracleSql,
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),
     )
     // generated-oracle pattern (see Scaladoc above): emit only when exactly

@@ -94,6 +94,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r >= 0.85)
   }
 
+  test("filtered knn: predicate holds, ranking is the within-tenant brute force") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val res = Similarity.knnFiltered(spark, sf)
+    // every neighbor shares its query's label (the predicate is never violated)
+    val joined = res
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lbl")), "q_id")
+      .join(labels.select(col("vec_id").as("nn_id"), col("label").as("n_lbl")), "nn_id")
+    assert(joined.filter(col("q_lbl") =!= col("n_lbl")).count() === 0)
+    // equals brute force post-filtered to the tenant, truncated to the
+    // same k — the pre-filter plan changes cost, never the answer, for
+    // ranks where the filtered pool is deep enough
+    val brute = Similarity.knnBrute(spark, sf)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lbl")), "q_id")
+      .join(labels.select(col("vec_id").as("nn_id"), col("label").as("n_lbl")), "nn_id")
+      .filter(col("q_lbl") === col("n_lbl"))
+    // brute's top-K intersected with the tenant is a PREFIX of filtered's
+    // ranking: every such pair must appear in filtered with cos equal
+    val missing = brute.select(col("q_id"), col("nn_id"), col("cos"))
+      .exceptAll(res.select(col("q_id"), col("nn_id"), col("cos")))
+    assert(missing.count() === 0,
+      "a same-tenant brute neighbor is absent (or rescored) in knn_filtered")
+    // every query returns exactly min(k, its tenant's candidate pool)
+    val pool = labels.filter(col("vec_id") >= Similarity.NumQueries)
+      .groupBy("label").agg(count(lit(1)).as("pool"))
+    val perQ = res.groupBy("q_id").agg(count(lit(1)).as("got"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label")), "q_id")
+      .join(pool, "label")
+    assert(perQ.filter(col("got") =!= least(lit(Similarity.K), col("pool"))).count() === 0)
+  }
+
   test("every query returns exactly k rows") {
     for (q <- Seq(Similarity.knnBrute _, Similarity.knnLsh _, Similarity.knnIvf _,
         Similarity.knnPq _, Similarity.knnIvfPq _)) {
