@@ -125,6 +125,25 @@ object Analytics {
       .drop("day_num")
   }
 
+  /** Year-over-year monthly revenue — the mart's growth query. The lag
+    * window is keyed by calendar month-of-year and ordered by year:
+    * partitions of ≤ #years rows over an already-aggregated ≤ #months
+    * frame, never source-scale. Growth = floor((rev/prev − 1)·1e4)/1e4:
+    * one correctly-rounded division on decimal-exact inputs, so the double
+    * is bit-identical cross-engine; first year stays NULL through the
+    * arithmetic on both sides.
+    */
+  def revenueYoy(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("mo")).orderBy(col("yr"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("yoy",
+        floor((col("revenue") / col("prev_revenue") - 1) * 1e4) / 1e4)
+  }
+
   /** Event-type transition matrix: consecutive-event bigrams per user (lag
     * over per-user windows, then a global count per transition) — the
     * path-analysis primitive behind funnels.
@@ -918,6 +937,7 @@ object Analytics {
     "daily_revenue" -> dailyRevenue,
     "daily_revenue_running" -> dailyRevenueRunning,
     "daily_revenue_ma7" -> dailyRevenueMa7,
+    "revenue_yoy" -> revenueYoy,
     "events_transitions" -> eventsTransitions,
     "status_funnel" -> statusFunnel,
     "category_revenue" -> categoryRevenue,
@@ -1228,6 +1248,16 @@ object Analytics {
         | floor(CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER w AS DOUBLE) / (count(*) OVER w) * 1e4) / 1e4 AS ma7
         |FROM d
         |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "revenue_yoy" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT yr, mo, revenue,
+        |   lag(revenue) OVER (PARTITION BY mo ORDER BY yr) AS prev_revenue FROM m)
+        |SELECT yr, mo, revenue, prev_revenue,
+        |  floor((revenue / prev_revenue - 1) * 1e4) / 1e4 AS yoy
+        |FROM l""".stripMargin,
     "events_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,
