@@ -144,6 +144,40 @@ object Analytics {
         floor((col("revenue") / col("prev_revenue") - 1) * 1e4) / 1e4)
   }
 
+  /** ABC / Pareto classification of customers by revenue share — the
+    * inventory-analysis classic: A = customers covering the first 80% of
+    * revenue, B = next 15%, C = the tail. Tie semantics are the SQL
+    * standard's RANGE frame (peers included): equal-revenue customers share
+    * one cumulative value and one class, so no intra-tie order exists to
+    * get wrong.
+    *
+    * Scale: the oracle's `sum() OVER (ORDER BY revenue DESC)` would sort
+    * every customer on one reducer. The plan instead aggregates per
+    * distinct revenue value and runs [[Scale.prefixSum]] over that value
+    * frame (bucketed windows, one tiny offsets partition — SkewSpec-
+    * proven), then derives the descending-inclusive cumulative as
+    * total − cum_asc + value_sum: three linear shuffles, exact LONG-cents
+    * arithmetic end to end, and the only divisions are two correctly-
+    * rounded display casts.
+    */
+  def customerAbc(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      .agg((round(sum(dec(col("o_totalprice"))), 2) * 100).cast("long").as("rev_cents"))
+      .transform(Scale.materialize)
+    val byVal = cust.groupBy(col("rev_cents")).agg(sum(col("rev_cents")).as("vsum"))
+    val cumAsc = Scale.prefixSum(byVal, "rev_cents", "vsum")
+    val total = cust.agg(sum(col("rev_cents")).as("total"))
+    cust.join(cumAsc, "rev_cents").join(broadcast(total))
+      .withColumn("cumge", col("total") - col("cum") + col("vsum"))
+      .select(col("custkey"),
+        (col("rev_cents").cast("double") / 100).as("revenue"),
+        (floor(col("cumge").cast("double") / col("total").cast("double") * 1e6) / 1e6)
+          .as("cum_share"),
+        when(col("cumge") * 5 <= col("total") * 4, lit("A"))
+          .when(col("cumge") * 20 <= col("total") * 19, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+  }
+
   /** Event-type transition matrix: consecutive-event bigrams per user (lag
     * over per-user windows, then a global count per transition) — the
     * path-analysis primitive behind funnels.
@@ -938,6 +972,7 @@ object Analytics {
     "daily_revenue_running" -> dailyRevenueRunning,
     "daily_revenue_ma7" -> dailyRevenueMa7,
     "revenue_yoy" -> revenueYoy,
+    "customer_abc" -> customerAbc,
     "events_transitions" -> eventsTransitions,
     "status_funnel" -> statusFunnel,
     "category_revenue" -> categoryRevenue,
@@ -1258,6 +1293,20 @@ object Analytics {
         |SELECT yr, mo, revenue, prev_revenue,
         |  floor((revenue / prev_revenue - 1) * 1e4) / 1e4 AS yoy
         |FROM l""".stripMargin,
+    // RANGE frame (the default with ORDER BY): peers share the cumulative —
+    // the same tie semantics the plan derives from the value-level frame
+    "customer_abc" ->
+      """WITH cust AS (SELECT o_custkey AS custkey,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) * 100 AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev_cents) AS total FROM cust),
+        |w AS (SELECT custkey, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC) AS cumge FROM cust)
+        |SELECT custkey, CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+        |  floor(CAST(cumge AS DOUBLE) / CAST(total AS DOUBLE) * 1e6) / 1e6 AS cum_share,
+        |  CASE WHEN cumge * 5 <= total * 4 THEN 'A'
+        |       WHEN cumge * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM w, t""".stripMargin,
     "events_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_type,

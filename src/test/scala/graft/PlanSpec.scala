@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Window [")) <= 1, p)
   }
 
+  test("customer_abc: Pareto cumulative without a customer-sized global sort") {
+    val p = plan(Analytics.customerAbc(spark, sf))
+    // the oracle's `sum() OVER (ORDER BY rev DESC)` must not leak into the
+    // plan: every window must be prefixSum's — bucket-local cumsums or the
+    // <=32k-row bucket-offsets pass, both carrying the _pb bucket column
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach { l =>
+      assert(l.contains("_pb"), s"window not bucket-scoped (global customer sort?): $l")
+    }
+  }
+
   test("ccnet tiers: exact ntile without a corpus-sized window partition") {
     val p = plan(graft.operators.TextQueries.textCcnetBuckets(spark, sf))
     // the oracle's per-lang ntile must NOT leak into the plan (a lang-only
