@@ -29,6 +29,14 @@ object GraftSession {
       // once their RDDs are unreferenced — otherwise every run leaks its
       // checkpoint dirs onto disk
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // the status store retains execution/job/stage data even with the UI
+      // off (default: 1000 executions) — across a 120-query bench JVM whose
+      // plans embed multi-MB literal codebooks/centroids, that retention is
+      // pure heap pressure on later checkpoint-heavy queries
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def get(): SparkSession = {
