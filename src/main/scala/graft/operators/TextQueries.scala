@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
 import graft.functions.TextFunctions._
-import graft.functions.PortableHash.{hmod, P}
+import graft.functions.PortableHash.{hexH, hexHSql, hmod, P}
 
 /** Text-analysis operators over `documents` — language ID, quality scoring,
   * token counting, fingerprinting, top terms. All per-row Column expressions
@@ -547,7 +547,67 @@ object TextQueries {
       .withColumn("avg_centibits", expr("(100 * surprisal_bits) div n_bigrams"))
   }
 
+  /** DSIR-style data selection (Xie et al., NeurIPS 2023 — Data Selection
+    * via Importance Resampling): score every document by how much more
+    * likely its hashed-bigram features are under a TARGET distribution than
+    * under the raw-pool distribution, then keep the docs whose importance
+    * weight is positive. The target here is the corpus' own verified
+    * quality keepers ([[textQuality]] keep = 1) — the production shape
+    * (target = a curated slice, pool = the crawl) with the curated slice
+    * the pipeline already computes.
+    *
+    * The importance weight is DSIR's hashed-ngram likelihood ratio in this
+    * repo's integer bit-length fixed point: with add-one smoothing,
+    *   λ(f) = bitlen(ct(f)+1) + bitlen(Nq) − bitlen(cq(f)+1) − bitlen(Nt)
+    * — an integer ⌊log₂⌋ surrogate of log (p_target(f)/q_raw(f)) built as a
+    * SUM of bit lengths (never a product: (ct+1)·Nq would overflow BIGINT
+    * on a 100 TB corpus; the sum form never exceeds 130). Exact cross-
+    * engine parity: no transcendental log (the text_surprisal discipline).
+    * The per-doc mean is the one signed average in the repo, so it is
+    * floor(100·bits/n) computed in DOUBLE — a single correctly-rounded
+    * division on exactly-representable integers — NOT integer division:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors, and
+    * they disagree on negative scores.
+    *
+    * Scale — the reason DSIR is the published answer at pretraining size:
+    * the "model" is the bucket table, BOUNDED at DsirBuckets rows whatever
+    * the corpus (feature hashing), so both count aggregations shuffle into
+    * ≤ D groups, the λ table is broadcast, and scoring is one linear scan
+    * over the bigram frame (materialized once, feeding both counts and the
+    * scoring join). No corpus-sized shuffle anywhere but the per-doc sum,
+    * keyed on doc_id.
+    */
+  val DsirBuckets = 4096L
+
+  def sampleDsir(s: SparkSession, d: String): DataFrame = {
+    val bi = docs(s, d).filter(col("n_tokens") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("g"))
+      .withColumn("f", hexH(concat(lit("dsir:"), col("g"))) % DsirBuckets)
+      .select(col("doc_id"), col("f"))
+      .transform(Scale.materialize) // feeds raw counts, target counts, scoring
+    val target = textQuality(s, d).filter(col("keep") === 1).select(col("doc_id"))
+    val cq = bi.groupBy(col("f")).agg(count(lit(1)).as("cq"))
+    val ct = bi.join(target, Seq("doc_id"), "left_semi")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val tot = cq.agg(sum(col("cq")).as("nq"))
+      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+    val lam = cq.join(ct, Seq("f"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        (length(bin(coalesce(col("ct"), lit(0L)) + 1)) + length(bin(col("nq")))
+          - length(bin(col("cq") + 1)) - length(bin(col("nt")))).cast("long").as("lam"))
+    bi.join(broadcast(lam), "f")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lam")).as("dsir_bits"), count(lit(1)).as("n_feats"))
+      .withColumn("avg_centibits",
+        floor(col("dsir_bits").cast("double") * 100.0 / col("n_feats")).cast("long"))
+      .withColumn("keep", when(col("dsir_bits") > 0, lit(1)).otherwise(lit(0)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> sampleDsir,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "text_ccnet_buckets" -> textCcnetBuckets,
     "text_substr_dedup" -> textSubstrDedup,
@@ -629,6 +689,33 @@ object TextQueries {
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+         |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+         |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+         | FROM t),
+         |tgt AS (SELECT doc_id FROM q WHERE quality >= 0.5),
+         |bi AS (SELECT doc_id, ${hexHSql("'dsir:' || g")} % $DsirBuckets AS f FROM
+         |  (SELECT doc_id,
+         |     unnest(list_transform(range(0, len(toks)-1),
+         |       i -> array_to_string(list_slice(toks, i+1, i+2), ' '))) AS g
+         |   FROM t WHERE len(toks) >= 2)),
+         |cq AS (SELECT f, CAST(count(*) AS BIGINT) AS cq FROM bi GROUP BY 1),
+         |ct AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM bi
+         |  WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cq) AS BIGINT) FROM cq) AS nq,
+         |               (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt),
+         |w AS (SELECT f,
+         |    CAST(length(bin(coalesce(ct, 0)+1)) + length(bin(nq))
+         |       - length(bin(cq+1)) - length(bin(nt)) AS BIGINT) AS lam
+         |  FROM cq LEFT JOIN ct USING (f), tot)
+         |SELECT doc_id, CAST(sum(lam) AS BIGINT) AS dsir_bits,
+         |  count(*) AS n_feats,
+         |  CAST(floor(CAST(sum(lam) AS DOUBLE) * 100.0 / count(*)) AS BIGINT) AS avg_centibits,
+         |  CASE WHEN sum(lam) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM bi JOIN w USING (f) GROUP BY doc_id""".stripMargin,
     "text_bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, unnest(toks) AS w1,
          |    generate_subscripts(toks, 1) AS pos
