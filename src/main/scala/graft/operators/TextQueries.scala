@@ -606,7 +606,120 @@ object TextQueries {
       .withColumn("keep", when(col("dsir_bits") > 0, lit(1)).otherwise(lit(0)))
   }
 
+  /** Model-based quality filtering (the GPT-3 / LLaMA pipeline stage: a
+    * linear classifier over hashed bag-of-words features, fastText-shaped,
+    * scoring every crawl document against a curated target): an integer
+    * PERCEPTRON trained driver-side on a bounded deterministic sample,
+    * labels = the rule-based [[textQuality]] keep flag (the production
+    * shape distills a cheap rule — or human curation — into a model that
+    * generalizes the boundary; here it also makes the model's quality
+    * measurable: disagreement with the rule is visible in the output).
+    *
+    * Training follows the trained-quantizer precedent (knn_ivf): a
+    * deterministic xxhash64-ordered sample (QmTrainSample docs), features
+    * computed IN SPARK with the same portable hash the scoring expression
+    * uses (no driver-side hash twin to drift), integer perceptron updates
+    * in doc_id order for QmEpochs epochs — bit-exact reproducible, and the
+    * trained weights embed in the generated oracle as BIGINT literals so
+    * both engines score identically (everything stays integer; no float
+    * boundary anywhere).
+    *
+    * Scale: the model is QmDim longs — a per-row literal lookup table, so
+    * scoring is a shuffle-free codegen-friendly scan (Σ w[h(tok)] folded
+    * per row); training I/O is one bounded sample collect. The label join
+    * for the output is doc_id-keyed.
+    */
+  val QmDim = 256
+  val QmTrainSample = 512
+  val QmEpochs = 5
+
+  final case class QmModel(w: Array[Long], b: Long)
+
+  private val qmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QmModel]()
+
+  private def qmBucket(t: org.apache.spark.sql.Column) =
+    (hexH(concat(lit("qm:"), t)) % QmDim).cast("int")
+
+  private def qmTrain(s: SparkSession, d: String): QmModel = {
+    val labels = textQuality(s, d).select(col("doc_id"), col("keep"))
+    val sample = labels.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      .limit(QmTrainSample)
+    val feats = docs(s, d)
+      .join(broadcast(sample), "doc_id")
+      .select(col("doc_id"), col("keep"), explode(col("toks")).as("t"))
+      .withColumn("f", qmBucket(col("t")))
+      .groupBy(col("doc_id"), col("keep"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    // per-doc sparse vectors, trained in doc_id order — deterministic
+    val byDoc = feats.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+      case (_, rows) =>
+        val y = if (rows.head.getInt(1) == 1) 1L else -1L
+        (y, rows.map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1))
+    }
+    // AVERAGED perceptron, kept integer: the decision score > 0 is
+    // scale-invariant, so the "average" is the unnormalized SUM of the
+    // weight vector over every training step — no division, no float.
+    val w = new Array[Long](QmDim)
+    val wa = new Array[Long](QmDim)
+    var b = 0L
+    var ba = 0L
+    for (_ <- 1 to QmEpochs; (y, xs) <- byDoc) {
+      var score = b
+      xs.foreach { case (f, c) => score += w(f) * c }
+      if (y * score <= 0L) {
+        xs.foreach { case (f, c) => w(f) += y * c }
+        b += y
+      }
+      var i = 0
+      while (i < QmDim) { wa(i) += w(i); i += 1 }
+      ba += b
+    }
+    QmModel(wa, ba)
+  }
+
+  private def qmFor(s: SparkSession, d: String): QmModel =
+    qmCache.computeIfAbsent(d, _ => qmTrain(s, d))
+
+  def textQualityModel(s: SparkSession, d: String): DataFrame = {
+    val m = qmFor(s, d)
+    val wLit = typedlit(m.w.toIndexedSeq)
+    val score = aggregate(
+      transform(col("toks"), t => element_at(wLit, qmBucket(t) + 1)),
+      lit(m.b), (acc, x) => acc + x)
+    docs(s, d)
+      .select(col("doc_id"), score.as("qm_score"))
+      .join(textQuality(s, d).select(col("doc_id"), col("keep").as("label")), "doc_id")
+      .select(col("doc_id"), col("qm_score"),
+        when(col("qm_score") > 0, lit(1)).otherwise(lit(0)).as("pred"),
+        col("label"))
+  }
+
+  private def qmOracleSql(m: QmModel): String = {
+    val wSql = m.w.mkString("([", ",", "]::BIGINT[])")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id,
+       |  CASE WHEN floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+       |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+       |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 >= 0.5
+       |    THEN 1 ELSE 0 END AS label FROM t),
+       |sc AS (SELECT doc_id,
+       |    ${m.b} + list_aggregate(list_transform(toks,
+       |      tk -> $wSql[(${hexHSql("'qm:' || tk")} % $QmDim) + 1]), 'sum') AS qm_score
+       |  FROM t)
+       |SELECT sc.doc_id, CAST(qm_score AS BIGINT) AS qm_score,
+       |  CASE WHEN qm_score > 0 THEN 1 ELSE 0 END AS pred, q.label
+       |FROM sc JOIN q USING (doc_id)""".stripMargin
+  }
+
+  private def maybeQmOracle: Map[String, String] =
+    if (qmCache.size == 1)
+      Map("text_quality_model" -> qmOracleSql(qmCache.values.iterator.next()))
+    else Map.empty
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> textQualityModel,
     "sample_dsir" -> sampleDsir,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "text_ccnet_buckets" -> textCcnetBuckets,
@@ -688,7 +801,7 @@ object TextQueries {
        |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r),
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = maybeQmOracle ++ Map(
     "sample_dsir" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
