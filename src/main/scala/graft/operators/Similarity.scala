@@ -434,6 +434,51 @@ object Similarity {
         col("rnk").as("rank"), detRound(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------- semdedup
+  /** SemDeDup (Abbas et al., 2023): SEMANTIC dedup by clustering the
+    * embedding space and pruning near-duplicate pairs WITHIN clusters —
+    * the published answer to "embedding near-dup at web scale" (the paper
+    * runs it on LAION/CommonCrawl before training): k-means confines the
+    * quadratic pairwise work to cells, and the keep rule retains the
+    * cluster-atypical representative (LOW cosine to the centroid), biasing
+    * the surviving corpus toward diversity.
+    *
+    * Keep rule, made exactly deterministic: within a cell, rank vectors by
+    * (centroid-cosine asc, vec_id); a vector is dropped iff some
+    * rank-preceding vector in its cell is a τ-neighbor (pairwise cos ≥
+    * SemTau — the same near-dup τ as dedup_embedding, which this op
+    * arbitrates within clusters). Two consequences, both spec-pinned: the
+    * kept set is τ-independent within every cell (a kept pair would drop
+    * the later one), and every dup group keeps at least one member (its
+    * rank-minimal vector has no preceding neighbor).
+    *
+    * Scale: cell assignment is the map-side literal-centroid argmax shared
+    * with knn_ivf/stream_ivf_ingest (zero shuffle); the pair join is cell-
+    * confined width² like knn_graph (cells ∝ √n at deployment — the IVF
+    * sizing rule — keeps width and parallelism scaling); the drop set and
+    * final flag join are id-keyed and linear. Both engines compare the SAME
+    * IEEE doubles (identical dot fold, sqrt, division), so the rank
+    * precedence — and therefore the kept set — is bit-deterministic.
+    */
+  val SemTau = 0.40
+
+  def dedupSemdedup(s: SparkSession, d: String): DataFrame = {
+    val cents = centroidsFor(s, d)
+    val m = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val cc = assignCells(corpus(s, d), s, d)
+      .withColumn("ccos", NativeVector.cosine(col("v"), element_at(m, col("cell") + 1)))
+      .transform(Scale.materialize) // feeds both pair sides + the output
+    val dropped = cc.as("a").join(cc.as("b"),
+        col("a.cell") === col("b.cell") &&
+          (col("a.ccos") < col("b.ccos") ||
+            (col("a.ccos") === col("b.ccos") && col("a.vec_id") < col("b.vec_id"))) &&
+          NativeVector.cosine(col("a.v"), col("b.v")) >= SemTau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cc.join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), detRound(col("ccos"), 6).as("ccos"),
+        when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   // ---------------------------------------------------------- recall eval
   /** Index-quality evaluation as a first-class query: per-query recall@K
     * of the IVF search against the exact brute-force neighbours — the
@@ -704,6 +749,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semdedup" -> dedupSemdedup,
     "knn_brute_cosine" -> knnBrute,
     "knn_filtered" -> knnFiltered,
     "knn_lsh" -> knnLsh,
@@ -792,6 +838,29 @@ object Similarity {
        |  FROM sc)
        |SELECT q_id AS vec_id, vec_id AS nbr_id, rank, floor(cos*1e6)/1e6 AS cos
        |FROM r WHERE rank <= $GraphK""".stripMargin
+
+  /** dedup_semdedup restated in DuckDB: the same literal centroids and
+    * argmax cell assignment as the IVF oracle, the same IEEE centroid
+    * cosine, the identical (ccos asc, vec_id) precedence inside the drop
+    * EXISTS — both engines keep the same set because every compared double
+    * is bit-identical.
+    */
+  private def semdedupOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cells AS (${cellRowsSql(cents)}),
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, cells.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.v", "cells.cv")} / cells.sn DESC, cells.cell) AS r
+       |  FROM e, cells) t WHERE r = 1),
+       |cc AS (SELECT ca.vec_id, ca.v, ca.cell, ${cosineSql("ca.v", "cells.cv")} AS ccos
+       |  FROM ca JOIN cells ON ca.cell = cells.cell),
+       |drp AS (SELECT DISTINCT b.vec_id FROM cc a JOIN cc b ON a.cell = b.cell
+       |  AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+       |  AND ${cosineSql("a.v", "b.v")} >= $SemTau)
+       |SELECT cc.vec_id, cc.cell, floor(ccos*1e6)/1e6 AS ccos,
+       |  CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM cc LEFT JOIN drp USING (vec_id)""".stripMargin
 
   /** knn_ivf restated in DuckDB against the trained centroids as literals:
     * per-vector argmax cell (same dot/sqrt-n2 ranking and (ccos desc, cell)
@@ -1016,7 +1085,8 @@ object Similarity {
         val cents = centroidCache.values.iterator.next()
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
-          ("knn_recall_eval" -> recallEvalOracleSql(cents))
+          ("knn_recall_eval" -> recallEvalOracleSql(cents)) +
+          ("dedup_semdedup" -> semdedupOracleSql(cents))
       } else base
     val withTune = if (tuneCache.size == 1) {
       val cfg = tuneCache.values.iterator.next()

@@ -133,4 +133,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(counts.forall(_.getLong(1) === Similarity.K))
     }
   }
+
+  test("semdedup: kept set is tau-independent per cell, every drop has a witness") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.toDouble
+    val res = Similarity.dedupSemdedup(spark, sf).cache()
+    // totality: one verdict per embedding
+    assert(res.count() === Tables.embeddings(spark, sf).count())
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val withV = res.join(e, "vec_id").cache()
+    val tau = Similarity.SemTau
+    import graft.functions.NativeVector
+    // 1. no two KEPT vectors in the same cell are tau-similar: the later
+    //    of such a pair would have been dropped by the earlier one
+    val keptPairs = withV.filter(col("keep") === 1).as("a")
+      .join(withV.filter(col("keep") === 1).as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(NativeVector.cosine(col("a.v"), col("b.v")) >= tau)
+    assert(keptPairs.count() === 0, "kept set must be tau-independent per cell")
+    // 2. every DROPPED vector has a rank-preceding tau-neighbor in its cell
+    val orphanDrops = withV.filter(col("keep") === 0).as("b")
+      .join(withV.as("a"),
+        col("a.cell") === col("b.cell") &&
+          (col("a.ccos") < col("b.ccos") ||
+            (col("a.ccos") === col("b.ccos") && col("a.vec_id") < col("b.vec_id"))) &&
+          NativeVector.cosine(col("a.v"), col("b.v")) >= tau,
+        "left_anti")
+    assert(orphanDrops.count() === 0, "every drop needs a preceding tau-witness")
+    // 3. the op actually prunes something at this scale
+    assert(res.filter(col("keep") === 0).count() > 0)
+  }
 }
