@@ -679,17 +679,24 @@ object TextQueries {
     QmModel(wa, ba)
   }
 
-  private def qmFor(s: SparkSession, d: String): QmModel =
+  private[graft] def qmFor(s: SparkSession, d: String): QmModel =
     qmCache.computeIfAbsent(d, _ => qmTrain(s, d))
+
+  /** The scoring expression over a `toks` array column — shared by the
+    * batch query and the streaming ingestion gate (StreamQualityGate), so
+    * the gate admits exactly the rows the batch filter would keep.
+    */
+  private[graft] def qmScore(m: QmModel): org.apache.spark.sql.Column = {
+    val wLit = typedlit(m.w.toIndexedSeq)
+    aggregate(
+      transform(col("toks"), t => element_at(wLit, qmBucket(t) + 1)),
+      lit(m.b), (acc, x) => acc + x)
+  }
 
   def textQualityModel(s: SparkSession, d: String): DataFrame = {
     val m = qmFor(s, d)
-    val wLit = typedlit(m.w.toIndexedSeq)
-    val score = aggregate(
-      transform(col("toks"), t => element_at(wLit, qmBucket(t) + 1)),
-      lit(m.b), (acc, x) => acc + x)
     docs(s, d)
-      .select(col("doc_id"), score.as("qm_score"))
+      .select(col("doc_id"), qmScore(m).as("qm_score"))
       .join(textQuality(s, d).select(col("doc_id"), col("keep").as("label")), "doc_id")
       .select(col("doc_id"), col("qm_score"),
         when(col("qm_score") > 0, lit(1)).otherwise(lit(0)).as("pred"),
