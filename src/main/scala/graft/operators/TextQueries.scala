@@ -591,10 +591,14 @@ object TextQueries {
     val cq = bi.groupBy(col("f")).agg(count(lit(1)).as("cq"))
     val ct = bi.join(target, Seq("doc_id"), "left_semi")
       .groupBy(col("f")).agg(count(lit(1)).as("ct"))
-    val tot = cq.agg(sum(col("cq")).as("nq"))
-      .crossJoin(ct.agg(sum(col("ct")).as("nt")))
+    // totals as a global window over the ≤ DsirBuckets-row count frame (one
+    // partition of ≤ 4096 rows at ANY corpus size) — computing them as
+    // separate aggregates would re-scan the bigram frame twice more
+    val w0 = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val lam = cq.join(ct, Seq("f"), "left_outer")
-      .crossJoin(broadcast(tot))
+      .withColumn("nq", sum(col("cq")).over(w0))
+      .withColumn("nt", sum(coalesce(col("ct"), lit(0L))).over(w0))
       .select(col("f"),
         (length(bin(coalesce(col("ct"), lit(0L)) + 1)) + length(bin(col("nq")))
           - length(bin(col("cq") + 1)) - length(bin(col("nt")))).cast("long").as("lam"))

@@ -85,6 +85,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dsir scoring joins a broadcast weight table; no nested-loop crosses") {
+    val p = plan(graft.operators.TextQueries.sampleDsir(spark, sf))
+    // the λ table is ≤ DsirBuckets rows — it must broadcast onto the
+    // bigram scan, and the totals must ride the count frame as a window,
+    // not as two more cross-joined rescans of the bigram frame
+    assert(p.contains("BroadcastHashJoin [f#"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("quality-model scoring is a shuffle-free scan (literal weight table)") {
+    val p = plan(graft.operators.TextQueries.textQualityModel(spark, sf))
+    // the model is a per-row literal lookup: the only plumbing allowed is
+    // the doc_id-keyed label join (broadcast at this scale)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semdedup pair join is cell-keyed, never cartesian") {
+    val p = plan(graft.operators.Similarity.dedupSemdedup(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [cell#") || p.contains("Join [cast(cell#"), p)
+  }
+
   test("runtime bloom filter prunes a fact scan behind a selective dim filter") {
     // The 100 TB mechanism: a shuffle join whose build side carries a
     // selective filter gets a bloom filter injected on the probe scan
