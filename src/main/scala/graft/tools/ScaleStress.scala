@@ -128,6 +128,26 @@ object ScaleStress {
       .groupBy(col("lang"), col("avg_centibits"), col("tb"))
       .agg(count(lit(1)).as("w"))
     widthStats(tieWidths, "ccnet tie-rank partitions")
+
+    // round-5d structures: the DSIR bucket table must stay bounded at
+    // DsirBuckets rows (the broadcast claim) with hashing spreading the
+    // feature mass; semdedup's quadratic is its cell widths (the ivf cell
+    // histogram over the FULL table); the quality model's density shows
+    // training actually populated the literal table
+    val dsirBuckets = Tables.documents(spark, d)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("g"))
+      .select((hexH(concat(lit("dsir:"), col("g"))) % TextQueries.DsirBuckets).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("w"))
+    widthStats(dsirBuckets, "dsir feature buckets")
+    val sd = Similarity.dedupSemdedup(spark, d).localCheckpoint()
+    widthStats(sd.groupBy(col("cell")).agg(count(lit(1)).as("w")),
+      "semdedup cell widths")
+    println(s"semdedup dropped=${sd.filter(col("keep") === 0).count()} of ${sd.count()}")
+    val qm = TextQueries.qmFor(spark, d)
+    println(s"quality model nonzero weights=${qm.w.count(_ != 0)}/${qm.w.length} bias=${qm.b}")
     spark.stop()
   }
 }
