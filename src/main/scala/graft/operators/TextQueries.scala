@@ -347,17 +347,25 @@ object TextQueries {
   val DecontamN = 5
   val BenchMod = 50
 
-  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+  /** Distinct (doc_id, gram) N-gram rows — shared by the exact postings
+    * decontaminator and the Bloom-filter variant so both see byte-identical
+    * gram sets.
+    */
+  private def decontamGrams(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= DecontamN)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var g = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
     for (i <- 1 until DecontamN) g = g.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    val grams = g.filter(col(s"t${DecontamN - 1}").isNotNull)
+    g.filter(col(s"t${DecontamN - 1}").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok") +: (1 until DecontamN).map(i => col(s"t$i")): _*).as("gram"))
       .dropDuplicates("doc_id", "gram")
+  }
+
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = decontamGrams(s, d)
     val bench = grams.filter(col("doc_id") % BenchMod === 0)
       .select(col("doc_id").as("bench_id"), col("gram"))
     val train = grams.filter(col("doc_id") % BenchMod =!= 0)
@@ -365,6 +373,89 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Bloom-filter benchmark decontamination — the broadcast path the
+    * postings join cannot take at corpus scale. [[textDecontaminate]]
+    * shuffles every training gram to meet the benchmark grams by key; at
+    * 100 TB that is a corpus-sized exchange to interrogate a benchmark that
+    * is, by nature, tiny and fixed. The production recipe (Dolma, Soldaini
+    * et al. 2024, which decontaminates with Bloom filters; same role as the
+    * GPT-3/PaLM n-gram checks) inverts it: build a bit array over the
+    * benchmark's grams ONCE, ship it to every task, and flag training grams
+    * with a per-row membership probe — zero shuffle on the corpus side
+    * except the final doc_id rollup.
+    *
+    * Mechanics: the filter is M bits (M = next power of two ≥ 64× the
+    * benchmark's distinct gram count, floor 2^16 — sized so the set-bit
+    * fraction stays ≤ ~3/64 and the false-positive rate ≤ (3·G/M)^3 ≈
+    * 1e-4), probed by BloomK affine hashes from the shared [[PortableHash]]
+    * family over a salted 60-bit gram hash. The packed bit words embed as a
+    * LITERAL array in the scoring expression (the text_quality_model /
+    * knn_ivf trained-artifact pattern; the build-side aggregate is bounded
+    * at M/64 rows whatever the benchmark size). A hit = all BloomK bits
+    * set, so exact-contaminated docs are flagged BY CONSTRUCTION (no false
+    * negatives — DecontamBloomSpec pins the superset) and false positives
+    * are the documented, bounded price of the broadcast. The generated
+    * oracle restates membership STRUCTURALLY INDEPENDENTLY — a distinct
+    * set-bit-position table joined per probe, all-K-matched — so the two
+    * engines agree on every bit, false positives included.
+    */
+  val BloomK = 3
+  val BloomMinM: Long = 1L << 16
+
+  final case class BloomIndex(m: Long, words: Array[Long])
+
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BloomIndex]()
+
+  /** The BloomK probe positions for a gram column, as columns. */
+  private def bloomPos(gram: org.apache.spark.sql.Column, m: Long) = {
+    val hm = hmod(concat(lit("bloom:"), gram))
+    (0 until BloomK).map(i => graft.functions.PortableHash.affine(i, hm) % lit(m))
+  }
+
+  private def bloomBuild(s: SparkSession, d: String): BloomIndex = {
+    val bench = decontamGrams(s, d).filter(col("doc_id") % BenchMod === 0)
+      .select(col("gram")).distinct()
+    val g = bench.count()
+    val m = math.max(BloomMinM, java.lang.Long.highestOneBit(
+      math.max(64L * g - 1L, 1L)) << 1)
+    // pack set bits into M/64 words distributedly; only the ≤ M/64-row
+    // word frame ever reaches the driver
+    val words = bench
+      .select(explode(array(bloomPos(col("gram"), m): _*)).as("p"))
+      .select(floor(col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(bit_or(col("bit")).as("bits"))
+      .collect()
+    val arr = new Array[Long]((m / 64).toInt)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    BloomIndex(m, arr)
+  }
+
+  private[graft] def bloomFor(s: SparkSession, d: String): BloomIndex =
+    bloomCache.computeIfAbsent(d, _ => bloomBuild(s, d))
+
+  /** Per-row membership probe over a `gram` column: all BloomK bits set in
+    * the literal packed bitmap.
+    */
+  private[graft] def bloomHitExpr(bi: BloomIndex): org.apache.spark.sql.Column = {
+    val wLit = typedlit(bi.words.toIndexedSeq)
+    bloomPos(col("gram"), bi.m).map { p =>
+      call_function("shiftright", element_at(wLit, floor(p / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val bi = bloomFor(s, d)
+    decontamGrams(s, d).filter(col("doc_id") % BenchMod =!= 0)
+      .withColumn("hit", bloomHitExpr(bi))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), lit(1L)).otherwise(lit(0L))).as("n_flagged"))
+      .filter(col("n_flagged") > 0)
   }
 
   /** Exact substring-span duplication (Lee et al. 2022, "Deduplicating
@@ -729,7 +820,46 @@ object TextQueries {
       Map("text_quality_model" -> qmOracleSql(qmCache.values.iterator.next()))
     else Map.empty
 
+  /** Bloom oracle: membership restated structurally independently — the
+    * benchmark's DISTINCT set-bit positions as a table, each training
+    * gram's BloomK probes joined against it, flagged iff all BloomK rows
+    * matched. Equivalent to the Spark side's literal-bitmap probe bit for
+    * bit (the bits table IS the bitmap), false positives included; only M
+    * is embedded from the build.
+    */
+  private def bloomOracleSql(m: Long): String = {
+    import graft.functions.PortableHash.affineSql
+    val probes = (0 until BloomK)
+      .map(i => s"${affineSql(i, "hm")} % $m").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |raw AS (SELECT doc_id,
+       |    unnest(list_transform(range(0, len(toks) - ${DecontamN - 1}),
+       |      i -> array_to_string(list_slice(toks, i+1, i+$DecontamN), ' '))) AS gram
+       |  FROM t WHERE len(toks) >= $DecontamN),
+       |g AS (SELECT DISTINCT doc_id, gram FROM raw),
+       |h AS (SELECT doc_id, gram,
+       |    ${hexHSql("'bloom:' || gram")} % ${graft.functions.PortableHash.P} AS hm FROM g),
+       |bpos AS (SELECT DISTINCT pos FROM (
+       |    SELECT unnest([$probes]) AS pos FROM h WHERE doc_id % $BenchMod = 0)),
+       |tr AS (SELECT doc_id, gram, unnest([$probes]) AS pos
+       |  FROM h WHERE doc_id % $BenchMod <> 0),
+       |hits AS (SELECT doc_id, gram, count(*) AS k
+       |  FROM tr JOIN bpos USING (pos) GROUP BY 1, 2),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM h
+       |  WHERE doc_id % $BenchMod <> 0 GROUP BY 1),
+       |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+       |  FROM hits WHERE k = $BloomK GROUP BY 1)
+       |SELECT doc_id, n_grams, n_flagged FROM ng JOIN fl USING (doc_id)""".stripMargin
+  }
+
+  private def maybeBloomOracle: Map[String, String] =
+    if (bloomCache.size == 1)
+      Map("text_decontaminate_bloom" ->
+        bloomOracleSql(bloomCache.values.iterator.next().m))
+    else Map.empty
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate_bloom" -> textDecontaminateBloom,
     "text_quality_model" -> textQualityModel,
     "sample_dsir" -> sampleDsir,
     "text_bigram_surprisal" -> textBigramSurprisal,
@@ -812,7 +942,7 @@ object TextQueries {
        |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r),
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
-  def oracles: Map[String, String] = maybeQmOracle ++ Map(
+  def oracles: Map[String, String] = maybeQmOracle ++ maybeBloomOracle ++ Map(
     "sample_dsir" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |q AS (SELECT doc_id,
