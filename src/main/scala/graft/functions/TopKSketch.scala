@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters state: at most `cap` counters plus the total
+  * ingested count. Counters are LOWER bounds on true frequencies; the MG
+  * invariant bounds the undercount by Δ ≤ (n − Σ counters) / (cap + 1),
+  * and any item with true count > n/(cap+1) is guaranteed present. When
+  * observed cardinality ≤ cap the sketch is EXACT (no decrement ever
+  * fires, Δ = 0) — the regime the DuckDB oracle checks; the adversarial
+  * regime is spec-checked against an in-memory truth.
+  */
+final class MGState(val cap: Int) {
+  val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  var n: Long = 0L
+
+  def add(term: String): Unit = {
+    n += 1
+    counts.get(term) match {
+      case Some(c) => counts.update(term, c + 1)
+      case None if counts.size < cap => counts.update(term, 1L)
+      case None =>
+        // classic MG decrement-all; amortized O(1) per update since every
+        // decrement cancels a prior increment
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.mapValuesInPlace((_, c) => c - 1)
+        counts.foreach { case (t, c) => if (c <= 0) dead += t }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  /** Mergeable-summaries merge (Agarwal et al., PODS'12): pointwise sum,
+    * then subtract the (cap+1)-th largest value and drop non-positives —
+    * preserves the MG error invariant additively.
+    */
+  def mergeIn(other: MGState): MGState = {
+    n += other.n
+    other.counts.foreach { case (t, c) =>
+      counts.update(t, counts.getOrElse(t, 0L) + c)
+    }
+    if (counts.size > cap) {
+      val vals = counts.values.toArray.sorted(Ordering[Long].reverse)
+      val sub = vals(cap) // (cap+1)-th largest
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.mapValuesInPlace((_, c) => c - sub)
+      counts.foreach { case (t, c) => if (c <= 0) dead += t }
+      dead.foreach(counts.remove)
+    }
+    this
+  }
+
+  /** Upper bound on how much any counter undercounts its true frequency. */
+  def errBound: Long = (n - counts.valuesIterator.sum) / (cap + 1)
+}
+
+/** `graft_topk_sketch(term, cap)` — the ClickHouse `topK()` role as a native
+  * mergeable Catalyst aggregate (rung (b) of the custom-operator ladder):
+  * per-partition Misra–Gries summaries, merged associatively at the
+  * exchange, one bounded array out. At 100 TB this is the only sane shape
+  * for "top event types right now": the shuffle carries ≤ cap counters per
+  * partition instead of the full key cardinality, and the error is bounded
+  * and reported (`err` column) rather than silent.
+  *
+  * eval emits array<struct<term, est, err>> sorted (est desc, term asc) —
+  * deterministic under ties; est is the MG lower-bound counter.
+  */
+case class TopKSketch(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGState] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_topk_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType), StructField("est", LongType),
+    StructField("err", LongType))))
+
+  override def createAggregationBuffer(): MGState = new MGState(cap)
+
+  override def update(buffer: MGState, input: InternalRow): MGState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: MGState, other: MGState): MGState =
+    buffer.mergeIn(other)
+
+  override def eval(buffer: MGState): Any = {
+    val err = buffer.errBound
+    val rows = buffer.counts.toArray.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(t), c, err))
+      }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: MGState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buffer.n)
+    out.writeInt(buffer.counts.size)
+    buffer.counts.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val st = new MGState(cap)
+    st.n = in.readLong()
+    val k = in.readInt()
+    var i = 0
+    while (i < k) { st.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKSketch =
+    copy(child = newChild)
+}
+
+object TopKSketch {
+  /** Column builder: aggregate to array<struct<term, est, err>>. */
+  def topkSketch(term: Column, cap: Int): Column =
+    GraftSqlBridge.column(
+      TopKSketch(GraftSqlBridge.expression(term), cap).toAggregateExpression())
+}

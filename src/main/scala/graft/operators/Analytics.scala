@@ -266,6 +266,31 @@ object Analytics {
         ((col("bin") + 1) * HistWidth).cast("double").as("hi"),
         col("n"))
 
+  /** Global heavy hitters via the native Misra–Gries sketch aggregate
+    * ([[graft.functions.TopKSketch]] — the ClickHouse `topK()` surface):
+    * one pass, per-partition summaries of ≤ cap counters merged at the
+    * exchange, so the shuffle width is `cap`, not the key cardinality —
+    * the sane shape for "top N keys" when the key space is unbounded
+    * (URLs, user agents, IPs) and an exact groupBy would shuffle billions
+    * of groups for a 10-row answer. The sketch is EXACT while observed
+    * cardinality ≤ cap (no decrement fires, err = 0) — this corpus's
+    * regime, which the exact DuckDB oracle checks; the lossy regime's
+    * guarantees (heavy-hitter presence, bounded undercount, reported err)
+    * are TopKSketchSpec's adversarial tests. Final sort is ≤ cap rows
+    * from a single aggregate row — bounded at any corpus size.
+    */
+  val TopKSketchCap = 256
+  val TopKSketchK = 10
+
+  def eventsTopkSketch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(graft.functions.TopKSketch.topkSketch(col("event_type"), TopKSketchCap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("event_type"), col("e.est").as("est"),
+        col("e.err").as("err"))
+      .orderBy(col("est").desc, col("event_type"))
+      .limit(TopKSketchK)
+
   /** Volume-anomaly detection over hourly event counts: flag hours outside
     * the Tukey fences (p25/p75 ± 1.5·IQR). Exact interpolated percentiles,
     * NOT mean/stddev z-scores — quantiles of integer counts are dyadic
@@ -980,6 +1005,7 @@ object Analytics {
     "customer_ltv" -> customerLtv,
     "events_hourly" -> eventsHourly,
     "events_histogram" -> eventsHistogram,
+    "events_topk_sketch" -> eventsTopkSketch,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
@@ -1349,6 +1375,10 @@ object Analytics {
          |SELECT event_type, bin, CAST(bin * $HistWidth AS DOUBLE) AS lo,
          |  CAST((bin + 1) * $HistWidth AS DOUBLE) AS hi, count(*) AS n
          |FROM b GROUP BY 1, 2""".stripMargin,
+    "events_topk_sketch" ->
+      s"""SELECT event_type, count(*) AS est, CAST(0 AS BIGINT) AS err
+         |FROM events GROUP BY 1
+         |ORDER BY est DESC, event_type LIMIT $TopKSketchK""".stripMargin,
     "events_hourly_anomaly" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
         |    count(*) AS n_events
