@@ -82,8 +82,23 @@ object IncrementalSnapshot {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
+  /** A stored version as the LIVE-ROWS view: retention-mode stores keep
+    * delete tombstones as rows (op='d') so redelivered pre-tombstone
+    * changes cannot resurrect a deleted key; readers see live rows only.
+    * Plain stores have no `op` column and pass through untouched.
+    */
+  private def liveView(df: DataFrame): DataFrame =
+    if (df.columns.contains("op")) df.filter(col("op") =!= "d").drop("op")
+    else df
+
+  /** The raw stored version — tombstone rows included; the merge path needs
+    * them as state.
+    */
+  private def readRaw(s: SparkSession, dir: String): Option[DataFrame] =
     latestVersion(dir).map(v => s.read.parquet(s"$dir/v=$v"))
+
+  def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
+    readRaw(s, dir).map(liveView)
 
   /** All committed versions, ascending — the store's time-travel index
     * (the DESCRIBE HISTORY role of a Delta/Iceberg table).
@@ -99,7 +114,7 @@ object IncrementalSnapshot {
     */
   def readSnapshotAsOf(s: SparkSession, dir: String, v: Long): Option[DataFrame] =
     committedVersions(dir).filter(_ <= v).maxOption
-      .map(x => s.read.parquet(s"$dir/v=$x"))
+      .map(x => liveView(s.read.parquet(s"$dir/v=$x")))
 
   /** Retention: drop all but the `keep` newest committed versions (marker
     * first, then the data dir — a crash between the two leaves an orphan
@@ -125,8 +140,21 @@ object IncrementalSnapshot {
   /** Merge one micro-batch of flattened signed change rows into the stored
     * snapshot. Stored rows re-enter the merge as state (op='r', sign=1) at
     * their stored version.
+    *
+    * `tombstoneRetention` (version units, e.g. ms) opts into the
+    * ClickHouse-sign-row / Kafka-`delete.retention.ms` store shape: the
+    * state is [[CdcOps.logCompact]] instead of [[CdcOps.snapshotLatest]],
+    * so delete tombstones persist AS ROWS until they age past the
+    * retention horizon behind the advancing log head. Without it, a
+    * tombstone is applied and forgotten in one merge — correct under
+    * exactly-once delivery, but an at-least-once redelivery of a
+    * pre-delete change in a LATER batch would resurrect the key (the
+    * Bootstrap seam makes this real: the snapshot phase compacts away
+    * history that the tail may redeliver). Readers always get the
+    * live-rows view; only the merge sees tombstone state.
     */
-  def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String])
+  def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String],
+      tombstoneRetention: Option[Long] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     val manifest = Paths.get(dir, "_manifest")
     Files.createDirectories(manifest)
@@ -145,11 +173,20 @@ object IncrementalSnapshot {
       return
     }
     val s = batch.sparkSession
-    val current = readSnapshot(s, dir)
-      .map(_.withColumn("op", lit("r")).withColumn("sign", lit(1)))
-    val all = current.map(batch.unionByName(_)).getOrElse(batch)
-    CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
-      .write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    val next = tombstoneRetention match {
+      case None =>
+        val current = readSnapshot(s, dir)
+          .map(_.withColumn("op", lit("r")).withColumn("sign", lit(1)))
+        val all = current.map(batch.unionByName(_)).getOrElse(batch)
+        CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
+      case Some(ret) =>
+        // state rows already carry op + ts_ms; sign is derivable from op,
+        // so the union drops it and logCompact keys retention off op alone
+        val b = batch.drop("sign")
+        val all = readRaw(s, dir).map(b.unionByName(_)).getOrElse(b)
+        CdcOps.logCompact(all, keyCols, "ts_ms", payloadCols, ret)
+    }
+    next.write.mode("overwrite").parquet(s"$dir/v=$batchId")
     Files.createFile(marker)
     flipLatest(dir, batchId)
   }
@@ -157,11 +194,12 @@ object IncrementalSnapshot {
   /** Stream a CDC source into a maintained snapshot directory. */
   def start(s: SparkSession, src: CdcPipeline.Source, payloadSchema: StructType,
       keyCols: Seq[String], dir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstoneRetention: Option[Long] = None): StreamingQuery = {
     val payloadCols = payloadSchema.fieldNames.toSeq.filterNot(keyCols.contains)
     Envelope.parse(CdcPipeline.read(s, src), payloadSchema)
       .writeStream
-      .foreachBatch(merge(dir, keyCols, payloadCols) _)
+      .foreachBatch(merge(dir, keyCols, payloadCols, tombstoneRetention) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
