@@ -246,11 +246,21 @@ object NativeVector {
     case _ => throw new IllegalArgumentException("graft_pq_encode takes exactly 4 arguments")
   }
 
+  private val topkInfo =
+    new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk_sketch")
+  private def topkBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(t, cap) if cap.foldable =>
+      TopKSketch(t, cap.eval(null).asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "graft_topk_sketch takes (term, constant capacity)")
+  }
+
   /** Register the native vector functions into a live session's registry. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", info, builder)
     GraftSqlBridge.registerFunction(spark, "graft_argmax_dot", argmaxInfo, argmaxBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_pq_encode", pqInfo, pqBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_topk_sketch", topkInfo, topkBuilder)
   }
 }
 
@@ -272,5 +282,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
         (children: Seq[Expression]) =>
           PqEncode(children(0), children(1), children(2), children(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_topk_sketch"),
+        new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk_sketch"),
+        (children: Seq[Expression]) =>
+          TopKSketch(children(0),
+            children(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

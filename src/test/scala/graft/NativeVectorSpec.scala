@@ -31,6 +31,18 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(a.forall(row => row.getInt(0) == 0 || row.getInt(0) == 1))
   }
 
+  test("graft_topk_sketch is callable from SQL after registration") {
+    NativeVector.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_native_spec")
+    val r = spark.sql(
+      """SELECT e.term, e.est FROM (
+        |  SELECT explode(graft_topk_sketch(event_type, 64)) AS e
+        |  FROM ev_native_spec)""".stripMargin).collect()
+    val exact = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toMap === exact)
+  }
+
   test("native dot stays inside whole-stage codegen") {
     val plan = e.withColumn("d", NativeVector.dot(col("v"), col("v")))
       .queryExecution.executedPlan.toString
