@@ -72,6 +72,27 @@ object Similarity {
     topK(broadcast(q).join(c).withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ---------------------------------------------------------------- range
+  /** Radius (range) search: every corpus vector with cos ≥ [[RangeTau]] of
+    * each query — the "all sufficiently-similar" dual of top-k (duplicate
+    * sweeps and recall audits ask this, not k-nearest). Exact over the
+    * broadcast query set; there is no top-k cut, so the plan is one
+    * broadcast nested-loop scan with the threshold filter codegen'd into
+    * it — output-bound by definition (a τ low enough to match everything
+    * IS the cross product; the caller owns τ). Both engines compute the
+    * identical IEEE cosine, so the ≥ τ boundary agrees bit for bit.
+    */
+  val RangeTau = 0.3
+
+  def knnRange(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    broadcast(q).join(c)
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        detRound(col("cos"), 6).as("cos"))
+  }
+
   // ------------------------------------------------------------- filtered
   /** Filtered kNN — "top-k under a metadata predicate", the filtered-search
     * problem every production vector store has to answer (tenant / shard /
@@ -751,6 +772,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semdedup" -> dedupSemdedup,
     "knn_brute_cosine" -> knnBrute,
+    "knn_range" -> knnRange,
     "knn_filtered" -> knnFiltered,
     "knn_lsh" -> knnLsh,
     "knn_lsh_auto" -> knnLshAuto,
@@ -1037,6 +1059,17 @@ object Similarity {
        |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** knn_range's oracle: the brute scoring with the τ filter in place of
+    * the rank cut.
+    */
+  private def rangeOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |sc AS (SELECT q_id, vec_id, ${cosineSql("qv", "v")} AS cos FROM q, c)
+       |SELECT q_id, vec_id AS nn_id, floor(cos*1e6)/1e6 AS cos
+       |FROM sc WHERE cos >= $RangeTau""".stripMargin
+
   /** knn_filtered's oracle: brute within label groups — the same cosine and
     * ranking as [[bruteOracleSql]] with the tenant predicate as the join.
     */
@@ -1074,6 +1107,7 @@ object Similarity {
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
+      "knn_range" -> rangeOracleSql,
       "knn_filtered" -> filteredOracleSql,
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),
     )
