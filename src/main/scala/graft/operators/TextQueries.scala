@@ -437,16 +437,32 @@ object TextQueries {
   private[graft] def bloomFor(s: SparkSession, d: String): BloomIndex =
     bloomCache.computeIfAbsent(d, _ => bloomBuild(s, d))
 
-  /** Per-row membership probe over a `gram` column: all BloomK bits set in
-    * the literal packed bitmap.
+  /** Per-row membership probe over a gram expression: all BloomK bits set
+    * in the literal packed bitmap. Pure Column math, so it composes into
+    * higher-order lambdas (the streaming gate probes inside a `filter`
+    * over the per-row gram array).
     */
-  private[graft] def bloomHitExpr(bi: BloomIndex): org.apache.spark.sql.Column = {
+  private[graft] def bloomHitOn(bi: BloomIndex,
+      gram: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val wLit = typedlit(bi.words.toIndexedSeq)
-    bloomPos(col("gram"), bi.m).map { p =>
+    bloomPos(gram, bi.m).map { p =>
       call_function("shiftright", element_at(wLit, floor(p / 64).cast("int") + 1),
         (p % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
   }
+
+  private[graft] def bloomHitExpr(bi: BloomIndex): org.apache.spark.sql.Column =
+    bloomHitOn(bi, col("gram"))
+
+  /** The per-row gram array of a `toks` column — the HOF twin of
+    * [[decontamGrams]] (same N, same join-by-space encoding), for
+    * shuffle-free per-row scoring in the streaming gate.
+    */
+  private[graft] def gramArray: org.apache.spark.sql.Column =
+    array_distinct(transform(
+      sequence(lit(0), size(col("toks")) - DecontamN),
+      i => concat_ws(" ", (0 until DecontamN).map(j =>
+        element_at(col("toks"), i + j + 1)): _*)))
 
   def textDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
     val bi = bloomFor(s, d)

@@ -104,6 +104,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom decontamination probes a literal bitmap — no bench-side join in the scoring plan") {
+    val p = plan(graft.operators.TextQueries.textDecontaminateBloom(spark, sf))
+    // the filter is a literal: the scoring side must not join the benchmark
+    // (that would be the postings plan the bloom path exists to avoid);
+    // the only exchanges are the gram-dedup and the doc_id rollup
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("topk sketch aggregates partially before the exchange; final sort is bounded") {
+    val p = plan(Analytics.eventsTopkSketch(spark, sf))
+    // partial sketch per partition (ObjectHashAggregate partial_graft_topk_sketch),
+    // merged across ONE exchange, then TakeOrderedAndProject on <= cap rows
+    assert(p.contains("partial_graft_topk_sketch"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
+  test("knn_range is a broadcast scan with the threshold filter — no shuffle at all") {
+    val p = plan(graft.operators.Similarity.knnRange(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("semdedup pair join is cell-keyed, never cartesian") {
     val p = plan(graft.operators.Similarity.dedupSemdedup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
