@@ -148,6 +148,18 @@ object ScaleStress {
     println(s"semdedup dropped=${sd.filter(col("keep") === 0).count()} of ${sd.count()}")
     val qm = TextQueries.qmFor(spark, d)
     println(s"quality model nonzero weights=${qm.w.count(_ != 0)}/${qm.w.length} bias=${qm.b}")
+
+    // round-5e structures: the bloom decontaminator's sizing rule (set-bit
+    // fraction bounds the FP rate) and its flag surplus vs the exact join;
+    // knn_range's output growth (output-bound by design)
+    val bi = TextQueries.bloomFor(spark, d)
+    val setBits = bi.words.map(java.lang.Long.bitCount).sum
+    val exactDocs = TextQueries.textDecontaminate(spark, d).count()
+    val bloomDocs = TextQueries.textDecontaminateBloom(spark, d).count()
+    println(f"bloom: M=${bi.m} setBits=$setBits (${setBits.toDouble / bi.m}%.4f full) " +
+      s"exact_docs=$exactDocs bloom_docs=$bloomDocs")
+    println(s"knn_range matches=${Similarity.knnRange(spark, d).count()} " +
+      s"(tau=${Similarity.RangeTau}, ${Similarity.NumQueries} queries)")
     spark.stop()
   }
 }
