@@ -246,7 +246,41 @@ object CdcQueries {
         countDistinct(col("id")).as("n_valid_keys"))
   }
 
+  /** Column-level change audit: for every update event, diff its payload
+    * against the key's PREVIOUS event version (lag over the per-key
+    * timeline) and count changes per column — "which columns actually
+    * churn" is the first question a CDC consumer asks when sizing SCD2
+    * columns or pruning a replication column list. Debezium's `before`
+    * image answers it only when the connector ships one (REPLICA IDENTITY
+    * FULL); reconstructing via lag works on any feed, and on this feed the
+    * oracle knows the exact truth (updates change `status` only).
+    *
+    * Scale: one per-key window ordered by version — partitions bounded by
+    * per-key event counts (the SCD2 discipline), then a single map-side-
+    * partial aggregate to a 3-row frame; the unpivot is a stack over that
+    * frame.
+    */
+  def updateDiff(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("ts_ms"))
+    val diffs = CdcSim.parsedChangelog(s, d)
+      .select(col("id"), col("op"), col("ts_ms"),
+        col("custkey"), col("price"), col("status"))
+      .withColumn("p_custkey", lag(col("custkey"), 1).over(w))
+      .withColumn("p_price", lag(col("price"), 1).over(w))
+      .withColumn("p_status", lag(col("status"), 1).over(w))
+      .filter(col("op") === "u")
+      .agg(
+        sum(when(!(col("custkey") <=> col("p_custkey")), lit(1L)).otherwise(lit(0L))).as("c_custkey"),
+        sum(when(!(col("price") <=> col("p_price")), lit(1L)).otherwise(lit(0L))).as("c_price"),
+        sum(when(!(col("status") <=> col("p_status")), lit(1L)).otherwise(lit(0L))).as("c_status"),
+        count(lit(1)).as("n"))
+    diffs.select(
+      expr("stack(3, 'custkey', c_custkey, 'price', c_price, 'status', c_status) AS (col_nm, n_changed)"),
+      col("n").as("n_updates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_update_diff" -> updateDiff,
     "cdc_parse_envelope" -> parseEnvelope,
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
@@ -273,6 +307,22 @@ object CdcQueries {
        |FROM base WHERE id % 10 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_update_diff" ->
+      s"""$C,
+         |lagd AS (SELECT op, custkey, price, status,
+         |    lag(custkey) OVER (PARTITION BY id ORDER BY ts_ms) AS p_custkey,
+         |    lag(price)   OVER (PARTITION BY id ORDER BY ts_ms) AS p_price,
+         |    lag(status)  OVER (PARTITION BY id ORDER BY ts_ms) AS p_status
+         |  FROM ev),
+         |ag AS (SELECT
+         |    CAST(sum(CASE WHEN custkey IS DISTINCT FROM p_custkey THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,
+         |    CAST(sum(CASE WHEN price IS DISTINCT FROM p_price THEN 1 ELSE 0 END) AS BIGINT) AS c_price,
+         |    CAST(sum(CASE WHEN status IS DISTINCT FROM p_status THEN 1 ELSE 0 END) AS BIGINT) AS c_status,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM lagd WHERE op = 'u')
+         |SELECT 'custkey' AS col_nm, c_custkey AS n_changed, n AS n_updates FROM ag
+         |UNION ALL SELECT 'price', c_price, n FROM ag
+         |UNION ALL SELECT 'status', c_status, n FROM ag""".stripMargin,
     "cdc_parse_envelope" -> s"$C\nSELECT op, id, custkey, price, status, ts_ms, sign FROM ev",
     "cdc_consistency_check" ->
       s"""WITH snap AS (SELECT * FROM (
