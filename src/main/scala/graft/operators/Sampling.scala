@@ -162,7 +162,84 @@ object Sampling {
           .as("kept_rate"))
   }
 
+  /** One-pass Poisson-bootstrap error bars on a corpus metric — the
+    * web-scale answer to "how certain is this dashboard number": a classic
+    * bootstrap redraws the corpus R times (R full passes, or a
+    * non-distributable multinomial); the Poisson approximation gives every
+    * doc an independent Poisson(1) replicate weight, so ALL R replicates
+    * materialize in one scan as an explode(×R) and the estimator's spread
+    * falls out of a groupBy. Here: per-language mean quality with its
+    * bootstrap standard error.
+    *
+    * Engine-exact by the repo's integer discipline: replicate weights come
+    * from inverse-CDF lookup of the r-th affine portable hash against
+    * PRECOMPUTED integer thresholds floor(cdf_k·P) (truncated at w ≤ 8,
+    * residual mass ~1e-5 — a deterministic convention, not a rounding
+    * hazard), quality re-enters as exact q4 = round(quality·1e4) LONGs, and
+    * every replicate mean is ONE correctly-rounded division of exact
+    * integers. The only float folds are over the R=16 SORTED replicate
+    * means — sequential left-to-right in BOTH engines (Spark `aggregate`
+    * with 0.0 init ≡ DuckDB `list_reduce` seeded by the first element,
+    * identical because 0.0 + x = x exactly), so variance and sqrt are
+    * bit-identical.
+    *
+    * Scale: explode ×R then ONE shuffle to (lang, r) — R·corpus rows of
+    * three scalar columns on the wire, partial-aggregated map-side; the
+    * fold frame is #langs × R rows. No resampling passes, no per-replicate
+    * jobs.
+    */
+  val BootReps = 16
+
+  /** Poisson(1) CDF thresholds in the hash field [0, P): w(u) = #{k : u ≥ t_k}. */
+  private val poisThresholds: IndexedSeq[Long] = {
+    var pmf = math.exp(-1.0)
+    var cdf = pmf
+    (0 until 8).map { k =>
+      val t = math.floor(cdf * graft.functions.PortableHash.P).toLong
+      pmf /= (k + 1); cdf += pmf
+      t
+    }
+  }
+
+  def statsBootstrap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash.{P, coefs}
+    val q = TextQueries.textQuality(s, d).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"),
+        floor(col("quality") * 1e4 + 0.5).cast("long").as("q4"),
+        (hexH(concat(lit("bs:"), col("doc_id"))) % P).as("hm"))
+      .transform(Scale.materialize) // feeds the point estimate AND the replicate frame
+    val aLit = typedlit((0 until BootReps).map(i => coefs(i)._1))
+    val bLit = typedlit((0 until BootReps).map(i => coefs(i)._2))
+    val g = q
+      .select(col("lang"), col("q4"), col("hm"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("r"))
+      .withColumn("u",
+        (element_at(aLit, col("r") + 1) * col("hm") + element_at(bLit, col("r") + 1)) % P)
+      .withColumn("w",
+        poisThresholds.map(t => when(col("u") >= t, lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .groupBy(col("lang"), col("r"))
+      .agg(sum(col("w") * col("q4")).as("sr"), sum(col("w")).as("wr"))
+      .withColumn("m", col("sr").cast("double") / col("wr"))
+    val folded = g.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("r"), col("m")))).as("ms"))
+      .withColumn("marr", transform(col("ms"), x => x.getField("m")))
+      .select(col("lang"),
+        aggregate(col("marr"), lit(0.0), (a, x) => a + x).as("sm"),
+        aggregate(col("marr"), lit(0.0), (a, x) => a + x * x).as("sm2"))
+    val point = q.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q4")).as("sq"))
+    point.join(folded, "lang")
+      .select(col("lang"), col("n_docs"),
+        (col("sq").cast("double") / col("n_docs") / lit(1e4)).as("mean_q"),
+        (sqrt(greatest(
+          (col("sm2") - col("sm") * col("sm") / lit(16.0)) / lit(15.0),
+          lit(0.0))) / lit(1e4)).as("boot_std"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bootstrap" -> statsBootstrap,
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
     "sample_temperature" -> sampleTemperature,
     "sample_mixture" -> sampleMixture,
@@ -171,7 +248,49 @@ object Sampling {
     "corpus_pack" -> corpusPack,
   )
 
+  /** stats_bootstrap oracle: same integer thresholds, same affine family,
+    * same fold order (list_reduce seeded by the first element ≡ Spark's
+    * 0.0-seeded aggregate, since 0.0 + x = x exactly).
+    */
+  private def bootstrapOracleSql: String = {
+    import graft.functions.PortableHash.{P, coefs}
+    val enStop = graft.functions.TextFunctions.enStop
+    val aArr = (0 until BootReps).map(i => coefs(i)._1).mkString("[", ",", "]")
+    val bArr = (0 until BootReps).map(i => coefs(i)._2).mkString("[", ",", "]")
+    val wSum = poisThresholds
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |    floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+       |      + 0.3*least(1.0, (CAST(len(list_filter(toks, tk -> list_contains([${enStop.map("'" + _ + "'").mkString(",")}], tk))) AS DOUBLE)/len(toks))*5.0)
+       |      + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+       |  FROM t),
+       |q2 AS (SELECT lang, CAST(floor(quality*1e4 + 0.5) AS BIGINT) AS q4,
+       |    ${hexHSql("'bs:' || doc_id")} % $P AS hm FROM q),
+       |rep AS (SELECT lang, q4, hm, unnest(range(0, $BootReps)) AS r FROM q2),
+       |uu AS (SELECT lang, q4, r,
+       |    ($aArr[r+1] * hm + $bArr[r+1]) % $P AS u FROM rep),
+       |ww AS (SELECT lang, q4, r, $wSum AS w FROM uu),
+       |g AS (SELECT lang, r, CAST(sum(w*q4) AS BIGINT) AS sr,
+       |    CAST(sum(w) AS BIGINT) AS wr FROM ww GROUP BY 1, 2),
+       |m AS (SELECT lang, r, CAST(sr AS DOUBLE)/wr AS m FROM g),
+       |f AS (SELECT lang, list(m ORDER BY r) AS marr FROM m GROUP BY 1),
+       |s AS (SELECT lang,
+       |    list_reduce(marr, (a, x) -> a + x) AS sm,
+       |    list_reduce(list_transform(marr, x -> x*x), (a, x) -> a + x) AS sm2
+       |  FROM f),
+       |p AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(q4) AS BIGINT) AS sq FROM q2 GROUP BY 1)
+       |SELECT p.lang, n_docs,
+       |  CAST(sq AS DOUBLE) / n_docs / 1e4 AS mean_q,
+       |  sqrt(greatest((sm2 - sm * sm / 16.0) / 15.0, 0.0)) / 1e4 AS boot_std
+       |FROM p JOIN s ON p.lang = s.lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "stats_bootstrap" -> bootstrapOracleSql,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hexHSql("'sample:' || doc_id")} % 1000 < 200""".stripMargin,
