@@ -94,6 +94,40 @@ object Analytics {
       .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Least-squares revenue trend (the ClickHouse `simpleLinearRegression`
+    * role): slope + intercept of daily revenue (cents) against the day
+    * index, one row out. Exactness discipline: x = days since the first
+    * order day (exact int), y = the day's revenue in exact LONG cents
+    * (DECIMAL sum ×100), the four moments Σx/Σy/Σxy/Σx² accumulate in ONE
+    * map-side-partial aggregate as DECIMAL(38,0) (n·Σxy overflows BIGINT at
+    * ~sf1 — decimal is the 100 TB answer, and DuckDB mirrors in HUGEINT),
+    * and slope/intercept are formed from single correctly-rounded
+    * decimal→double casts + one division each — bit-identical cross-engine.
+    * Scale: the regression runs on the pre-aggregated daily frame
+    * (thousands of rows at any SF); the fact table is touched once by the
+    * same partial-agg shuffle dailyRevenue uses.
+    */
+  def dailyRevenueTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val base = daily.agg(min(unix_date(col("day"))).as("d0"))
+    val xy = daily.join(broadcast(base))
+      .select((unix_date(col("day")) - col("d0")).cast("long").as("x"), col("cents").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+    xy.select(
+        col("n").cast("long").as("n_days"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(col("n_days"), col("slope"),
+        ((col("syd") - col("slope") * col("sxd")) / col("n_days")).as("intercept"))
+  }
+
   /** Running total over the daily aggregate: the cumulative window runs on
     * the ALREADY-aggregated frame (one row per day — thousands of rows at
     * any source scale), so the single-partition global window is safe; the
@@ -994,6 +1028,7 @@ object Analytics {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "daily_revenue" -> dailyRevenue,
+    "daily_revenue_trend" -> dailyRevenueTrend,
     "daily_revenue_running" -> dailyRevenueRunning,
     "daily_revenue_ma7" -> dailyRevenueMa7,
     "revenue_yoy" -> revenueYoy,
@@ -1283,6 +1318,21 @@ object Analytics {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "daily_revenue_trend" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0 FROM daily),
+        |xy AS (SELECT CAST(day - d0 AS BIGINT) AS x, cents AS y FROM daily, b),
+        |mo AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+        |  FROM xy),
+        |sl AS (SELECT CAST(n AS BIGINT) AS n_days,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM mo)
+        |SELECT n_days, slope, (syd - slope * sxd) / n_days AS intercept FROM sl""".stripMargin,
     "daily_revenue" ->
       """SELECT strftime(o_orderdate,'%Y-%m-%d') AS order_day,
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue, count(*) AS n_orders
