@@ -94,6 +94,87 @@ object Analytics {
       .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Item-item co-purchase similarity (the market-basket recommender
+    * primitive): for every part, the top-[[CosimK]] parts by basket
+    * Jaccard — |orders with both| / |orders with either|. Candidates come
+    * from the order-basket postings self-join (the dedup family's blocking
+    * discipline: quadratic work confined to within-basket pairs, Σ|basket|²
+    * total, never part × part). Baskets wider than [[MaxBasket]] items are
+    * excluded — a degenerate wholesale order links everything to
+    * everything while carrying no preference signal (the minhash stop-band
+    * argument, restated in the oracle, dormant at test scale: sf0.1's
+    * widest basket is ~7 lines). Jaccard is one exact division of LONG
+    * counts; top-k per part through the standard bounded two-phase
+    * [[Scale.topKPerGroup]].
+    */
+  val CosimK = 5
+  val MaxBasket = 256
+
+  def partCosim(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("bs") <= MaxBasket).drop("bs")
+      .transform(Scale.materialize) // feeds sizes + both join sides
+    val sizes = basket.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val co = basket.as("a").join(basket.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("pk"), col("b.pk").as("pk_b"))
+      .agg(count(lit(1)).as("co"))
+    val scored = co
+      .join(sizes.toDF("pk", "na"), "pk")
+      .join(sizes.toDF("pk_b", "nb"), "pk_b")
+      .withColumn("jacc",
+        col("co").cast("double") / (col("na") + col("nb") - col("co")))
+    Scale.topKPerGroup(
+        scored.select(col("pk"), col("pk_b"), col("jacc"), col("co")),
+        Seq("pk"), Seq(col("jacc").desc, col("pk_b")),
+        k = CosimK, saltSrc = col("pk_b"))
+      .select(col("pk"), col("pk_b"), col("rnk").as("rank"),
+        col("co"), graft.functions.TextFunctions.detRound(col("jacc"), 6).as("jacc"))
+  }
+
+  /** RFM segmentation (the classic mart customer-value grid): per customer
+    * recency (days since last order, measured from the corpus's max order
+    * day), frequency (orders), monetary (LONG cents), each scored 1–5
+    * against exact interpolated quintile thresholds of the CUSTOMER-level
+    * frame, rolled up per (r, f, m) cell. Scale: one customer-keyed
+    * partial-agg shuffle builds the frame; the thresholds are a 1-row
+    * exact-percentile aggregate broadcast back (the order_value_quantiles
+    * parity discipline — interpolation formula identical in both engines);
+    * scoring is per-row threshold counting (NO customer-sized ntile
+    * window), and the output is bounded at 5³ cells + grand stats.
+    */
+  def customerRfm(s: SparkSession, d: String): DataFrame = {
+    val maxDay = Tables.orders(s, d).agg(max(unix_date(to_date(col("o_orderdate")))).as("d1"))
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_date(to_date(col("o_orderdate")))).as("last_day"),
+        count(lit(1)).as("f"),
+        (sum(dec(col("o_totalprice"))) * 100).cast("long").as("m"))
+      .join(broadcast(maxDay))
+      .select(col("o_custkey"), (col("d1") - col("last_day")).cast("long").as("r"),
+        col("f"), col("m"))
+      .transform(Scale.materialize) // feeds thresholds + scoring
+    val qs = cust.agg(
+      expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+    def scoreUp(x: Column, t: Column) = // higher value → higher score
+      (lit(1) + (0 until 4).map(i => when(x > element_at(t, i + 1), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    def scoreDown(x: Column, t: Column) = // lower value (recent) → higher score
+      (lit(1) + (0 until 4).map(i => when(x < element_at(t, i + 1), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    cust.join(broadcast(qs))
+      .select(col("o_custkey"), col("m"),
+        scoreDown(col("r"), col("rq")).as("r_score"),
+        scoreUp(col("f"), col("fq")).as("f_score"),
+        scoreUp(col("m"), col("mq")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("cents"))
+  }
+
   /** Least-squares revenue trend (the ClickHouse `simpleLinearRegression`
     * role): slope + intercept of daily revenue (cents) against the day
     * index, one row out. Exactness discipline: x = days since the first
@@ -1028,6 +1109,8 @@ object Analytics {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "daily_revenue" -> dailyRevenue,
+    "part_cosim" -> partCosim,
+    "customer_rfm" -> customerRfm,
     "daily_revenue_trend" -> dailyRevenueTrend,
     "daily_revenue_running" -> dailyRevenueRunning,
     "daily_revenue_ma7" -> dailyRevenueMa7,
@@ -1318,6 +1401,44 @@ object Analytics {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "part_cosim" ->
+      s"""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |bs AS (SELECT ok, pk FROM (
+         |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS c FROM bk)
+         |  WHERE c <= $MaxBasket),
+         |sz AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM bs GROUP BY 1),
+         |cop AS (SELECT a.pk AS pk, b.pk AS pk_b, CAST(count(*) AS BIGINT) AS co
+         |  FROM bs a JOIN bs b ON a.ok = b.ok AND a.pk <> b.pk GROUP BY 1, 2),
+         |sc AS (SELECT cop.pk, cop.pk_b, cop.co,
+         |    CAST(cop.co AS DOUBLE) / (na.n + nb.n - cop.co) AS jacc
+         |  FROM cop JOIN sz na ON cop.pk = na.pk JOIN sz nb ON cop.pk_b = nb.pk),
+         |r AS (SELECT pk, pk_b, co, jacc,
+         |    row_number() OVER (PARTITION BY pk ORDER BY jacc DESC, pk_b) AS rank
+         |  FROM sc)
+         |SELECT pk, pk_b, rank, co, floor(jacc*1e6)/1e6 AS jacc
+         |FROM r WHERE rank <= $CosimK""".stripMargin,
+    "customer_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |c2 AS (SELECT o_custkey, CAST(d1 - last_day AS BIGINT) AS r, f, m FROM c, mx),
+        |q AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rq,
+        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mq FROM c2),
+        |s AS (SELECT m,
+        |    1 + (CASE WHEN r < rq[1] THEN 1 ELSE 0 END) + (CASE WHEN r < rq[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r < rq[3] THEN 1 ELSE 0 END) + (CASE WHEN r < rq[4] THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN f > fq[1] THEN 1 ELSE 0 END) + (CASE WHEN f > fq[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f > fq[3] THEN 1 ELSE 0 END) + (CASE WHEN f > fq[4] THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN m > mq[1] THEN 1 ELSE 0 END) + (CASE WHEN m > mq[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > mq[3] THEN 1 ELSE 0 END) + (CASE WHEN m > mq[4] THEN 1 ELSE 0 END) AS m_score
+        |  FROM c2, q)
+        |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(m) AS BIGINT) AS cents
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
     "daily_revenue_trend" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
