@@ -128,6 +128,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("customer_rfm scores against broadcast thresholds — no customer-sized window") {
+    val p = plan(Analytics.customerRfm(spark, sf))
+    assert(!p.contains("Window"), "RFM must not plan an ntile window over customers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("part_cosim pairs come from the basket join, never cartesian") {
+    val p = plan(Analytics.partCosim(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows allowed: the bounded per-basket width filter and the
+    // two-phase top-k (bucketed) — never a part-partitioned full sort
+    assert(p.contains("ok#") && p.contains("Join"), p)
+  }
+
   test("semdedup pair join is cell-keyed, never cartesian") {
     val p = plan(graft.operators.Similarity.dedupSemdedup(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
