@@ -523,6 +523,38 @@ object Similarity {
         detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  // ------------------------------------------------------------------ RRF
+  /** Ensemble retrieval via Reciprocal Rank Fusion (Cormack et al., SIGIR
+    * 2009 — the fusion rule hybrid search engines standardized on): fuse
+    * the LSH and IVF top-k lists per query by score = Σ 1/(60 + rank),
+    * re-rank, cut at [[K]]. Two structurally different indexes miss
+    * different neighbors (hash-plane boundaries vs cell boundaries), and
+    * RRF needs no score calibration between them — ranks only, which is
+    * why it composes ANY retriever pair (its production role is
+    * dense+lexical; here both lists are re-used verified indexes whose
+    * generated oracles restate them exactly, so the fused list is
+    * oracle-exact too). Per-candidate score is TWO coalesced terms added
+    * in fixed order — deterministic doubles; ties break on vec_id.
+    * Scale: a full-outer join of two k-row-per-query lists (bounded), then
+    * the standard bounded top-k. The indexes do the heavy lifting.
+    */
+  val RrfC = 60
+
+  def knnRrf(s: SparkSession, d: String): DataFrame = {
+    val lsh = knnLsh(s, d).select(col("q_id"), col("nn_id"), col("rank").as("r_lsh"))
+    val ivf = knnIvf(s, d).select(col("q_id"), col("nn_id"), col("rank").as("r_ivf"))
+    val fused = lsh.join(ivf, Seq("q_id", "nn_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(RrfC) + col("r_lsh")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("r_ivf")), lit(0.0)))
+    Scale.topKPerGroup(
+        fused.select(col("q_id"), col("nn_id"), col("score")),
+        Seq("q_id"), Seq(col("score").desc, col("nn_id")),
+        k = K, saltSrc = col("nn_id"))
+      .select(col("q_id"), col("nn_id"), col("rnk").as("rank"),
+        detRound(col("score"), 6).as("score"))
+  }
+
   // ------------------------------------------------------------------- PQ
   /** Product quantization (Jégou et al., TPAMI 2011): 64 dims → PqSub=8
     * subspaces × PqK=64 centroids, so every corpus vector compresses to 8
@@ -777,6 +809,7 @@ object Similarity {
     "knn_lsh" -> knnLsh,
     "knn_lsh_auto" -> knnLshAuto,
     "knn_ivf" -> knnIvf,
+    "knn_rrf" -> knnRrf,
     "knn_graph" -> knnGraph,
     "knn_recall_eval" -> knnRecallEval,
     "knn_pq" -> knnPq,
@@ -1104,6 +1137,28 @@ object Similarity {
        |  floor(CAST(coalesce(n_hits, 0) AS DOUBLE) / $K * 1e4)/1e4 AS recall
        |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
 
+  /** knn_rrf's oracle: both index oracles as CTEs, the same two-term
+    * fusion, the same (score desc, nn_id) ranking.
+    */
+  private def rrfOracleSql(cents: Array[Array[Double]]): String =
+    s"""WITH lsh AS (SELECT * FROM (
+       |${lshOracleSqlFor(NumTables, SigBits)}
+       |)),
+       |ivf AS (SELECT * FROM (
+       |${ivfOracleSql(cents)}
+       |)),
+       |f AS (SELECT coalesce(l.q_id, i.q_id) AS q_id,
+       |    coalesce(l.nn_id, i.nn_id) AS nn_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + l.rank), CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + i.rank), CAST(0.0 AS DOUBLE)) AS score
+       |  FROM lsh l FULL OUTER JOIN ivf i
+       |    ON l.q_id = i.q_id AND l.nn_id = i.nn_id),
+       |r AS (SELECT q_id, nn_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nn_id) AS rank
+       |  FROM f)
+       |SELECT q_id, nn_id, rank, floor(score*1e6)/1e6 AS score
+       |FROM r WHERE rank <= $K""".stripMargin
+
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
@@ -1118,6 +1173,7 @@ object Similarity {
       if (centroidCache.size == 1) {
         val cents = centroidCache.values.iterator.next()
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
+          ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +
           ("dedup_semdedup" -> semdedupOracleSql(cents))
