@@ -94,6 +94,29 @@ object Analytics {
       .agg(sumD(dec(col("o_totalprice")), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Counter increase with reset tolerance (the ClickHouse `deltaSum` /
+    * PromQL `increase` role): per user, the sum of POSITIVE deltas of
+    * `value` along the time axis — a counter that resets (drops) adds only
+    * its post-reset growth, which is what monitoring rollups want from
+    * cumulative gauges. Exactness: values enter as fixed-point v4 =
+    * round(value·1e4) LONGs, so per-user delta sums are integer (no float
+    * summation order anywhere); the final /1e4 is one exact scale-down.
+    * Scale: one per-user window (bounded partitions) + one map-side-partial
+    * aggregate; output is per-user rows.
+    */
+  def eventsDeltaSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      .withColumn("d4", col("v4") - lag(col("v4"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("d4") > 0, col("d4")).otherwise(lit(0L))).as("up4"))
+      .select(col("user_id"), col("n_events"),
+        (col("up4").cast("double") / 1e4).as("delta_sum"))
+  }
+
   /** Item-item co-purchase similarity (the market-basket recommender
     * primitive): for every part, the top-[[CosimK]] parts by basket
     * Jaccard — |orders with both| / |orders with either|. Candidates come
@@ -1111,6 +1134,7 @@ object Analytics {
     "daily_revenue" -> dailyRevenue,
     "part_cosim" -> partCosim,
     "customer_rfm" -> customerRfm,
+    "events_delta_sum" -> eventsDeltaSum,
     "daily_revenue_trend" -> dailyRevenueTrend,
     "daily_revenue_running" -> dailyRevenueRunning,
     "daily_revenue_ma7" -> dailyRevenueMa7,
@@ -1401,6 +1425,15 @@ object Analytics {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "events_delta_sum" ->
+      """WITH v AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value*1e4 + 0.5) AS BIGINT) AS v4 FROM events),
+        |d AS (SELECT user_id,
+        |    v4 - lag(v4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d4
+        |  FROM v)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN d4 > 0 THEN d4 ELSE 0 END) AS DOUBLE) / 1e4 AS delta_sum
+        |FROM d GROUP BY 1""".stripMargin,
     "part_cosim" ->
       s"""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |bs AS (SELECT ok, pk FROM (
