@@ -429,6 +429,25 @@ object Analytics {
       .orderBy(col("est").desc, col("event_type"))
       .limit(TopKSketchK)
 
+  /** Weight-heavy hitters (the ClickHouse `topKWeighted()` role): top event
+    * types by TOTAL VALUE through the weighted MG sketch — same bounded
+    * exchange/cap story as [[eventsTopkSketch]], weights as fixed-point
+    * LONGs (v4 = round(value·1e4)) so the exact regime's estimates are
+    * integer-exact against the oracle's plain weighted groupBy.
+    */
+  def eventsTopkWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+      .agg(graft.functions.TopKSketch.topkWeighted(
+        col("event_type"), col("v4"), TopKSketchCap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("event_type"),
+        (col("e.est").cast("double") / 1e4).as("total_value"),
+        col("e.err"))
+      .orderBy(col("total_value").desc, col("event_type"))
+      .limit(TopKSketchK)
+
   /** Volume-anomaly detection over hourly event counts: flag hours outside
     * the Tukey fences (p25/p75 ± 1.5·IQR). Exact interpolated percentiles,
     * NOT mean/stddev z-scores — quantiles of integer counts are dyadic
@@ -1148,6 +1167,7 @@ object Analytics {
     "events_hourly" -> eventsHourly,
     "events_histogram" -> eventsHistogram,
     "events_topk_sketch" -> eventsTopkSketch,
+    "events_topk_weighted" -> eventsTopkWeighted,
     "events_hourly_anomaly" -> eventsHourlyAnomaly,
     "events_json_props" -> eventsJsonProps,
     "events_sessionize" -> eventsSessionize,
@@ -1583,6 +1603,13 @@ object Analytics {
       s"""SELECT event_type, count(*) AS est, CAST(0 AS BIGINT) AS err
          |FROM events GROUP BY 1
          |ORDER BY est DESC, event_type LIMIT $TopKSketchK""".stripMargin,
+    "events_topk_weighted" ->
+      s"""WITH v AS (SELECT event_type,
+         |    CAST(floor(value*1e4 + 0.5) AS BIGINT) AS v4 FROM events)
+         |SELECT event_type,
+         |  CAST(sum(v4) AS DOUBLE) / 1e4 AS total_value, CAST(0 AS BIGINT) AS err
+         |FROM v GROUP BY 1
+         |ORDER BY total_value DESC, event_type LIMIT $TopKSketchK""".stripMargin,
     "events_hourly_anomaly" ->
       """WITH h AS (SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour,
         |    count(*) AS n_events

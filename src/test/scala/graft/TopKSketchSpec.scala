@@ -53,6 +53,37 @@ class TopKSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sketch: exact regime equals weighted groupBy; lossy bounds hold") {
+    import graft.functions.TopKSketch.topkWeighted
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), floor(col("value") * 1e4 + 0.5).cast("long").as("v4"))
+    val exact = ev.groupBy("event_type").agg(org.apache.spark.sql.functions.sum("v4"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = ev.agg(topkWeighted(col("event_type"), col("v4"), 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map { case (t, c, _) => (t, c) }.toMap === exact)
+    assert(got.forall(_._3 === 0L))
+
+    // lossy: heavy weight concentrated on one key among many cold keys
+    val rows = (1 to 2000).map(i => (s"cold${i % 1000}", 1L)) ++
+      Seq.fill(50)(("heavy", 100L))
+    val df = rows.toDF("k", "w").repartition(8)
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val lossy = df.agg(topkWeighted(col("k"), col("w"), 16).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val err = lossy.head._3
+    assert(lossy.exists(_._1 == "heavy"),
+      s"heavy weight ${truth("heavy")} > W/(cap+1) must be present")
+    lossy.foreach { case (t, c, _) =>
+      assert(c <= truth(t), s"$t overcounts")
+      assert(truth(t) - c <= err, s"$t undercount exceeds reported err $err")
+    }
+  }
+
   test("events_topk_sketch query matches the exact oracle shape") {
     val rows = Analytics.eventsTopkSketch(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
