@@ -523,6 +523,136 @@ object Similarity {
         detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  // ------------------------------------------------------------------ PCA
+  /** PCA projection of the embedding corpus (the dimensionality-reduction /
+    * whitening stage in front of ANN indexes and semantic clustering —
+    * IVFADC literature trains exactly this before quantizing): project
+    * every vector onto the top-[[PcaK]] principal components of a bounded
+    * deterministic sample. Training follows the trained-quantizer precedent
+    * (knn_ivf): [[PcaSample]] xxhash64-ordered vectors → driver-side mean +
+    * covariance → fixed-sweep cyclic Jacobi eigensolver (deterministic:
+    * fixed rotation order, fixed iteration count, strict JVM float
+    * semantics), eigenvectors sign-normalized (largest-|coordinate| made
+    * positive) and sorted (eigenvalue desc, index). The mean and component
+    * matrix embed as LITERALS in both the Spark plan and the generated
+    * oracle, so projection is a shuffle-free per-row centered dot per
+    * component — the oracle restates it with the proven `dotSql` fold twin,
+    * bit-identical doubles.
+    *
+    * Scale: training I/O is one bounded sample collect; projection is one
+    * linear codegen-friendly scan (8 fused dot folds per row), the same
+    * shape at any corpus size.
+    */
+  val PcaK = 8
+  val PcaSample = 2048
+
+  final case class PcaModel(mean: Array[Double], comps: Array[Array[Double]])
+
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PcaModel]()
+
+  /** Fixed-sweep cyclic Jacobi: eigenvalues on the diagonal, eigenvectors
+    * as COLUMNS of the returned matrix. Deterministic by construction.
+    */
+  private[graft] def jacobiEigen(a: Array[Array[Double]],
+      sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      val apq = m(p)(q)
+      if (math.abs(apq) > 1e-13) {
+        val theta = 0.5 * (m(q)(q) - m(p)(p)) / apq
+        val t = if (theta == 0.0) 1.0
+          else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < n) {
+          val mpk = m(p)(k); val mqk = m(q)(k)
+          m(p)(k) = c * mpk - s * mqk; m(q)(k) = s * mpk + c * mqk
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val mkp = m(k)(p); val mkq = m(k)(q)
+          m(k)(p) = c * mkp - s * mkq; m(k)(q) = s * mkp + c * mkq
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq; v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+    }
+    (Array.tabulate(n)(i => m(i)(i)), v)
+  }
+
+  private def pcaTrain(s: SparkSession, d: String): PcaModel = {
+    val sample = corpus(s, d)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PcaSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    val n = sample.length
+    val dim = sample.head.length
+    val mean = new Array[Double](dim)
+    sample.foreach(x => { var i = 0; while (i < dim) { mean(i) += x(i); i += 1 } })
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { x =>
+      var a = 0
+      while (a < dim) {
+        val xa = x(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += xa * (x(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    for (a <- 0 until dim; b <- a until dim) {
+      cov(a)(b) /= (n - 1); cov(b)(a) = cov(a)(b)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(j => (-evals(j), j)).take(PcaK)
+    val comps = order.map { j =>
+      val col0 = Array.tabulate(dim)(i0 => evecs(i0)(j))
+      // deterministic sign: the largest-|coordinate| entry is positive
+      val piv = (0 until dim).maxBy(i0 => (math.abs(col0(i0)), -i0))
+      if (col0(piv) < 0) col0.map(-_) else col0
+    }.toArray
+    PcaModel(mean, comps)
+  }
+
+  private[graft] def pcaFor(s: SparkSession, d: String): PcaModel =
+    pcaCache.computeIfAbsent(d, _ => pcaTrain(s, d))
+
+  def embedPca(s: SparkSession, d: String): DataFrame = {
+    val m = pcaFor(s, d)
+    val meanLit = typedlit(m.mean.toIndexedSeq)
+    val centered = zip_with(col("v"), meanLit, (x, mu) => x - mu)
+    val coords = m.comps.zipWithIndex.map { case (comp, j) =>
+      struct(lit(j).as("comp"),
+        graft.functions.VectorFunctions.dot(centered, typedlit(comp.toIndexedSeq)).as("coord"))
+    }
+    corpus(s, d)
+      .select(col("vec_id"), explode(array(coords.toIndexedSeq: _*)).as("c"))
+      .select(col("vec_id"), col("c.comp").as("comp"),
+        detRound(col("c.coord"), 6).as("coord"))
+  }
+
+  /** embed_pca's generated oracle: mean + components as literal DOUBLE[]
+    * arrays, the same centered sequential-fold dot per component.
+    */
+  private def pcaOracleSql(m: PcaModel): String = {
+    def arr(a: Array[Double]) = a.mkString("[", ",", "]")
+    val comps = m.comps.zipWithIndex.map { case (comp, j) =>
+      s"SELECT vec_id, $j AS comp, ${graft.functions.VectorFunctions.dotSql("cv", s"(${arr(comp)})")} AS raw FROM cent"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id,
+       |    list_transform(range(1, len(v)+1), i -> v[i] - (${arr(m.mean)})[i]) AS cv
+       |  FROM e),
+       |pr AS ($comps)
+       |SELECT vec_id, comp, floor(raw*1e6)/1e6 AS coord FROM pr""".stripMargin
+  }
+
   // ------------------------------------------------------------------ RRF
   /** Ensemble retrieval via Reciprocal Rank Fusion (Cormack et al., SIGIR
     * 2009 — the fusion rule hybrid search engines standardized on): fuse
@@ -810,6 +940,7 @@ object Similarity {
     "knn_lsh_auto" -> knnLshAuto,
     "knn_ivf" -> knnIvf,
     "knn_rrf" -> knnRrf,
+    "embed_pca" -> embedPca,
     "knn_graph" -> knnGraph,
     "knn_recall_eval" -> knnRecallEval,
     "knn_pq" -> knnPq,
@@ -1169,6 +1300,10 @@ object Similarity {
     // generated-oracle pattern (see Scaladoc above): emit only when exactly
     // one sf dir trained/tuned in this JVM, so the SQL always restates the
     // exact index the Spark plan used
+    val withPca =
+      if (pcaCache.size == 1)
+        Map("embed_pca" -> pcaOracleSql(pcaCache.values.iterator.next()))
+      else Map.empty[String, String]
     val withIvf =
       if (centroidCache.size == 1) {
         val cents = centroidCache.values.iterator.next()
@@ -1185,8 +1320,9 @@ object Similarity {
     val withPq = if (pqCache.size == 1)
       withTune + ("knn_pq" -> pqOracleSql(pqCache.values.iterator.next()))
     else withTune
-    if (ivfPqCache.size == 1)
+    val all = if (ivfPqCache.size == 1)
       withPq + ("knn_ivfpq" -> ivfPqOracleSql(ivfPqCache.values.iterator.next()))
     else withPq
+    all ++ withPca
   }
 }
