@@ -72,6 +72,12 @@ object CdcQueries {
       dir
     })
 
+  /** Build (or reuse) the incremental store for `d` eagerly — Bench calls
+    * this outside the timed region so the 8 sequential merges are reported
+    * as `store_build`, not charged to the first store query.
+    */
+  def prewarmStore(s: SparkSession, d: String): Unit = builtStore(s, d)
+
   def snapshotAsOfStore(s: SparkSession, d: String): DataFrame =
     graft.streaming.IncrementalSnapshot
       .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
@@ -261,7 +267,9 @@ object CdcQueries {
     * frame.
     */
   def updateDiff(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("ts_ms"))
+    // op tiebreak: duplicate (id, ts_ms) pairs must diff deterministically
+    // (eventsDeltaSum discipline — same reason, same cure)
+    val w = Window.partitionBy(col("id")).orderBy(col("ts_ms"), col("op"))
     val diffs = CdcSim.parsedChangelog(s, d)
       .select(col("id"), col("op"), col("ts_ms"),
         col("custkey"), col("price"), col("status"))
@@ -310,9 +318,9 @@ object CdcQueries {
     "cdc_update_diff" ->
       s"""$C,
          |lagd AS (SELECT op, custkey, price, status,
-         |    lag(custkey) OVER (PARTITION BY id ORDER BY ts_ms) AS p_custkey,
-         |    lag(price)   OVER (PARTITION BY id ORDER BY ts_ms) AS p_price,
-         |    lag(status)  OVER (PARTITION BY id ORDER BY ts_ms) AS p_status
+         |    lag(custkey) OVER (PARTITION BY id ORDER BY ts_ms, op) AS p_custkey,
+         |    lag(price)   OVER (PARTITION BY id ORDER BY ts_ms, op) AS p_price,
+         |    lag(status)  OVER (PARTITION BY id ORDER BY ts_ms, op) AS p_status
          |  FROM ev),
          |ag AS (SELECT
          |    CAST(sum(CASE WHEN custkey IS DISTINCT FROM p_custkey THEN 1 ELSE 0 END) AS BIGINT) AS c_custkey,

@@ -248,7 +248,7 @@ object NativeVector {
 
   private val topkInfo =
     new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk_sketch")
-  private def topkBuilder(children: Seq[Expression]): Expression = children match {
+  private[functions] def topkBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(t, cap) if cap.foldable =>
       TopKSketch(t, cap.eval(null).asInstanceOf[Number].intValue())
     case _ => throw new IllegalArgumentException(
@@ -285,8 +285,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("graft_topk_sketch"),
         new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk_sketch"),
-        (children: Seq[Expression]) =>
-          TopKSketch(children(0),
-            children(1).eval(null).asInstanceOf[Number].intValue())))
+        NativeVector.topkBuilder _))
   }
 }

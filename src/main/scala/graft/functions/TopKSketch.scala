@@ -7,6 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -116,6 +117,12 @@ case class TopKSketch(child: Expression, cap: Int,
     StructField("term", StringType), StructField("est", LongType),
     StructField("err", LongType))))
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_sketch requires a STRING term, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): MGState = new MGState(cap)
 
   override def update(buffer: MGState, input: InternalRow): MGState = {
@@ -166,6 +173,14 @@ case class TopKWeightedSketch(left: Expression, right: Expression, cap: Int,
     StructField("term", StringType), StructField("est", LongType),
     StructField("err", LongType))))
 
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ByteType | ShortType | IntegerType | LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      "graft_topk_weighted requires (STRING term, integral weight), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
   override def createAggregationBuffer(): MGState = new MGState(cap)
 
   override def update(buffer: MGState, input: InternalRow): MGState = {
@@ -173,7 +188,7 @@ case class TopKWeightedSketch(left: Expression, right: Expression, cap: Int,
     val w = right.eval(input)
     if (t != null && w != null)
       buffer.addWeighted(t.asInstanceOf[UTF8String].toString,
-        w.asInstanceOf[Long])
+        w.asInstanceOf[Number].longValue())
     buffer
   }
 

@@ -651,6 +651,60 @@ object Dedup {
     df.checkpoint()
   }
 
+  /** Min-label connected components over a symmetric edge list → (doc_id,
+    * lbl = component min id) plus the round count. Each round every node
+    * takes the min of (own label, neighbor labels) and — when `jump` —
+    * additionally path-compresses one hop through the CURRENT label map
+    * (lbl ← lbl(lbl)). Labels are always node ids inside the node's own
+    * component and only ever decrease, so the fixpoint is identical with or
+    * without the jump: per component, the edge condition forces one
+    * constant label, and that constant is the component min. The jump only
+    * changes the CONVERGENCE RATE — the lookahead distance doubles per
+    * round (chain labels move 1, 2, 4, 8, … hops), so rounds are
+    * O(log diameter) instead of O(diameter). DedupSpec proves both the
+    * equivalence and the round counts on a chain the plain loop would
+    * abort on. Cost: one extra self-equi-join of the (sparse-graph-sized)
+    * label frame per round.
+    */
+  private[graft] def connectedComponents(edges: DataFrame,
+      jump: Boolean): (DataFrame, Int) = {
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = durable(nodes.withColumn("lbl", col("doc_id")))
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      // A graph needing more rounds than the cap means the input is not
+      // the sparse near-dup graph this operator is for — fail loudly
+      // rather than grind unbounded rounds. With `jump` the cap admits
+      // diameters up to ~2^MaxClusterRounds.
+      if (round > MaxClusterRounds) throw new IllegalStateException(
+        s"dedup_clusters did not converge in $MaxClusterRounds rounds ($changed labels still moving)")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer doubling: follow the new label one hop through this
+      // round's incoming label map (labels of labels are component-local
+      // node ids, so the lookup always lands on a labeled node)
+      val jumped =
+        if (!jump) stepped
+        else stepped
+          .join(labels.select(col("lbl").as("jlbl"), col("doc_id").as("lbl")),
+            Seq("lbl"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+      // carry the old label through the checkpoint so the convergence count
+      // is a filter over materialized data, not a second join per round
+      val next = durable(jumped)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("doc_id", "lbl")
+    }
+    (labels.select(col("doc_id"), col("lbl")), round)
+  }
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     // checkpoint the PAIRS (the expensive jaccard subtree), then derive the
     // symmetric edge list as two cheap scans of the checkpointed data —
@@ -658,29 +712,8 @@ object Dedup {
     val pairs = durable(dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = durable(nodes.withColumn("lbl", col("doc_id")))
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      // A diameter beyond the cap means the input is not the sparse
-      // near-dup graph this operator is for — fail loudly rather than
-      // grind unbounded rounds.
-      if (round > MaxClusterRounds) throw new IllegalStateException(
-        s"dedup_clusters did not converge in $MaxClusterRounds rounds ($changed labels still moving)")
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
-        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
-      // carry the old label through the checkpoint so the convergence count
-      // is a filter over materialized data, not a second join per round
-      val next = durable(labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
-      changed = next.filter(col("lbl") =!= col("old")).count()
-      labels = next.select("doc_id", "lbl")
-    }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    connectedComponents(edges, jump = true)._1
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** Keep-one canonical selection over the near-dup clusters — the step a

@@ -234,7 +234,8 @@ object Sampling {
       .select(col("lang"), col("n_docs"),
         (col("sq").cast("double") / col("n_docs") / lit(1e4)).as("mean_q"),
         (sqrt(greatest(
-          (col("sm2") - col("sm") * col("sm") / lit(16.0)) / lit(15.0),
+          (col("sm2") - col("sm") * col("sm") / lit(BootReps.toDouble))
+            / lit((BootReps - 1).toDouble),
           lit(0.0))) / lit(1e4)).as("boot_std"))
   }
 
@@ -285,7 +286,7 @@ object Sampling {
        |    CAST(sum(q4) AS BIGINT) AS sq FROM q2 GROUP BY 1)
        |SELECT p.lang, n_docs,
        |  CAST(sq AS DOUBLE) / n_docs / 1e4 AS mean_q,
-       |  sqrt(greatest((sm2 - sm * sm / 16.0) / 15.0, 0.0)) / 1e4 AS boot_std
+       |  sqrt(greatest((sm2 - sm * sm / $BootReps.0) / ${BootReps - 1}.0, 0.0)) / 1e4 AS boot_std
        |FROM p JOIN s ON p.lang = s.lang""".stripMargin
   }
 

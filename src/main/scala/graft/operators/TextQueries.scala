@@ -404,6 +404,15 @@ object TextQueries {
   val BloomK = 3
   val BloomMinM: Long = 1L << 16
 
+  /** Largest power of two ≤ PortableHash.P. The affine probe hash is
+    * already reduced mod P ≈ 1e9, so a bitmap wider than P would leave
+    * positions ≥ P permanently unset (dead top of the bitmap, silently
+    * degraded FP bound on BOTH engines — the oracle gate can't see it).
+    * Capping m here keeps every position reachable; past the cap the FP
+    * rate grows gracefully instead of the bitmap corrupting.
+    */
+  val BloomMaxM: Long = java.lang.Long.highestOneBit(graft.functions.PortableHash.P)
+
   final case class BloomIndex(m: Long, words: Array[Long])
 
   private val bloomCache =
@@ -419,8 +428,12 @@ object TextQueries {
     val bench = decontamGrams(s, d).filter(col("doc_id") % BenchMod === 0)
       .select(col("gram")).distinct()
     val g = bench.count()
-    val m = math.max(BloomMinM, java.lang.Long.highestOneBit(
-      math.max(64L * g - 1L, 1L)) << 1)
+    val m = math.min(BloomMaxM, math.max(BloomMinM, java.lang.Long.highestOneBit(
+      math.max(64L * g - 1L, 1L)) << 1))
+    require(64L * g <= BloomMaxM,
+      s"bloom benchmark has $g grams; 64*G exceeds the reachable bitmap " +
+        s"width $BloomMaxM (affine hash range) — shard the benchmark or " +
+        "accept a denser bitmap explicitly")
     // pack set bits into M/64 words distributedly; only the ≤ M/64-row
     // word frame ever reaches the driver
     val words = bench

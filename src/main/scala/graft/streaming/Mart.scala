@@ -16,9 +16,13 @@ import graft.operators.Analytics
   */
 object Mart {
 
-  def writeDailyRevenue(s: SparkSession, sfDir: String, outDir: String): Unit =
+  def writeDailyRevenue(s: SparkSession, sfDir: String, outDir: String,
+      monthFilter: Option[String] = None): Unit =
     Analytics.dailyRevenue(s, sfDir)
       .withColumn("month", substring(col("order_day"), 1, 7))
+      // month-scoped runs (the Airflow ds-backfill shape) compute and
+      // replace exactly one partition; dynamic overwrite leaves the rest
+      .transform(df => monthFilter.fold(df)(m => df.filter(col("month") === m)))
       .write
       .partitionBy("month")
       .mode("overwrite")

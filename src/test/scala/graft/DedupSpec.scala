@@ -229,4 +229,59 @@ class DedupSpec extends AnyFunSuite {
       "no doc was deduplicated — canonical selection untested")
     canon.unpersist()
   }
+
+  /** Undirected edge list → symmetric DataFrame edge frame. */
+  private def edgeFrame(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val one = es.toDF("doc_a", "doc_b")
+    one.unionByName(one.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  /** Driver-side union-find ground truth: node → component min id. */
+  private def ufTruth(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("pointer-doubling CC ≡ plain min-label propagation ≡ union-find truth") {
+    val rnd = new scala.util.Random(11)
+    // random sparse graph: several mid-size components + singleton edges
+    val es = (0 until 120).map { _ =>
+      val c = rnd.nextInt(8)                      // 8 loose components
+      val base = c * 1000L
+      (base + rnd.nextInt(40), base + rnd.nextInt(40))
+    }.filter(e => e._1 != e._2).distinct
+    val edges = edgeFrame(es)
+    val (jumped, rJump) = Dedup.connectedComponents(edges, jump = true)
+    val (plain, rPlain) = Dedup.connectedComponents(edges, jump = false)
+    val got = jumped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotPlain = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = ufTruth(es)
+    assert(got === truth, "jumped CC disagrees with union-find")
+    assert(gotPlain === truth, "plain CC disagrees with union-find")
+    info(s"rounds: jumped=$rJump plain=$rPlain")
+    assert(rJump <= rPlain)
+  }
+
+  test("chain adversary: doubling converges in O(log n) rounds where plain would abort") {
+    // a 300-node path has diameter 299 — the plain loop would blow past
+    // MaxClusterRounds (50); the doubling loop must finish in ~log2 rounds
+    val n = 300L
+    val es = (0L until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.connectedComponents(edgeFrame(es), jump = true)
+    info(s"chain n=$n converged in $rounds rounds")
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)) + 2,
+      s"doubling took $rounds rounds on a $n-chain — not logarithmic")
+    assert(rounds <= Dedup.MaxClusterRounds)
+    // every node labeled 0 (the chain min)
+    assert(labels.filter(col("lbl") =!= 0L).count() === 0)
+  }
 }

@@ -28,4 +28,33 @@ class MartSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(month"), plan)
   }
+
+  test("daily-report job (the Airflow DAG role): full run, month backfill, idempotent") {
+    val out = Files.createTempDirectory("graft_daily_report").toString
+    // full run — every month materialized
+    val line1 = graft.tools.DailyReportJob.run(spark, sf, out, None)
+    assert(line1.contains("month=ALL"))
+    val full = Mart.readDailyRevenue(spark, out).cache()
+    val nFull = full.count()
+    val months = full.select("month").distinct().collect().map(_.getString(0)).sorted
+    assert(months.length > 1, "need >1 month to prove partition-scoped backfill")
+    // month-scoped backfill (the @daily ds re-run): replaces ONE partition,
+    // leaves the rest byte-identical, total content unchanged
+    val target = months.head
+    val untouched = full.filter(col("month") =!= target).drop("month")
+      .collect().toSet
+    full.unpersist()
+    val line2 = graft.tools.DailyReportJob.run(spark, sf, out, Some(target))
+    assert(line2.contains(s"month=$target"))
+    val after = Mart.readDailyRevenue(spark, out).cache()
+    assert(after.count() === nFull, "backfill changed the mart's cardinality")
+    assert(after.filter(col("month") =!= target).drop("month")
+      .collect().toSet === untouched, "backfill touched other partitions")
+    // and the backfilled month still matches the source aggregation
+    val src = Analytics.dailyRevenue(spark, sf)
+      .filter(substring(col("order_day"), 1, 7) === target)
+    assert(after.filter(col("month") === target).drop("month")
+      .exceptAll(src).count() === 0)
+    after.unpersist()
+  }
 }
