@@ -76,6 +76,58 @@ class SimilaritySpec extends AnyFunSuite {
       "tight corpus must tune to a cheaper expected scan")
   }
 
+  test("multi-probe attribution: knn_lsh candidate growth and timing vs single-probe") {
+    // The r3→r5 knn_lsh bench delta (1.50 s → 2.06 s median) is the 1-bit
+    // multi-probe added for recall, not a plan regression: this measures
+    // the candidate-pair growth and wall time of the scored join with and
+    // without probes, on the same session and data.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.toDouble
+    import graft.functions.NativeVector
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= Similarity.NumQueries)
+    val cSig = c.select(col("vec_id"), col("v"),
+      explode(array((0 until Similarity.NumTables).map(t =>
+        struct(lit(t).as("t"), Similarity.signature(t, col("v")).as("sig"))): _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.t").as("t"), col("b.sig").as("sig"))
+    def qSig(multiProbe: Boolean) = {
+      val flips = if (multiProbe)
+        lit(-1) +: (0 until Similarity.SigBits).map(j => lit(1 << j))
+      else Seq(lit(-1))
+      q.select(col("q_id"), col("qv"), explode(array((for {
+          t <- 0 until Similarity.NumTables; p <- flips
+        } yield struct(lit(t).as("t"), p.as("flip"))): _*)).as("b"))
+        .select(col("q_id"), col("qv"), col("b.t").as("t"), col("b.flip").as("flip"))
+        .withColumn("sig0", (0 until Similarity.NumTables)
+          .foldRight(lit(0): org.apache.spark.sql.Column) {
+          (t, acc) => when(col("t") === t, Similarity.signature(t, col("qv"))).otherwise(acc)
+        })
+        .withColumn("sig", when(col("flip") === -1, col("sig0"))
+          .otherwise(col("sig0").bitwiseXOR(col("flip"))))
+        .select("q_id", "qv", "t", "sig")
+    }
+    def run(multiProbe: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = broadcast(qSig(multiProbe)).join(cSig, Seq("t", "sig"))
+        .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+        .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos")))
+        .count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nSingle, tSingle) = run(multiProbe = false)
+    val (nMulti, tMulti) = run(multiProbe = true)
+    val growth = nMulti.toDouble / nSingle
+    info(f"candidates: single=$nSingle multi=$nMulti growth=$growth%.2fx; " +
+      f"scored-join time: single=$tSingle%.2fs multi=$tMulti%.2fs")
+    // multi-probe must cost extra candidates (it exists to buy recall) but
+    // stay within the (1 + bits) probe-count envelope — superlinearity here
+    // would mean probe buckets overlap pathologically
+    assert(growth > 1.0 && growth <= 1.0 + Similarity.SigBits)
+  }
+
   test("IVF top-k recall vs brute force") {
     val r = recall(neighborSet(Similarity.knnIvf(spark, sf)))
     info(f"ivf recall = $r%.3f")
