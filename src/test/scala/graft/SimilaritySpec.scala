@@ -186,6 +186,48 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph with NN-descent: recall floor vs the exact graph at two SFs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.toDouble
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // exact graph truth: brute top-GraphK per vector, self excluded —
+      // spec-scale corpora make the n² affordable here
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val truth = vecs.map { case (id, v) =>
+        id -> vecs.collect { case (j, w) if j != id => (cos(v, w), j) }
+          .toSeq.sortBy { case (c, j) => (-c, j) }.take(Similarity.GraphK)
+          .map(_._2).toSet
+      }
+      def recallOf(rounds: Int): Double = {
+        val got = Similarity.knnGraphRounds(spark, dir, rounds)
+          .select("vec_id", "nbr_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        truth.map { case (id, nn) =>
+          got.get(id).map(g => (g intersect nn).size.toDouble / nn.size).getOrElse(0.0)
+        }.sum / truth.size
+      }
+      val base = recallOf(0)
+      val refined = recallOf(Similarity.GraphDescentRounds)
+      info(f"$dir: knn_graph recall@${Similarity.GraphK} " +
+        f"base=$base%.3f descent=$refined%.3f")
+      // the descent rounds must genuinely lift the cell-only graph, and the
+      // result must hold the measured-backed floor (see knnGraphRounds doc:
+      // synthetic near-uniform vectors cap what graph refinement can reach)
+      assert(refined >= base + 0.05, s"$dir NN-descent did not lift recall")
+      assert(refined >= 0.65, s"$dir graph recall below floor")
+    }
+    // cache hygiene: the generated-oracle contract wants exactly one
+    // trained dir per JVM (Verify runs one sf dir); drop the extra
+    Similarity.centroidCache.remove("/root/testdata/sf0.01")
+  }
+
   test("semdedup: kept set is tau-independent per cell, every drop has a witness") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.toDouble
