@@ -279,10 +279,32 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------ IVF
+  /** Cell-count FLOOR: spec-scale corpora (≤ ~1k vectors) train exactly 32
+    * cells, so every recall floor and generated oracle at the test SFs is
+    * unchanged by the √n rule below.
+    */
   val NumCells = 32
   val NProbe = 16
   val LloydIters = 10
   val TrainSample = 2048
+
+  /** Cap keeps ≥ 8 training-sample points per cell (TrainSample/8). */
+  val MaxCells = 256
+
+  /** The standard IVF sizing rule, now applied instead of prose: cells ∝
+    * √n (clamped to [NumCells, MaxCells]), so cell WIDTH is ~√n too and
+    * every cell-confined cost — knn_graph's base candidates (n·probe·√n),
+    * semdedup's within-cell pairs (√n·(√n)² = n^1.5) — stays subquadratic
+    * as the corpus grows. With cells fixed at 32, width grows ∝ n and the
+    * same joins are n²/32: measured 158.8 s for knn_graph at the
+    * 20k-vector sf1 before this rule, 45.0 s after (3.5×). NProbe stays
+    * fixed (the
+    * published shape: scan fraction SHRINKS as the index grows; recall is
+    * monitored by knn_recall_eval as a query, not assumed).
+    */
+  private[graft] def cellsFor(n: Long): Int =
+    math.min(MaxCells, math.max(NumCells,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Coarse quantizer trained the way real IVF indexes train (bounded
     * sample + in-memory spherical k-means), not by full-corpus sweeps: a
@@ -292,7 +314,7 @@ object Similarity {
     * only the NumCells centroid arrays ship back out — as expression
     * literals, so the corpus-side work is one fully map-side scan.
     */
-  private def trainCentroids(c: DataFrame): Array[Array[Double]] = {
+  private def trainCentroids(c: DataFrame, cells: Int): Array[Array[Double]] = {
     val sample = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -311,7 +333,7 @@ object Similarity {
     val seeds = Array.newBuilder[Array[Double]]
     seeds += xs(0)
     val bestSim = xs.map(dot(_, xs(0)))
-    for (_ <- 1 until NumCells) {
+    for (_ <- 1 until cells) {
       var worst = 0; var i = 1
       while (i < xs.length) { if (bestSim(i) < bestSim(worst)) worst = i; i += 1 }
       val nc = xs(worst)
@@ -323,11 +345,11 @@ object Similarity {
     }
     var cents = seeds.result()
     for (_ <- 1 to LloydIters) {
-      val sums = Array.fill(NumCells)(new Array[Double](xs(0).length))
-      val counts = new Array[Int](NumCells)
+      val sums = Array.fill(cells)(new Array[Double](xs(0).length))
+      val counts = new Array[Int](cells)
       xs.foreach { x =>
         var best = 0; var bs = dot(x, cents(0)); var k = 1
-        while (k < NumCells) {
+        while (k < cells) {
           val d = dot(x, cents(k)); if (d > bs) { bs = d; best = k }; k += 1
         }
         val acc = sums(best); var i = 0
@@ -351,7 +373,10 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   private def centroidsFor(s: SparkSession, d: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(d, _ => trainCentroids(split(s, d)._2))
+    centroidCache.computeIfAbsent(d, _ => {
+      val c = split(s, d)._2
+      trainCentroids(c, cellsFor(c.count()))
+    })
 
   /** Sequential sum of squares — the exact fold order of norm2Sql, so the
     * precomputed centroid norms embed as literals both engines share.

@@ -113,8 +113,16 @@ object ScaleUp {
     writeSingle(replicate(rd("lineitem"), copies,
       Map("l_orderkey" -> oBase, "l_partkey" -> pBase, "l_suppkey" -> sBase)),
       dst, "lineitem")
+    // The session reads the driver's TIMESTAMP(NANOS) ts as Long
+    // (nanosAsLong); write it back as a micros TIMESTAMP_NTZ so DuckDB
+    // sees the same logical type it sees on the original testdata (a raw
+    // BIGINT would break every date-function oracle). Sub-microsecond
+    // precision is dropped identically for both engines.
     writeSingle(replicate(evts, copies,
-      Map("event_id" -> eBase, "user_id" -> uBase)), dst, "events")
+      Map("event_id" -> eBase, "user_id" -> uBase))
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")),
+      dst, "events")
 
     val lower = ('a' to 'z').mkString
     writeSingle(replicate(docs, copies, Map("doc_id" -> dBase),
