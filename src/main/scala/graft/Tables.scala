@@ -26,11 +26,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    raw.schema("ts").dataType match {
       // integer `div`, not floor(ts/1000.0): a double's ulp at 2026-epoch
       // nanos is 256 ns, so float division can floor to the wrong microsecond
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw.withColumn("ts", col("ts"))
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // NTZ sources (e.g. the ScaleUp'd dirs) normalize to session-UTC
+      // TimestampType so unix_micros()/epoch arithmetic downstream resolves
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw.withColumn("ts", col("ts"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

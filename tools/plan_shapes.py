@@ -43,7 +43,8 @@ def main(a, b):
             same += 1
             continue
         delta = {op: pb[q][op] - pa[q][op]
-                 for op in set(pa[q]) | set(pb[q]) if pa[q][op] != pb[q][op]]
+                 for op in (set(pa[q]) | set(pb[q]))
+                 if pa[q][op] != pb[q][op]}
         changed.append((q, delta))
     print(f"{same}/{len(set(pa) & set(pb))} queries have IDENTICAL operator"
           f" multisets across {a} -> {b}")
