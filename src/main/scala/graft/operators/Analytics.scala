@@ -668,6 +668,36 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Weekly cohort-retention MATRIX (the product-analytics grid every
+    * mart ships): users grouped by first-seen WEEK, activity bucketed by
+    * whole-week offset, each cell reported as active count AND retention
+    * rate vs the cohort's size. Differs from events_retention (raw daily
+    * counts) in the two things dashboards actually consume: calendar-week
+    * cohorts and the rate normalization, which needs the cohort-size
+    * self-join. Rate is floor(active·1e4 / size)/1e4 — one correctly-
+    * rounded division on exact integers, bit-identical cross-engine.
+    *
+    * Scale: two user-keyed map-side-partial aggregates + one broadcastable
+    * cohort-size join (cohort weeks ≪ users); no corpus-sized window.
+    */
+  def eventsCohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("day"))).cast("date").as("cohort_week"))
+    val act = ev.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(date_trunc("week", col("day")).cast("date"),
+          col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    act.join(sizes, "cohort_week")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_size"),
+        (floor(col("active_users") * 1e4 / col("cohort_size")) / 1e4).as("retention"))
+  }
+
   /** Sliding 7-day active users (the ClickHouse `uniq` sliding-window
     * classic) + DAU/WAU stickiness. Exact distinct per window WITHOUT a
     * per-day scan: each event contributes its user to the 7 window-end
@@ -1173,6 +1203,7 @@ object Analytics {
     "events_sessionize" -> eventsSessionize,
     "events_session_attrib" -> eventsSessionAttrib,
     "events_retention" -> eventsRetention,
+    "events_cohort_matrix" -> eventsCohortMatrix,
     "events_wau" -> eventsWau,
     "events_path_analysis" -> eventsPathAnalysis,
     "events_funnel" -> eventsFunnel,
@@ -1746,5 +1777,23 @@ object Analytics {
         | count(DISTINCT ev.user_id) AS active_users
         |FROM ev JOIN first ON ev.user_id = first.user_id
         |GROUP BY first.cohort_day, day_offset""".stripMargin,
+    "events_cohort_matrix" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+        |  FROM ev GROUP BY 1),
+        |act AS (SELECT cohort_week,
+        |    CAST(floor(date_diff('day', cohort_week,
+        |      CAST(date_trunc('week', day) AS DATE)) / 7) AS BIGINT) AS week_offset,
+        |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+        |  FROM ev JOIN first ON ev.user_id = first.user_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |  FROM first GROUP BY 1)
+        |SELECT strftime(act.cohort_week,'%Y-%m-%d') AS cohort_week,
+        |  week_offset, active_users, cohort_size,
+        |  floor(active_users * 1e4 / cohort_size) / 1e4 AS retention
+        |FROM act JOIN sz ON act.cohort_week = sz.cohort_week""".stripMargin,
   )
 }

@@ -240,6 +240,49 @@ object TextQueries {
       Seq(col("n").desc, col("term")), k = 5, saltSrc = col("term"))
   }
 
+  /** Zipf-law fit of the corpus term-frequency distribution — the
+    * dataset-card diagnostic (is this corpus natural language or
+    * template/boilerplate spam? natural text has slope ≈ −1; scraped
+    * boilerplate flattens, ID/noise corpora steepen). Least-squares line
+    * over (log2 rank, log2 freq) of the top [[ZipfTopN]] terms, with both
+    * logs in the INTEGER bit-length fixed point textSurprisal established
+    * (bitlen−1 = ⌊log2⌋; no transcendental whose last ulp differs between
+    * java.lang.Math and libm) and the regression in the
+    * daily_revenue_trend DECIMAL(38,0)-moments discipline: exact integer
+    * moments, slope/intercept from correctly-rounded decimal→double casts
+    * + one division each — bit-identical cross-engine.
+    *
+    * Scale: vocab agg shuffles one row per distinct term; the global
+    * top-N is the bucketed two-phase top-k (no vocab-sized single-reducer
+    * sort); the moments fold is one map-side-partial aggregate to 1 row.
+    */
+  val ZipfTopN = 256
+
+  def textZipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("g", lit(1))
+    val top = graft.operators.Scale.topKPerGroup(counts, Seq("g"),
+      Seq(col("n").desc, col("w")), k = ZipfTopN, saltSrc = col("w"))
+    val pts = top.select(
+      (length(bin(col("rnk").cast("long"))) - 1).cast("long").as("x"),
+      (length(bin(col("n"))) - 1).cast("long").as("y"))
+    val m = pts.agg(
+      count(lit(1)).cast("decimal(38,0)").as("cnt"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+    m.select(
+        col("cnt").cast("long").as("n_terms"),
+        ((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(col("n_terms"), col("slope"),
+        ((col("syd") - col("slope") * col("sxd")) / col("n_terms")).as("intercept"))
+  }
+
   /** PII scrubbing: redact email-shaped tokens and long digit runs, report
     * per-doc redaction counts — per-row regex ops, shuffle-free at any
     * scale.
@@ -909,6 +952,7 @@ object TextQueries {
     "text_winnow_fp" -> textWinnowFp,
     "text_containment" -> textContainment,
     "text_topterms" -> textTopterms,
+    "text_zipf_fit" -> textZipfFit,
   )
 
   // SQL mirrors: same normalization/tokenization, same marker lists, same
@@ -1218,5 +1262,22 @@ object TextQueries {
          |r AS (SELECT source, term, n,
          |  row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk FROM g)
          |SELECT source, term, n, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "text_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
+         |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM g),
+         |p AS (SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+         |    CAST(length(bin(n)) - 1 AS BIGINT) AS y
+         |  FROM r WHERE rnk <= ${ZipfTopN}),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS cnt,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+         |  FROM p),
+         |s AS (SELECT CAST(cnt AS BIGINT) AS n_terms,
+         |    CAST(cnt*sxy - sx*sy AS DOUBLE) / CAST(cnt*sxx - sx*sx AS DOUBLE) AS slope,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |  FROM m)
+         |SELECT n_terms, slope, (syd - slope * sxd) / n_terms AS intercept
+         |FROM s""".stripMargin,
   )
 }
