@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.detRound
+import graft.functions.PortableHash.{hexH, hexHSql, hmod, affine, affineSql, P}
+
+/** Portable mergeable sketches as relational plans — HyperLogLog distinct
+  * counting and Count-Min frequency estimation, computed bit-identically in
+  * Spark and the DuckDB oracle (no engine-native approx functions on the
+  * gated path; `approx_aggregates` covers Spark's own
+  * `approx_count_distinct`/`percentile_approx` under a spec instead).
+  *
+  * Why this exists at 100 TB: both sketches are COMMUTATIVE-MONOID state —
+  * HLL registers merge by per-bucket max, CM counters merge by per-cell sum
+  * — so a `groupBy` over them is all map-side partial aggregation: the
+  * shuffle carries one bounded register/counter table per group, never the
+  * raw identity stream. That is the only shape a 10^12-row distinct-count or
+  * heavy-hitter scan can take on a shared-nothing cluster. The merge step is
+  * not simulated: `events_approx_distinct` derives its corpus-wide `_all`
+  * row by max-merging the per-group REGISTER TABLES (never rescanning raw
+  * events), exercising the monoid the way a 1000-executor tree-reduce would.
+  *
+  * Determinism across engines: the hash family is [[graft.functions.PortableHash]]
+  * (md5-based, shared literal coefficients), register math stays in BIGINT
+  * (2^(55-M_j) register sums, integer counters), and the only doubles are
+  * final ratios of identical integers under explicitly-parenthesized IEEE
+  * association — so the DuckDB restatement is hash-exact, including the
+  * sketches' own estimation error.
+  *
+  * Reference anchor: the reference's ClickHouse mart role (init-clickhouse
+  * .sql) is the natural consumer of `uniq`/`topK`-style approximations;
+  * these are the portable Spark-side twins (cf. `events_topk_sketch`, the
+  * Misra-Gries native aggregate).
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------ HLL
+  /** Registers m = 64 (6 bucket bits off a 60-bit md5 hash, 54-bit rest).
+    * rho = 55 - bitlen(rest) ∈ [1, 54] (rest = 0, probability 2^-54, maps
+    * to 54 rather than the conventional 55 — both engines share the
+    * convention, so parity is unaffected). alpha_64 = 0.709, the published
+    * constant (Flajolet et al., 2007). Small-range correction (raw ≤ 2.5m
+    * and empty registers present) uses linear counting m·ln(m/V) — but ln
+    * is libm-implementation-defined, so instead of calling it at query
+    * time the 64 possible values (V ∈ 1..64) are DRIVER-COMPUTED ONCE and
+    * embedded as the same literal doubles in both engines (the
+    * literal-model pattern of knn_ivf/embed_pca): cross-engine parity
+    * stays exact with zero transcendental calls in either plan.
+    */
+  val HllM = 64
+  val HllAlpha = 0.709
+  /** Linear-counting table: lc(V) = m·ln(m/V), V = 1..64 (V = 0 never
+    * routes here — the raw estimator is used when no register is empty).
+    */
+  val HllLc: IndexedSeq[Double] =
+    (1 to HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+  /** Raw-vs-linear-counting switch point, the published 2.5·m. */
+  val HllLcCut = 2.5 * HllM
+  /** 2^55 — scales Σ 2^-M_j into exact BIGINT territory. */
+  private val TwoP55 = "36028797018963968"
+
+  def eventsApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // (event_type, bucket, rho) per event; register = max(rho) per bucket
+    val rows = ev
+      .select(col("event_type"), col("user_id"),
+        hexH(concat(lit("hll:"), col("user_id"))).as("h"))
+      .select(col("event_type"), col("user_id"),
+        (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("rest"))
+    val reg = rows
+      .withColumn("rho", (lit(55) - length(bin(col("rest")))).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    // corpus-wide registers by MERGING the per-type register table (max per
+    // bucket) — the monoid step, no raw-event rescan
+    val regAll = reg.groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+      .select(lit("_all").as("event_type"), col("bucket"), col("mj"))
+    val est = reg.unionByName(regAll)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))")).as("psum"))
+      .select(col("event_type"),
+        (lit(HllM.toLong) - col("present")).as("v_zero"),
+        (col("psum") + (lit(HllM.toLong) - col("present")) * expr(s"CAST($TwoP55 AS BIGINT)"))
+          .as("reg_sum"))
+      .withColumn("raw_est",
+        (lit(HllAlpha) * lit(HllM.toDouble * HllM)) *
+          (lit(TwoP55.toDouble) / col("reg_sum").cast("double")))
+      .withColumn("hll_est", detRound(
+        when(col("raw_est") <= lit(HllLcCut) && col("v_zero") > 0,
+          element_at(typedlit(HllLc), col("v_zero").cast("int")))
+          .otherwise(col("raw_est")), 2))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(lit("_all").as("event_type"), col("n_exact"))
+    est.join(exact.unionByName(exactAll), "event_type")
+      .select(col("event_type"), col("n_exact"), col("v_zero"), col("reg_sum"),
+        col("hll_est"),
+        detRound((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") * lit(100.0), 2).as("err_pct"))
+  }
+
+  /** Double literal that DuckDB parses as DOUBLE (not DECIMAL): Scala's
+    * toString round-trips, and the e-suffix forces float parsing — so the
+    * oracle reads back the exact bits the Spark literal carries.
+    */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private val hllOracleSql: String = {
+    val h = hexHSql("'hll:' || user_id")
+    s"""WITH rows_ AS (SELECT event_type, user_id,
+       |    ($h) % $HllM AS bucket, ($h) // $HllM AS rest FROM events),
+       |reg AS (SELECT event_type, bucket, max(55 - length(bin(rest))) AS mj
+       |  FROM rows_ GROUP BY 1, 2),
+       |reg2 AS (SELECT * FROM reg
+       |  UNION ALL SELECT '_all', bucket, max(mj) FROM reg GROUP BY 2),
+       |est AS (SELECT event_type,
+       |    $HllM - count(*) AS v_zero,
+       |    sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
+       |      + ($HllM - count(*)) * CAST($TwoP55 AS BIGINT) AS reg_sum
+       |  FROM reg2 GROUP BY 1),
+       |est1 AS (SELECT event_type, v_zero, reg_sum,
+       |    ((${HllAlpha}e0) * (${HllM * HllM}e0)) *
+       |      ((${TwoP55}e0) / CAST(reg_sum AS DOUBLE)) AS raw_est
+       |  FROM est),
+       |est2 AS (SELECT event_type, v_zero, reg_sum,
+       |    floor((CASE WHEN raw_est <= ${dlit(HllLcCut)} AND v_zero > 0
+       |      THEN ([${HllLc.map(dlit).mkString(", ")}])[CAST(v_zero AS INT)]
+       |      ELSE raw_est END) * 1e2) / 1e2 AS hll_est
+       |  FROM est1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |    FROM events GROUP BY 1
+       |  UNION ALL SELECT '_all', count(DISTINCT user_id) FROM events)
+       |SELECT est2.event_type, n_exact, v_zero, reg_sum, hll_est,
+       |  floor(((hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |    * 100e0) * 1e2) / 1e2 AS err_pct
+       |FROM est2 JOIN ex USING (event_type)""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Count-Min
+  /** Depth 4 × width 256 counter grid over (event_type, user_id) items
+    * (~750 distinct at sf0.01 — wider than the grid, so collisions are
+    * real and the one-sided overcount is visible, not degenerate).
+    * Point estimate = min over the 4 rows of the probed counters
+    * (Cormode & Muthukrishnan, 2005); est ≥ exact always, and the
+    * overcount column audits the sketch against the exact counts.
+    *
+    * Scale: the sketch build is a groupBy over (depth, bucket) — 1,024
+    * cells regardless of corpus size, fully map-side partial (counter
+    * merge IS addition); the probe side joins the DISTINCT item frame
+    * (bounded by cardinality, not event count) against those 1,024 rows.
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  def eventsCountMin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(concat(col("event_type"), lit(":"), col("user_id")).as("item"))
+    val hm = hmod(concat(lit("cm:"), col("item")))
+    val probes = (i: DataFrame) => i
+      .withColumn("hm", hm)
+      .select(col("*"), explode(array((0 until CmDepth).map(j =>
+        struct(lit(j).as("i"), (affine(j, col("hm")) % CmWidth).as("bucket"))): _*)).as("p"))
+      .select(i.columns.map(col) :+ col("p.i").as("i") :+ col("p.bucket").as("bucket"): _*)
+    val sketch = probes(ev).groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val dist = ev.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+    probes(dist).join(sketch, Seq("i", "bucket"))
+      .groupBy(col("item"), col("n_exact"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("item"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overcount"))
+  }
+
+  private val cmOracleSql: String = {
+    val hm = s"(${hexHSql("'cm:' || item")}) % $P"
+    val probeList = (0 until CmDepth)
+      .map(j => s"(${affineSql(j, "hm")}) % $CmWidth").mkString(", ")
+    s"""WITH it AS (SELECT event_type || ':' || user_id AS item FROM events),
+       |h AS (SELECT item, $hm AS hm FROM it),
+       |pr AS (SELECT item, unnest(range(0, $CmDepth)) AS i,
+       |    unnest([$probeList]) AS bucket FROM h),
+       |sk AS (SELECT i, bucket, count(*) AS cnt FROM pr GROUP BY 1, 2),
+       |ex AS (SELECT item, count(*) AS n_exact FROM it GROUP BY 1),
+       |eh AS (SELECT item, n_exact, $hm AS hm FROM ex),
+       |ep AS (SELECT item, n_exact, unnest(range(0, $CmDepth)) AS i,
+       |    unnest([$probeList]) AS bucket FROM eh),
+       |est AS (SELECT item, n_exact, min(cnt) AS cm_est
+       |  FROM ep JOIN sk USING (i, bucket) GROUP BY 1, 2)
+       |SELECT item, n_exact, cm_est, cm_est - n_exact AS overcount
+       |FROM est""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_approx_distinct" -> eventsApproxDistinct,
+    "events_count_min" -> eventsCountMin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_approx_distinct" -> hllOracleSql,
+    "events_count_min" -> cmOracleSql,
+  )
+}
