@@ -94,15 +94,95 @@ object Scale {
         min(col("hx")).as("h_min"), max(col("hx")).as("h_max"))
   }
 
+  /** Key-distribution skew audit per event_type — the read you take BEFORE
+    * deciding a join needs salting or AQE skew handling: #keys, max-key and
+    * top-10-key event shares (ppm, exact integer division), and the Gini
+    * coefficient of the per-key count distribution.
+    *
+    * Gini = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over counts xᵢ sorted
+    * ascending — rank-tie-invariant, because a block of m equal values at
+    * ranks s..s+m−1 contributes v·(m·s + m(m−1)/2) regardless of intra-tie
+    * order. That identity is also the scale story: the plan never ranks
+    * KEYS (an all-keys sort partition per type at 100 TB); it aggregates to
+    * the (type, count-value) frame — bounded by distinct count VALUES, a
+    * ~√-of-total-sized set under any heavy-tailed distribution — and runs
+    * the rank windows there. Top-10 share is derived from the same frame
+    * (clamped take from the descending cumulative), so ties again cannot
+    * disturb it. Arithmetic is DECIMAL(38,0) (n·Σx overflows BIGINT at
+    * ~10⁹ keys × 10¹⁰ events; DuckDB mirrors in HUGEINT) with ONE
+    * correctly-rounded double division per type — hash-exact cross-engine.
+    */
+  def eventsKeySkew(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val perKey = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val byVal = perKey.groupBy(col("event_type"), col("cnt"))
+      .agg(count(lit(1)).as("m"))
+    val wAsc = Window.partitionBy(col("event_type")).orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val enriched = byVal
+      // keys with strictly smaller count / with this count or larger
+      .withColumn("mlt", coalesce(sum(col("m")).over(wAsc), lit(0L)))
+      .withColumn("cumm_desc", sum(col("m")).over(wDesc))
+    val agg = enriched.groupBy(col("event_type")).agg(
+      sum(col("m")).as("n_keys"),
+      sum(col("cnt") * col("m")).as("total_events"),
+      max(col("cnt")).as("max_count"),
+      // Σ i·xᵢ: each value block spans ranks (mlt+1)..(mlt+m)
+      sum(dec38(col("cnt")) * (dec38(col("m")) * dec38(col("mlt") + 1)
+        + dec38(expr("(m * (m - 1)) div 2")))).as("w_rank"),
+      sum(when(col("cumm_desc") - col("m") < 10,
+        least(lit(10L) - (col("cumm_desc") - col("m")), col("m")) * col("cnt"))
+        .otherwise(0L)).as("top10_sum"))
+    agg
+      .withColumn("_num", dec38(lit(2)) * col("w_rank")
+        - (dec38(col("n_keys")) + dec38(lit(1))) * dec38(col("total_events")))
+      .withColumn("_den", dec38(col("n_keys")) * dec38(col("total_events")))
+      .select(col("event_type"), col("n_keys"), col("total_events"),
+        col("max_count"),
+        expr("(max_count * CAST(1000000 AS BIGINT)) div total_events")
+          .as("max_share_ppm"),
+        expr("(top10_sum * CAST(1000000 AS BIGINT)) div total_events")
+          .as("top10_share_ppm"),
+        (floor((col("_num").cast("double") / col("_den").cast("double")) * lit(1e6))
+          / lit(1e6)).as("gini"))
+  }
+
+  private val keySkewOracleSql: String =
+    """WITH pk AS (SELECT event_type, user_id, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type, cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, user_id) AS i,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS j
+      |  FROM pk),
+      |ag AS (SELECT event_type,
+      |    count(*) AS n_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS total_events,
+      |    max(cnt) AS max_count,
+      |    sum(CAST(i AS HUGEINT) * CAST(cnt AS HUGEINT)) AS w_rank,
+      |    CAST(sum(CASE WHEN j <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_sum
+      |  FROM rk GROUP BY 1)
+      |SELECT event_type, n_keys, total_events, max_count,
+      |  (max_count * CAST(1000000 AS BIGINT)) // total_events AS max_share_ppm,
+      |  (top10_sum * CAST(1000000 AS BIGINT)) // total_events AS top10_share_ppm,
+      |  floor((CAST(2 * w_rank - (CAST(n_keys AS HUGEINT) + 1) * CAST(total_events AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(n_keys AS HUGEINT) * CAST(total_events AS HUGEINT) AS DOUBLE)) * 1e6) / 1e6 AS gini
+      |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_user_stats_salted" -> eventsUserStatsSalted,
     "events_zorder_layout" -> eventsZorderLayout,
+    "events_key_skew" -> eventsKeySkew,
   )
 
   /** The oracle states the plain single-phase semantics — salting is an
     * execution strategy, not a semantic change.
     */
   val oracles: Map[String, String] = Map(
+    "events_key_skew" -> keySkewOracleSql,
     "events_user_stats_salted" ->
       """SELECT user_id, count(*) AS n,
         | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.detRound
@@ -197,13 +198,152 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  // ------------------------------------------------------------------ KMV
+  /** Bottom-K / K-minimum-values sketch (Bar-Yossef et al. 2002; the theta-
+    * sketch family) per event_type over user_id, plus pairwise SET-OPERATION
+    * estimates — the audience-overlap question ("how many users do view and
+    * purchase share?") that HLL cannot answer (HLL unions but does not
+    * intersect without inclusion-exclusion error blowup).
+    *
+    * Per type: the K=64 smallest DISTINCT 60-bit hashes; distinct estimate
+    * (K-1)·2^60 / h_(K) (unbiased KMV), exact when the type has < K users.
+    * Per pair: the merged bottom-K of the union gives theta = h_(K); for
+    * h ≤ theta, membership in a type's SKETCH ⟺ membership in its SET
+    * (theta ≤ both kth minima), so `n_common` — merged-K rows present in
+    * both sketches — estimates |A∩B| as (n_common/K)·est_union, and
+    * n_common/K is a direct Jaccard estimate. Exact intersections ride
+    * along as the audit column (the bounded distinct (type,user) frame
+    * self-joined — types² fan-out, never events²).
+    *
+    * Scale: one distinct partial-agg over (type, hash); bottom-K per type
+    * via the two-phase `Scale.topKPerGroup` (no type-sized sort partition);
+    * everything after operates on K·types rows. Sketch merge is "union the
+    * rows, re-take bottom-K" — a commutative monoid, so a 1000-executor
+    * tree-reduce ships K-row tables, never user streams.
+    *
+    * Determinism: hashes and counts are integers; the only doubles are
+    * (exact-literal)/(integer-cast) divisions and one product, parenthesized
+    * identically in both engines, then floor-rounded (detRound).
+    */
+  val KmvK = 64
+  /** 2^60, the hexH hash space — exact in double. */
+  private val KmvSpace = math.pow(2.0, 60)
+  /** (K-1)·2^60 — 63 needs 6 significand bits, so the product is exact. */
+  private val KmvNum = (KmvK - 1).toDouble * KmvSpace
+
+  def eventsKmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hashed = ev
+      .select(col("event_type"),
+        hexH(concat(lit("kmv:"), col("user_id"))).as("h"))
+      .distinct()
+    val sk = Scale.materialize(
+      Scale.topKPerGroup(hashed, Seq("event_type"), Seq(col("h").asc),
+        KmvK, col("h")).drop("rnk"))
+    val rawEst = (kt: Column, kth: Column) =>
+      when(kt < KmvK, kt.cast("double"))
+        .otherwise(lit(KmvNum) / kth.cast("double"))
+    val per = sk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_t"), max(col("h")).as("kth"))
+      .select(col("event_type"),
+        rawEst(col("k_t"), col("kth")).as("est_raw"))
+    val types = sk.select(col("event_type")).distinct()
+    val tp = types.as("x").join(types.as("y"),
+        col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+    val ua = tp.join(sk.withColumnRenamed("event_type", "type_a"), "type_a")
+      .select(col("type_a"), col("type_b"), col("h"))
+    val ub = tp.join(sk.withColumnRenamed("event_type", "type_b"), "type_b")
+      .select(col("type_a"), col("type_b"), col("h"))
+    // nsrc = 2 ⟺ the hash sits in BOTH sketches (⟺ both sets, once h ≤ theta)
+    val uh = ua.unionByName(ub)
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(count(lit(1)).as("nsrc"))
+    val ur = uh.withColumn("r", row_number().over(
+      Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
+    val uk = ur.filter(col("r") <= KmvK)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("k_union"), max(col("h")).as("theta"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("n_common"))
+    val tu = ev.select(col("event_type"), col("user_id")).distinct()
+    val exi = tu.as("p").join(tu.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .groupBy(col("p.event_type").as("type_a"), col("q.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    uk
+      .join(per.select(col("event_type").as("type_a"), col("est_raw").as("_ea")), "type_a")
+      .join(per.select(col("event_type").as("type_b"), col("est_raw").as("_eb")), "type_b")
+      .join(exi, Seq("type_a", "type_b"), "left")
+      .withColumn("union_raw", rawEst(col("k_union"), col("theta")))
+      .select(col("type_a"), col("type_b"), col("k_union"), col("theta"),
+        col("n_common"),
+        detRound(col("_ea"), 2).as("est_a"),
+        detRound(col("_eb"), 2).as("est_b"),
+        detRound(col("union_raw"), 2).as("est_union"),
+        detRound((col("n_common").cast("double") / col("k_union").cast("double"))
+          * col("union_raw"), 2).as("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        detRound(col("n_common").cast("double") / col("k_union").cast("double"), 4)
+          .as("jaccard_est"))
+  }
+
+  private val kmvOracleSql: String = {
+    val h = hexHSql("'kmv:' || user_id")
+    val est = (kt: String, kth: String) =>
+      s"CASE WHEN $kt < $KmvK THEN CAST($kt AS DOUBLE) " +
+        s"ELSE (${dlit(KmvNum)}) / CAST($kth AS DOUBLE) END"
+    s"""WITH hs AS (SELECT DISTINCT event_type, ($h) AS h FROM events),
+       |rk AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r FROM hs),
+       |sk AS (SELECT event_type, h FROM rk WHERE r <= $KmvK),
+       |per AS (SELECT event_type, count(*) AS k_t, max(h) AS kth
+       |  FROM sk GROUP BY 1),
+       |est AS (SELECT event_type, ${est("k_t", "kth")} AS est_raw FROM per),
+       |ty AS (SELECT DISTINCT event_type FROM sk),
+       |tp AS (SELECT x.event_type AS type_a, y.event_type AS type_b
+       |  FROM ty x JOIN ty y ON x.event_type < y.event_type),
+       |uh AS (SELECT type_a, type_b, h, count(*) AS nsrc FROM (
+       |    SELECT type_a, type_b, s.h FROM tp JOIN sk s ON s.event_type = type_a
+       |    UNION ALL
+       |    SELECT type_a, type_b, s.h FROM tp JOIN sk s ON s.event_type = type_b)
+       |  GROUP BY 1, 2, 3),
+       |ur AS (SELECT type_a, type_b, h, nsrc,
+       |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r FROM uh),
+       |uk AS (SELECT type_a, type_b, count(*) AS k_union, max(h) AS theta,
+       |    sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS n_common
+       |  FROM ur WHERE r <= $KmvK GROUP BY 1, 2),
+       |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |exi AS (SELECT p.event_type AS type_a, q.event_type AS type_b,
+       |    count(*) AS exact_inter
+       |  FROM tu p JOIN tu q
+       |    ON p.user_id = q.user_id AND p.event_type < q.event_type
+       |  GROUP BY 1, 2),
+       |un AS (SELECT uk.*, ${est("k_union", "theta")} AS union_raw FROM uk)
+       |SELECT un.type_a, un.type_b, k_union, theta, n_common,
+       |  floor(ea.est_raw * 1e2) / 1e2 AS est_a,
+       |  floor(eb.est_raw * 1e2) / 1e2 AS est_b,
+       |  floor(union_raw * 1e2) / 1e2 AS est_union,
+       |  floor(((CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE))
+       |    * union_raw) * 1e2) / 1e2 AS est_inter,
+       |  coalesce(exact_inter, 0) AS exact_inter,
+       |  floor((CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)) * 1e4) / 1e4
+       |    AS jaccard_est
+       |FROM un
+       |JOIN est ea ON ea.event_type = un.type_a
+       |JOIN est eb ON eb.event_type = un.type_b
+       |LEFT JOIN exi ON exi.type_a = un.type_a AND exi.type_b = un.type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_approx_distinct" -> eventsApproxDistinct,
     "events_count_min" -> eventsCountMin,
+    "events_kmv_overlap" -> eventsKmvOverlap,
   )
 
   val oracles: Map[String, String] = Map(
     "events_approx_distinct" -> hllOracleSql,
     "events_count_min" -> cmOracleSql,
+    "events_kmv_overlap" -> kmvOracleSql,
   )
 }

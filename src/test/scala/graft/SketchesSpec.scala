@@ -63,6 +63,72 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  private lazy val kmv = Sketches.eventsKmvOverlap(spark, sf).collect()
+
+  test("KMV per-type estimates sit inside the (K-1) error envelope") {
+    // KMV relative std error ≈ 1/sqrt(K-2) (Beyer et al. 2007); assert 3σ
+    assert(kmv.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val bound = 3.0 / math.sqrt(Sketches.KmvK - 2)
+    val seen = collection.mutable.Set[String]()
+    for (r <- kmv; (t, est) <- Seq(
+        r.getAs[String]("type_a") -> r.getAs[Double]("est_a"),
+        r.getAs[String]("type_b") -> r.getAs[Double]("est_b"))) {
+      seen += t
+      val ex = exact(t).toDouble
+      assert(math.abs(est - ex) / ex <= bound, s"type $t: exact=$ex est=$est")
+    }
+    assert(seen.size === exact.size, "every type must appear in some pair")
+  }
+
+  test("KMV estimate is EXACT when a type has fewer than K distinct users") {
+    // a filtered twin of the events table where every type has < K users
+    val dir = java.nio.file.Files.createTempDirectory("kmv_small").toString
+    Tables.events(spark, sf).filter(col("user_id") % 1000 < 40)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val small = Sketches.eventsKmvOverlap(spark, dir).collect()
+    assert(small.nonEmpty)
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(exact.values.forall(_ < Sketches.KmvK), "premise: all types < K")
+    for (r <- small) {
+      assert(r.getAs[Double]("est_a") === exact(r.getAs[String]("type_a")).toDouble)
+      assert(r.getAs[Double]("est_b") === exact(r.getAs[String]("type_b")).toDouble)
+      // sketches are complete sets here, so the intersection is exact too
+      assert(r.getAs[Double]("est_inter") === r.getAs[Long]("exact_inter").toDouble)
+    }
+  }
+
+  test("KMV union sketch is a true monoid merge (≡ sketch of the raw union)") {
+    // for every pair, (k_union, theta) must equal the bottom-K sketch built
+    // from scratch over the RAW (not sketched) union of the two types' users
+    val ev = Tables.events(spark, sf)
+    val h = graft.functions.PortableHash.hexH(concat(lit("kmv:"), col("user_id")))
+    for (r <- kmv.take(3)) {
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val hs = ev.filter(col("event_type").isin(ta, tb))
+        .select(h.as("h")).distinct().orderBy(col("h"))
+        .limit(Sketches.KmvK).collect().map(_.getAs[Long]("h"))
+      assert(r.getAs[Long]("k_union") === hs.length.toLong, s"($ta,$tb)")
+      assert(r.getAs[Long]("theta") === hs.max, s"($ta,$tb)")
+    }
+  }
+
+  test("KMV intersection estimate within a 3σ hypergeometric envelope") {
+    for (r <- kmv) {
+      val estU = r.getAs[Double]("est_union")
+      val estI = r.getAs[Double]("est_inter")
+      val exI = r.getAs[Long]("exact_inter").toDouble
+      val bound = estU * (3.0 / math.sqrt(Sketches.KmvK))
+      assert(math.abs(estI - exI) <= bound,
+        s"(${r.getAs[String]("type_a")},${r.getAs[String]("type_b")}): " +
+          s"est=$estI exact=$exI bound=$bound")
+    }
+  }
+
   test("Count-Min counter rows each sum to the full event count") {
     // every depth row counts every event exactly once — the invariant that
     // makes counters mergeable by plain addition

@@ -105,4 +105,60 @@ class SkewSpec extends AnyFunSuite {
       assert(got === naive, s"buckets=$buckets")
     }
   }
+
+  test("key-skew audit: value-frame Gini/top-10 equal the direct per-key math") {
+    import org.apache.spark.sql.functions._
+    // recompute every column naively from the per-key counts on the driver
+    val perKey = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Scale.eventsKeySkew(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === perKey.keySet)
+    for ((t, xs) <- perKey) {
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val w = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = ((BigInt(2) * w - BigInt(n + 1) * tot).toDouble
+        / (BigInt(n) * tot).toDouble)
+      val r = got(t)
+      assert(r.getAs[Long]("n_keys") === n, t)
+      assert(r.getAs[Long]("total_events") === tot, t)
+      assert(r.getAs[Long]("max_count") === xs.max, t)
+      assert(r.getAs[Long]("max_share_ppm") === xs.max * 1000000L / tot, t)
+      assert(r.getAs[Long]("top10_share_ppm")
+        === xs.sorted.reverse.take(10).sum * 1000000L / tot, t)
+      assert(math.abs(r.getAs[Double]("gini") - gini) <= 1e-6 + 1e-12, t)
+    }
+    // non-vacuity: the top-10 share strictly exceeds the exact-uniform
+    // share somewhere (the strongly-skewed regime is the synthetic test)
+    assert(got.values.exists(r => r.getAs[Long]("top10_share_ppm")
+      > 10L * 1000000L / r.getAs[Long]("n_keys")))
+  }
+
+  test("key-skew Gini is 0 on uniform counts and ~1-10/n when one key has all") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("skew_synth").toString
+    // uniform: every user exactly 3 events; degenerate: one hot user plus
+    // 9 single-event users
+    val uni = (1 to 40).flatMap(u => Seq.fill(3)(u))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u.toLong, "uni") }
+    val hot = (Seq.fill(991)(1L) ++ (2L to 10L)).zipWithIndex
+      .map { case (u, i) => (100000L + i, u, "hot") }
+    spark.createDataFrame(uni ++ hot)
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", lit(0L)).withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Scale.eventsKeySkew(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("uni").getAs[Double]("gini") === 0.0)
+    assert(r("uni").getAs[Long]("max_share_ppm") === 1000000L / 40)
+    // hot: n=10, T=1000; sorted asc = 9×1 then 991. Gini = (2W-(n+1)T)/(nT)
+    // with W = Σi·xᵢ = 45 + 10·991 = 9955 → (19910-11000)/10000 = 0.891
+    assert(r("hot").getAs[Double]("gini") === 0.891)
+    assert(r("hot").getAs[Long]("max_share_ppm") === 991000L)
+    assert(r("hot").getAs[Long]("top10_share_ppm") === 1000000L)
+  }
 }
