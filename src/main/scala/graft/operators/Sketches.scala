@@ -335,15 +335,136 @@ object Sketches {
        |LEFT JOIN exi ON exi.type_a = un.type_a AND exi.type_b = un.type_b""".stripMargin
   }
 
+  // ------------------------------------------------- quantile sketch (DD)
+  /** Mergeable relative-error quantile sketch (the DDSketch role, Masson et
+    * al. VLDB 2019) with a PURE-INTEGER bucket function both engines share:
+    * values in cents, bucket = exact singleton for v < 8, else
+    * (bitlen−1)·8 + (top-3-bits-after-MSB) — i.e. log₂ with 8 subdivisions
+    * per octave, computed from `length(bin(v))` and shifts, no logarithm
+    * anywhere. A bucket [lo, lo+w) has w ≤ lo/8, and the representative is
+    * the bucket midpoint, so every estimate is within 1/16 relative error
+    * by CONSTRUCTION (spec-pinned at 62,500 ppm).
+    *
+    * Why this is the 100 TB quantile: percentile_exact needs a per-group
+    * sort; this sketch is a (type, bucket) count-agg — ≤ ~512 cells per
+    * type at ANY corpus size, counter merge IS addition, so it partial-aggs
+    * map-side and tree-reduces like the HLL/CM sketches above. Quantile
+    * extraction is a window over the bounded bucket frame. The exact
+    * discrete quantiles ride along as the audit — computed on the (type,
+    * cents-VALUE) frame (bounded by the price alphabet, not the corpus) via
+    * the same rank-window-on-value-frame discipline as events_key_skew.
+    *
+    * Both engines run identical integer arithmetic end to end (targets
+    * ceil(q·n) in integer form, ppm errors by integer division) — the gate
+    * hashes the sketch's estimation error itself.
+    */
+  def eventsQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
+      .filter(col("v") >= 1)
+    val idx = expr("""CASE WHEN v < 8 THEN v
+      ELSE (length(bin(v)) - 1) * 8 + (shiftright(v, length(bin(v)) - 4) & 7)
+      END""")
+    val rep = expr("""CASE WHEN idx < 8 THEN idx ELSE
+      shiftleft(8 + idx % 8, CAST(idx div 8 AS INT) - 3)
+        + (CASE WHEN idx div 8 >= 4
+           THEN shiftleft(CAST(1 AS BIGINT), CAST(idx div 8 AS INT) - 4)
+           ELSE CAST(0 AS BIGINT) END)
+      END""")
+    val buckets = ev.withColumn("idx", idx)
+      .groupBy(col("event_type"), col("idx")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rep", rep)
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(wIdx))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val qs = typedlit(Seq("p50", "p90", "p99"))
+    val target = expr("""CASE q WHEN 'p50' THEN (n * 1 + 1) div 2
+      WHEN 'p90' THEN (n * 9 + 9) div 10 ELSE (n * 99 + 99) div 100 END""")
+    val sketchQ = cum.withColumn("q", explode(qs))
+      .withColumn("target", target)
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("event_type"), col("q"))
+      // rep is monotone in idx, so min(rep) IS the first qualifying bucket
+      .agg(min(col("rep")).as("sketch_cents"), max(col("n")).as("n"))
+    val exactCum = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val exactQ = exactCum.withColumn("q", explode(qs))
+      .withColumn("target", target)
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(min(col("v")).as("exact_cents"))
+    sketchQ.join(exactQ, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"),
+        col("sketch_cents"), col("exact_cents"),
+        expr("(abs(sketch_cents - exact_cents) * CAST(1000000 AS BIGINT)) div exact_cents")
+          .as("rel_err_ppm"))
+  }
+
+  private val quantileOracleSql: String =
+    """WITH ev AS (SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS v
+      |  FROM events WHERE CAST(floor(value * 1e2) AS BIGINT) >= 1),
+      |bx AS (SELECT event_type,
+      |    CASE WHEN v < 8 THEN v
+      |      ELSE (length(bin(v)) - 1) * 8 + ((v >> (length(bin(v)) - 4)) & 7)
+      |    END AS idx
+      |  FROM ev),
+      |bk AS (SELECT event_type, idx, count(*) AS cnt FROM bx GROUP BY 1, 2),
+      |br AS (SELECT *,
+      |    CASE WHEN idx < 8 THEN idx ELSE
+      |      ((8 + idx % 8) << (CAST(idx // 8 AS INT) - 3))
+      |        + (CASE WHEN idx // 8 >= 4
+      |           THEN (CAST(1 AS BIGINT) << (CAST(idx // 8 AS INT) - 4))
+      |           ELSE 0 END)
+      |    END AS rep,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY idx
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM bk),
+      |qq AS (SELECT unnest(['p50', 'p90', 'p99']) AS q),
+      |tg AS (SELECT br.*, q,
+      |    CASE q WHEN 'p50' THEN (n * 1 + 1) // 2
+      |      WHEN 'p90' THEN (n * 9 + 9) // 10 ELSE (n * 99 + 99) // 100
+      |    END AS target
+      |  FROM br CROSS JOIN qq),
+      |sk AS (SELECT event_type, q, min(rep) AS sketch_cents,
+      |    CAST(max(n) AS BIGINT) AS n
+      |  FROM tg WHERE cum >= target GROUP BY 1, 2),
+      |ex0 AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |ex1 AS (SELECT *,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM ex0),
+      |ex2 AS (SELECT ex1.*, q,
+      |    CASE q WHEN 'p50' THEN (n * 1 + 1) // 2
+      |      WHEN 'p90' THEN (n * 9 + 9) // 10 ELSE (n * 99 + 99) // 100
+      |    END AS target
+      |  FROM ex1 CROSS JOIN qq),
+      |ex AS (SELECT event_type, q, min(v) AS exact_cents
+      |  FROM ex2 WHERE cum >= target GROUP BY 1, 2)
+      |SELECT event_type, q, n, sketch_cents, exact_cents,
+      |  (abs(sketch_cents - exact_cents) * CAST(1000000 AS BIGINT)) // exact_cents
+      |    AS rel_err_ppm
+      |FROM sk JOIN ex USING (event_type, q)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_approx_distinct" -> eventsApproxDistinct,
     "events_count_min" -> eventsCountMin,
     "events_kmv_overlap" -> eventsKmvOverlap,
+    "events_quantile_sketch" -> eventsQuantileSketch,
   )
 
   val oracles: Map[String, String] = Map(
     "events_approx_distinct" -> hllOracleSql,
     "events_count_min" -> cmOracleSql,
     "events_kmv_overlap" -> kmvOracleSql,
+    "events_quantile_sketch" -> quantileOracleSql,
   )
 }

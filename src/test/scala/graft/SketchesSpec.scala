@@ -129,6 +129,56 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  private lazy val qsk = Sketches.eventsQuantileSketch(spark, sf).collect()
+
+  test("quantile sketch is within its 1/16 construction bound on every cell") {
+    assert(qsk.length >= 3)
+    for (r <- qsk)
+      assert(r.getAs[Long]("rel_err_ppm") <= 62500L,
+        s"${r.getString(0)}/${r.getString(1)}: ${r.getAs[Long]("rel_err_ppm")} ppm")
+  }
+
+  test("quantile sketch exact audit matches a driver-side sort") {
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
+      .filter(col("v") >= 1).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("v")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (r <- qsk) {
+      val xs = vals(r.getString(0))
+      val n = xs.length
+      val target = r.getString(1) match {
+        case "p50" => (n + 1) / 2
+        case "p90" => (n * 9 + 9) / 10
+        case _     => (n * 99 + 99) / 100
+      }
+      assert(r.getAs[Long]("exact_cents") === xs(target - 1),
+        s"${r.getString(0)}/${r.getString(1)}")
+      assert(r.getAs[Long]("n") === n.toLong)
+    }
+  }
+
+  test("quantile sketch bucket table is a counter monoid (split-merge ≡ whole)") {
+    // bucket counts over the whole table must equal the per-half tables
+    // summed — the property a tree-reduce of partial sketches relies on
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
+      .filter(col("v") >= 1)
+    val idx = expr("""CASE WHEN v < 8 THEN v
+      ELSE (length(bin(v)) - 1) * 8 + (shiftright(v, length(bin(v)) - 4) & 7)
+      END""")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("idx", idx).groupBy(col("event_type"), col("idx"))
+        .agg(count(lit(1)).as("cnt"))
+    val whole = sketch(ev)
+    val merged = sketch(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(sketch(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(col("event_type"), col("idx")).agg(sum(col("cnt")).as("cnt"))
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+  }
+
   test("Count-Min counter rows each sum to the full event count") {
     // every depth row counts every event exactly once — the invariant that
     // makes counters mergeable by plain addition
