@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PortableHash.{hexH, hexHSql}
+import graft.functions.TextFunctions.detRound
 
 /** Reproducible sampling + featurization for training-data pipelines.
   *
@@ -239,7 +240,100 @@ object Sampling {
           lit(0.0))) / lit(1e4)).as("boot_std"))
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): the provably
+    * near-optimal weighted sample for SUBSET-SUM estimation — the "how many
+    * tokens does this slice hold" question a training-mix planner asks of a
+    * 100 TB corpus it cannot afford to scan per query. Each doc draws
+    * priority q = w/u with u = (h+1)/2^60 off the portable hash; the top-k
+    * by q are the sample, τ = q₍k+₁₎, and Σ max(w, τ) over the sample is an
+    * unbiased estimate of Σw for ANY weight-subset — here audited per
+    * source against the exact character totals.
+    *
+    * Determinism discipline: q is ONE double product then ONE division of
+    * exactly-convertible integers — both engines produce identical doubles,
+    * and (q desc, doc_id) is a total order. The estimator is rewritten
+    * Σ_{w>τ} w + |{w ≤ τ}|·τ — an INTEGER sum plus a single product, so no
+    * float summation order exists to diverge. Groups smaller than k+1 take
+    * τ = 0 and the estimate degenerates to the exact total.
+    *
+    * Scale: top-(k+1) per source via the two-phase [[Scale.topKPerGroup]]
+    * (no source-sized sort partition); everything downstream is k·sources
+    * rows. One corpus scan, one bounded shuffle.
+    */
+  val PriK = 16
+  private val PriSpace = math.pow(2.0, 60)
+
+  def samplePriority(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        hexH(concat(lit("pri:"), col("doc_id"))).as("h"))
+      .withColumn("q", (col("n_chars").cast("double") * lit(PriSpace))
+        / (col("h") + 1).cast("double"))
+    val top = Scale.topKPerGroup(docs, Seq("source"),
+      Seq(col("q").desc, col("doc_id")), PriK + 1, saltSrc = col("doc_id"))
+    val tau = top.filter(col("rnk") === PriK + 1)
+      .select(col("source"), col("q").as("tau"))
+    val sample = top.filter(col("rnk") <= PriK)
+      .join(tau, Seq("source"), "left")
+      .withColumn("tau", coalesce(col("tau"), lit(0.0)))
+    val est = sample.groupBy(col("source"), col("tau"))
+      .agg(count(lit(1)).as("n_sample"),
+        sum(when(col("n_chars").cast("double") > col("tau"), col("n_chars"))
+          .otherwise(0L)).as("_wgt"),
+        sum(when(col("n_chars").cast("double") > col("tau"), 0L)
+          .otherwise(1L)).as("_nle"))
+      .withColumn("est_chars",
+        col("_wgt").cast("double") + col("_nle").cast("double") * col("tau"))
+    val exact = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("exact_chars"))
+    est.join(exact, "source")
+      .select(col("source"), col("n_docs"), col("n_sample"),
+        detRound(col("tau"), 4).as("tau_r"),
+        col("exact_chars"),
+        detRound(col("est_chars"), 2).as("est_chars"),
+        detRound(abs(col("est_chars") - col("exact_chars").cast("double"))
+          / col("exact_chars").cast("double") * lit(1e6), 0).as("err_ppm"))
+  }
+
+  private def priorityOracleSql: String = {
+    val h = hexHSql("'pri:' || doc_id")
+    val space = {
+      val t = PriSpace.toString
+      if (t.contains("E") || t.contains("e")) t else t + "e0"
+    }
+    s"""WITH dq AS (SELECT source, doc_id, n_chars,
+       |    (CAST(n_chars AS DOUBLE) * ($space))
+       |      / CAST(($h) + 1 AS DOUBLE) AS q
+       |  FROM documents),
+       |rk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY q DESC, doc_id) AS rnk FROM dq),
+       |tau AS (SELECT source, q AS tau FROM rk WHERE rnk = ${PriK + 1}),
+       |sm AS (SELECT rk.source, n_chars, coalesce(tau, 0e0) AS tau
+       |  FROM rk LEFT JOIN tau ON rk.source = tau.source
+       |  WHERE rnk <= $PriK),
+       |est AS (SELECT source, tau, count(*) AS n_sample,
+       |    CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > tau THEN n_chars
+       |      ELSE 0 END) AS BIGINT) AS wgt,
+       |    CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) > tau THEN 0
+       |      ELSE 1 END) AS BIGINT) AS nle
+       |  FROM sm GROUP BY 1, 2),
+       |est2 AS (SELECT source, tau, n_sample,
+       |    CAST(wgt AS DOUBLE) + CAST(nle AS DOUBLE) * tau AS est_chars
+       |  FROM est),
+       |ex AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS exact_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT est2.source, n_docs, n_sample,
+       |  floor(tau * 1e4) / 1e4 AS tau_r,
+       |  exact_chars,
+       |  floor(est_chars * 1e2) / 1e2 AS est_chars,
+       |  floor((abs(est_chars - CAST(exact_chars AS DOUBLE))
+       |    / CAST(exact_chars AS DOUBLE) * 1e6) * 1e0) / 1e0 AS err_ppm
+       |FROM est2 JOIN ex ON est2.source = ex.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_priority" -> samplePriority,
     "stats_bootstrap" -> statsBootstrap,
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
     "sample_temperature" -> sampleTemperature,
@@ -291,6 +385,7 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_priority" -> priorityOracleSql,
     "stats_bootstrap" -> bootstrapOracleSql,
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
