@@ -358,26 +358,39 @@ object Sketches {
     * ceil(q·n) in integer form, ppm errors by integer division) — the gate
     * hashes the sketch's estimation error itself.
     */
-  def eventsQuantileSketch(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_type"), expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
-      .filter(col("v") >= 1)
+  /** (event_type, v cents) frame for the sketch — shared by the batch query
+    * and the streaming twin.
+    */
+  def quantileCents(ev: DataFrame): DataFrame = ev
+    .select(col("event_type"), expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
+    .filter(col("v") >= 1)
+
+  /** The sketch state: (event_type, idx, cnt) counter table. A plain count
+    * aggregation — exactly the state shape a streaming Complete-mode agg
+    * keeps, ≤ ~512 rows per type at any corpus size.
+    */
+  def quantileBuckets(cents: DataFrame): DataFrame = {
     val idx = expr("""CASE WHEN v < 8 THEN v
       ELSE (length(bin(v)) - 1) * 8 + (shiftright(v, length(bin(v)) - 4) & 7)
       END""")
+    cents.withColumn("idx", idx)
+      .groupBy(col("event_type"), col("idx")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile extraction over a bucket table + the exact audit over the raw
+    * cents frame (both bounded-frame windows).
+    */
+  def quantileExtract(bucketTable: DataFrame, cents: DataFrame): DataFrame = {
     val rep = expr("""CASE WHEN idx < 8 THEN idx ELSE
       shiftleft(8 + idx % 8, CAST(idx div 8 AS INT) - 3)
         + (CASE WHEN idx div 8 >= 4
            THEN shiftleft(CAST(1 AS BIGINT), CAST(idx div 8 AS INT) - 4)
            ELSE CAST(0 AS BIGINT) END)
       END""")
-    val buckets = ev.withColumn("idx", idx)
-      .groupBy(col("event_type"), col("idx")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rep", rep)
     val wIdx = Window.partitionBy(col("event_type")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy(col("event_type"))
-    val cum = buckets
+    val cum = bucketTable.withColumn("rep", rep)
       .withColumn("cum", sum(col("cnt")).over(wIdx))
       .withColumn("n", sum(col("cnt")).over(wAll))
     val qs = typedlit(Seq("p50", "p90", "p99"))
@@ -389,7 +402,7 @@ object Sketches {
       .groupBy(col("event_type"), col("q"))
       // rep is monotone in idx, so min(rep) IS the first qualifying bucket
       .agg(min(col("rep")).as("sketch_cents"), max(col("n")).as("n"))
-    val exactCum = ev.groupBy(col("event_type"), col("v"))
+    val exactCum = cents.groupBy(col("event_type"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("event_type")).orderBy(col("v"))
@@ -405,6 +418,11 @@ object Sketches {
         col("sketch_cents"), col("exact_cents"),
         expr("(abs(sketch_cents - exact_cents) * CAST(1000000 AS BIGINT)) div exact_cents")
           .as("rel_err_ppm"))
+  }
+
+  def eventsQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val cents = quantileCents(Tables.events(s, d))
+    quantileExtract(quantileBuckets(cents), cents)
   }
 
   private val quantileOracleSql: String =

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Sampling, Similarity}
 
 /** Plan audits: the physical plans must stay scale-shaped — filters pushed
   * into the parquet scan, dims broadcast, no accidental cartesian products.
@@ -256,5 +256,47 @@ class PlanSpec extends AnyFunSuite {
     // the size threshold still broadcasts the small dims at test scale
     assert(plan(Analytics.q10Returns(spark, sf)).contains("BroadcastHashJoin"))
     assert(plan(Analytics.categoryRevenue(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("kmv overlap: no cartesian; windows only on bucket/pair frames") {
+    val p = plan(graft.operators.Sketches.eventsKmvOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // every window is either topKPerGroup's bucket phase (_b…) or the
+    // ≤2K-row-per-pair merged-sketch rank — never a raw-corpus partition
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(l.contains("_b") || l.contains("type_a"), l)
+    }
+    // the distinct (type, hash) build partial-aggregates before the wire
+    assert(p.contains("partial_"), p)
+  }
+
+  test("key skew: windows rank count-VALUES, never keys; partial agg first") {
+    val p = plan(graft.operators.Scale.eventsKeySkew(spark, sf))
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(!l.contains("user_id"), s"window over the key frame: $l")
+    }
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantile sketch: bucket agg is map-side partial; no cartesian") {
+    val p = plan(graft.operators.Sketches.eventsQuantileSketch(spark, sf))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // extraction windows run on the bucket/value frames keyed by event_type
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(l.contains("event_type"), l)
+    }
+  }
+
+  test("priority sample: rank windows are bucketed or k-bounded, never global") {
+    val p = plan(Sampling.samplePriority(spark, sf))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach { l =>
+      assert(l.contains("_b") || l.contains("source"),
+        s"window neither bucket-scoped nor source-keyed: $l")
+    }
+    assert(!p.contains("CartesianProduct"), p)
   }
 }
