@@ -82,8 +82,70 @@ object Graph {
         col("rnk").as("rank"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the same co-purchase graph: every node starts as its own
+    * label; each superstep re-labels a node with the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label — a total
+    * order, so the synchronous update is fully deterministic and the
+    * DuckDB oracle restates the identical unrolled rounds. Fixed
+    * [[LpIters]] rounds (synchronous LPA may oscillate on bipartite
+    * structure; a fixed horizon keeps the output well-defined — the spec
+    * checks against a driver-side reference of the same recipe, not
+    * against a convergence claim).
+    *
+    * The co-purchase graph is near-complete at weight 1 (any two parts
+    * sharing ANY order), which collapses LPA to one global label —
+    * measured: 2 communities at sf0.01. The graph that HAS community
+    * structure is the REPEAT-co-purchase graph: edge weight = number of
+    * shared orders, kept when ≥ [[LpMinWeight]] (the association-rule
+    * support floor), votes weighted by it. That also removes ~97% of the
+    * edges before any superstep runs.
+    *
+    * Scale: per superstep, one edge⋈label join (edges stay put — the same
+    * materialized src-partitioned layout PageRank uses) + one (dst, lbl)
+    * sum-agg (map-side partial) + one per-dst window over that node's
+    * DISTINCT NEIGHBOR LABELS — degree-bounded, never corpus-sized.
+    * Nodes without a surviving edge keep their own label (left join).
+    */
+  val LpIters = 4
+  val LpMinWeight = 2
+
+  def partCommunities(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(Scale.materialize)
+    val nodes = li.select(col("l_partkey").as("p")).distinct()
+      .repartition(col("p"))
+      .transform(Scale.materialize)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("ew"))
+      .filter(col("ew") >= LpMinWeight)
+      .transform(Scale.materialize)
+    var labels = nodes.select(col("p"), col("p").as("lbl"))
+    for (_ <- 1 to LpIters) {
+      val best = edges.join(labels, col("src") === col("p"))
+        .groupBy(col("dst"), col("lbl")).agg(sum(col("ew")).as("c"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("lbl").as("newl"))
+      labels = labels.join(best, col("p") === col("dst"), "left_outer")
+        .select(col("p"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .transform(Scale.materialize)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("p").as("p_partkey"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "part_pagerank" -> partPagerank,
+    "part_communities" -> partCommunities,
   )
 
   /** The identical fixed-point iterations unrolled as chained CTEs — every
@@ -116,7 +178,41 @@ object Graph {
        |FROM fin WHERE rnk <= $PrTopK""".stripMargin
   }
 
+  /** The same synchronous LPA rounds unrolled as CTEs — identical grouping,
+    * identical (count DESC, label ASC) total order, so the assignment is
+    * exact at every round.
+    */
+  private def communitiesOracle: String = {
+    val iters = (1 to LpIters).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT n.p AS p, coalesce(b.newl, pr.lbl) AS lbl
+         |  FROM nodes n JOIN $prev pr ON pr.p = n.p
+         |  LEFT JOIN (
+         |    SELECT dst, lbl AS newl FROM (
+         |      SELECT e.dst, pr2.lbl,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY sum(e.ew) DESC, pr2.lbl) AS rn
+         |      FROM e JOIN $prev pr2 ON e.src = pr2.p
+         |      GROUP BY e.dst, pr2.lbl) t
+         |    WHERE rn = 1) b ON b.dst = n.p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT src, dst, ew FROM (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS ew
+       |  FROM li a JOIN li b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2) w0 WHERE ew >= $LpMinWeight),
+       |nodes AS (SELECT DISTINCT l_partkey AS p FROM li),
+       |l0 AS (SELECT p, p AS lbl FROM nodes),
+       |$iters,
+       |sz AS (SELECT lbl, count(*) AS community_size FROM l$LpIters GROUP BY 1)
+       |SELECT f.p AS p_partkey, f.lbl AS community, sz.community_size
+       |FROM l$LpIters f JOIN sz ON f.lbl = sz.lbl""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "part_pagerank" -> pagerankOracle,
+    "part_communities" -> communitiesOracle,
   )
 }

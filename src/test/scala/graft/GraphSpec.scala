@@ -35,4 +35,37 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(got.toSeq === expTop.toSeq)
   }
+
+  test("weighted label propagation equals the in-memory reference exactly") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct).toList
+    val weights = byOrder
+      .flatMap(ps => for (a <- ps; b <- ps if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= Graph.LpMinWeight).toMap
+    val nodes = li.map(_._2).distinct.sorted
+    val inEdges = weights.toSeq.groupBy(_._1._2) // dst -> ((src,dst) -> w)
+    var lbl = nodes.map(p => p -> p).toMap
+    for (_ <- 1 to Graph.LpIters) {
+      val next = nodes.map { p =>
+        val votes = inEdges.getOrElse(p, Seq.empty)
+          .groupBy { case ((s0, _), _) => lbl(s0) }
+          .view.mapValues(_.map(_._2).sum).toSeq
+        p -> (if (votes.isEmpty) lbl(p)
+              else votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+      lbl = next
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = nodes.map(p => (p, lbl(p), sizes(lbl(p)))).toSet
+    val got = Graph.partCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp)
+    // non-degenerate: the weighted graph keeps real structure (at the tiny
+    // spec SF the 200-part alphabet stays dense, so only the community
+    // count is scale-stable; the sf0.01 gate shows 555 communities, max 51)
+    assert(sizes.size >= 10, s"collapsed to ${sizes.size} communities")
+  }
 }
