@@ -157,6 +157,55 @@ object Analytics {
         col("co"), graft.functions.TextFunctions.detRound(col("jacc"), 6).as("jacc"))
   }
 
+  /** Market-basket association rules (Agrawal-Srikant role): directional
+    * A→B rules over order baskets with support/confidence/lift, top-100 by
+    * lift — the mart cross-sell query [[partCosim]]'s symmetric Jaccard
+    * cannot answer (confidence is directional; lift calibrates against the
+    * consequent's base rate). Pair supports come from the same
+    * within-basket self-join (quadratic work confined to Σ|basket|², the
+    * > [[MaxBasket]] wholesale guard identical and restated in the
+    * oracle), floored at [[RuleMinSupp]] co-baskets BEFORE any scoring
+    * joins — the association-rule support pruning that keeps the rule
+    * frame sparse at any corpus size. Confidence and lift are divisions of
+    * exact LONG counts under fixed parenthesization (lift = (co·n)/(na·nb)
+    * as doubles — each operand exactly convertible, three IEEE ops), so
+    * the global two-phase top-k orders identically in both engines; ties
+    * broken by (antecedent, consequent).
+    */
+  val RuleMinSupp = 2
+  val RuleTopK = 100
+
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .withColumn("bs", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .filter(col("bs") <= MaxBasket).drop("bs")
+      .transform(Scale.materialize)
+    val nb = basket.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+    val sizes = basket.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+    val co = basket.as("a").join(basket.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("ante"), col("b.pk").as("cons"))
+      .agg(count(lit(1)).as("supp_pair"))
+      .filter(col("supp_pair") >= RuleMinSupp)
+    val scored = co
+      .join(sizes.toDF("ante", "supp_ante"), "ante")
+      .join(sizes.toDF("cons", "supp_cons"), "cons")
+      .join(broadcast(nb))
+      .withColumn("conf", col("supp_pair").cast("double") / col("supp_ante").cast("double"))
+      .withColumn("lift",
+        (col("supp_pair").cast("double") * col("n").cast("double"))
+          / (col("supp_ante").cast("double") * col("supp_cons").cast("double")))
+    Scale.topKPerGroup(scored, Seq.empty,
+        Seq(col("lift").desc, col("ante"), col("cons")),
+        k = RuleTopK, saltSrc = col("ante"))
+      .select(col("ante"), col("cons"), col("supp_pair"), col("supp_ante"),
+        col("supp_cons"), col("n").as("n_baskets"),
+        graft.functions.TextFunctions.detRound(col("conf"), 6).as("conf"),
+        graft.functions.TextFunctions.detRound(col("lift"), 4).as("lift"),
+        col("rnk"))
+  }
+
   /** RFM segmentation (the classic mart customer-value grid): per customer
     * recency (days since last order, measured from the corpus's max order
     * day), frequency (orders), monetary (LONG cents), each scored 1–5
@@ -1182,6 +1231,7 @@ object Analytics {
     "q5_local_supplier" -> q5LocalSupplier,
     "daily_revenue" -> dailyRevenue,
     "part_cosim" -> partCosim,
+    "basket_rules" -> basketRules,
     "customer_rfm" -> customerRfm,
     "events_delta_sum" -> eventsDeltaSum,
     "daily_revenue_trend" -> dailyRevenueTrend,
@@ -1501,6 +1551,29 @@ object Analytics {
          |  FROM sc)
          |SELECT pk, pk_b, rank, co, floor(jacc*1e6)/1e6 AS jacc
          |FROM r WHERE rank <= $CosimK""".stripMargin,
+    "basket_rules" ->
+      s"""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |bs AS (SELECT ok, pk FROM (
+         |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS c FROM bk)
+         |  WHERE c <= $MaxBasket),
+         |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM bs),
+         |sz AS (SELECT pk, CAST(count(*) AS BIGINT) AS supp FROM bs GROUP BY 1),
+         |cop AS (SELECT ante, cons, supp_pair FROM (
+         |    SELECT a.pk AS ante, b.pk AS cons, CAST(count(*) AS BIGINT) AS supp_pair
+         |    FROM bs a JOIN bs b ON a.ok = b.ok AND a.pk <> b.pk GROUP BY 1, 2)
+         |  WHERE supp_pair >= $RuleMinSupp),
+         |sc AS (SELECT ante, cons, supp_pair, na.supp AS supp_ante,
+         |    nc.supp AS supp_cons, nb.n AS n_baskets,
+         |    CAST(supp_pair AS DOUBLE) / CAST(na.supp AS DOUBLE) AS conf,
+         |    (CAST(supp_pair AS DOUBLE) * CAST(nb.n AS DOUBLE))
+         |      / (CAST(na.supp AS DOUBLE) * CAST(nc.supp AS DOUBLE)) AS lift
+         |  FROM cop JOIN sz na ON cop.ante = na.pk
+         |  JOIN sz nc ON cop.cons = nc.pk CROSS JOIN nb),
+         |r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, ante, cons) AS rnk
+         |  FROM sc)
+         |SELECT ante, cons, supp_pair, supp_ante, supp_cons, n_baskets,
+         |  floor(conf*1e6)/1e6 AS conf, floor(lift*1e4)/1e4 AS lift, rnk
+         |FROM r WHERE rnk <= $RuleTopK""".stripMargin,
     "customer_rfm" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
         |c AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,

@@ -258,6 +258,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(Analytics.categoryRevenue(spark, sf)).contains("BroadcastHashJoin"))
   }
 
+  test("basket rules: pairs from the basket join; support floor precedes scoring joins") {
+    val df = Analytics.basketRules(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the RuleMinSupp prune must sit under the supp/lift joins in the
+    // optimized plan, not above them — otherwise every weight-1 pair rides
+    // through three joins before dying
+    val opt = df.queryExecution.optimizedPlan.toString
+    val joinDepth = opt.linesIterator.zipWithIndex
+      .filter(_._1.contains("Join")).map(_._2).toSeq
+    val filterDepth = opt.linesIterator.zipWithIndex
+      .filter(l => l._1.contains(">= 2") && l._1.contains("supp_pair")).map(_._2).toSeq
+    assert(filterDepth.nonEmpty, opt)
+    assert(joinDepth.nonEmpty && filterDepth.head > joinDepth.head,
+      s"support floor not under the scoring joins:\n$opt")
+  }
+
   test("kmv overlap: no cartesian; windows only on bucket/pair frames") {
     val p = plan(graft.operators.Sketches.eventsKmvOverlap(spark, sf))
     assert(!p.contains("CartesianProduct"), p)
