@@ -378,9 +378,16 @@ object Sketches {
   }
 
   /** Quantile extraction over a bucket table + the exact audit over the raw
-    * cents frame (both bounded-frame windows).
+    * cents frame (both bounded-frame windows). A corpus-wide `_all` group
+    * is derived by MERGING the per-type bucket tables (sum per bucket — the
+    * counter-monoid step, same discipline as the HLL `_all` row), never by
+    * rescanning raw events; the exact audit merges the per-type value
+    * frames the same way.
     */
-  def quantileExtract(bucketTable: DataFrame, cents: DataFrame): DataFrame = {
+  def quantileExtract(bucketTable0: DataFrame, cents: DataFrame): DataFrame = {
+    val bucketTable = bucketTable0.unionByName(
+      bucketTable0.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit("_all").as("event_type"), col("idx"), col("cnt")))
     val rep = expr("""CASE WHEN idx < 8 THEN idx ELSE
       shiftleft(8 + idx % 8, CAST(idx div 8 AS INT) - 3)
         + (CASE WHEN idx div 8 >= 4
@@ -402,8 +409,11 @@ object Sketches {
       .groupBy(col("event_type"), col("q"))
       // rep is monotone in idx, so min(rep) IS the first qualifying bucket
       .agg(min(col("rep")).as("sketch_cents"), max(col("n")).as("n"))
-    val exactCum = cents.groupBy(col("event_type"), col("v"))
+    val valFrame = cents.groupBy(col("event_type"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+    val exactCum = valFrame.unionByName(
+        valFrame.groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+          .select(lit("_all").as("event_type"), col("v"), col("cnt")))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("event_type")).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -433,7 +443,9 @@ object Sketches {
       |      ELSE (length(bin(v)) - 1) * 8 + ((v >> (length(bin(v)) - 4)) & 7)
       |    END AS idx
       |  FROM ev),
-      |bk AS (SELECT event_type, idx, count(*) AS cnt FROM bx GROUP BY 1, 2),
+      |bk0 AS (SELECT event_type, idx, count(*) AS cnt FROM bx GROUP BY 1, 2),
+      |bk AS (SELECT * FROM bk0
+      |  UNION ALL SELECT '_all', idx, sum(cnt) FROM bk0 GROUP BY 2),
       |br AS (SELECT *,
       |    CASE WHEN idx < 8 THEN idx ELSE
       |      ((8 + idx % 8) << (CAST(idx // 8 AS INT) - 3))
@@ -454,7 +466,9 @@ object Sketches {
       |sk AS (SELECT event_type, q, min(rep) AS sketch_cents,
       |    CAST(max(n) AS BIGINT) AS n
       |  FROM tg WHERE cum >= target GROUP BY 1, 2),
-      |ex0 AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |exv AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |ex0 AS (SELECT * FROM exv
+      |  UNION ALL SELECT '_all', v, sum(cnt) FROM exv GROUP BY 2),
       |ex1 AS (SELECT *,
       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
       |      ROWS UNBOUNDED PRECEDING) AS cum,

@@ -113,16 +113,21 @@ object ScaleUp {
     writeSingle(replicate(rd("lineitem"), copies,
       Map("l_orderkey" -> oBase, "l_partkey" -> pBase, "l_suppkey" -> sBase)),
       dst, "lineitem")
-    // The session reads the driver's TIMESTAMP(NANOS) ts as Long
-    // (nanosAsLong); write it back as a micros TIMESTAMP_NTZ so DuckDB
-    // sees the same logical type it sees on the original testdata (a raw
-    // BIGINT would break every date-function oracle). Sub-microsecond
-    // precision is dropped identically for both engines.
-    writeSingle(replicate(evts, copies,
+    // Normalize ts to a micros TIMESTAMP_NTZ on write so DuckDB sees the
+    // same logical type it sees on the original testdata (a raw BIGINT
+    // would break every date-function oracle). The source may carry either
+    // TIMESTAMP(NANOS)-read-as-Long (nanosAsLong sessions; sub-microsecond
+    // precision drops identically for both engines) or an already-NTZ
+    // micros column — branch like Tables.events does.
+    val evRep = replicate(evts, copies,
       Map("event_id" -> eBase, "user_id" -> uBase))
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")),
-      dst, "events")
+    val evOut = evts.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRep.withColumn("ts",
+          expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      case _ => evRep.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+    writeSingle(evOut, dst, "events")
 
     val lower = ('a' to 'z').mkString
     writeSingle(replicate(docs, copies, Map("doc_id" -> dBase),

@@ -139,11 +139,12 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("quantile sketch exact audit matches a driver-side sort") {
-    val vals = Tables.events(spark, sf)
+    val raw = Tables.events(spark, sf)
       .select(col("event_type"), expr("CAST(floor(value * 1e2) AS BIGINT)").as("v"))
       .filter(col("v") >= 1).collect()
       .map(r => (r.getString(0), r.getAs[Long]("v")))
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val vals = (raw.groupBy(_._1).view.mapValues(_.map(_._2).sorted) ++
+      Map("_all" -> raw.map(_._2).sorted)).toMap
     for (r <- qsk) {
       val xs = vals(r.getString(0))
       val n = xs.length
