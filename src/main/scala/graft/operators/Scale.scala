@@ -42,6 +42,54 @@ object Scale {
   def eventsUserStatsSalted(s: SparkSession, d: String): DataFrame =
     saltedSumCount(Tables.events(s, d), "user_id", "value")
 
+  /** Salted equi-join for hot probe keys — the join-side twin of
+    * [[saltedSumCount]]: when one fact key holds a disproportionate share
+    * of rows, a plain shuffle join lands that key's entire stream on ONE
+    * reducer. Here every PROBE row draws a deterministic per-row salt
+    * (hash of the row, not the key — the key's rows spread over all
+    * `salts` reducers) and the BUILD side replicates ×`salts`, so the
+    * join keys become (key, salt) and no reducer sees more than ~1/salts
+    * of any hot key. Result-identical to the plain join BY CONSTRUCTION
+    * (each probe row meets exactly one copy of each matching build row);
+    * SkewSpec pins the equivalence and the replicated-build plan shape.
+    *
+    * This is the MANUAL fallback for the case AQE's skew-join handles
+    * automatically on sort-merge plans (OptimizeSkewedJoin, enabled in
+    * GraftSession) — needed when the join must stay hash-partitioned (e.g.
+    * to preserve a co-partitioning downstream) or the skew is in a
+    * broadcast-ineligible dimension at cluster scale. Inner joins only:
+    * replicating the build side would duplicate outer-side null rows.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltCol = Iterator.from(0).map(i => s"_js$i")
+      .find(c => !probe.columns.contains(c) && !build.columns.contains(c)).get
+    val salted = probe.withColumn(saltCol,
+      pmod(xxhash64(probe.columns.map(col): _*) + monotonically_increasing_id(),
+        lit(salts.toLong)))
+    val replicated = build.withColumn(saltCol,
+      explode(typedlit((0L until salts.toLong).toSeq)))
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
+  }
+
+  /** Driver-facing salted-join query: orders ⋈ customer through the salted
+    * path, rolled up per nation segment — the oracle states the PLAIN join
+    * (salting is an execution strategy, not a semantic change; the rollup
+    * keeps the gate row-count bounded while every joined row contributes).
+    */
+  def ordersCustSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ords = Tables.orders(s, d)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    saltedJoin(ords, cust, "c_custkey")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+  }
+
   // ------------------------------------------------------------- z-order
   /** Multi-dimensional clustering for scan pruning (the Delta/Iceberg
     * OPTIMIZE ZORDER role): interleave the bits of two dimension ranks so
@@ -176,12 +224,20 @@ object Scale {
     "events_user_stats_salted" -> eventsUserStatsSalted,
     "events_zorder_layout" -> eventsZorderLayout,
     "events_key_skew" -> eventsKeySkew,
+    "orders_cust_salted_join" -> ordersCustSaltedJoin,
   )
 
   /** The oracle states the plain single-phase semantics — salting is an
     * execution strategy, not a semantic change.
     */
   val oracles: Map[String, String] = Map(
+    "orders_cust_salted_join" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "events_key_skew" -> keySkewOracleSql,
     "events_user_stats_salted" ->
       """SELECT user_id, count(*) AS n,

@@ -106,6 +106,25 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals the plain join and replicates the build side") {
+    import org.apache.spark.sql.functions._
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val plain = ords.join(cust, "c_custkey")
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Scale.saltedJoin(ords, cust, "c_custkey", salts)
+        .select(plain.columns.map(col): _*)
+      assert(salted.exceptAll(plain).count() === 0, s"salts=$salts")
+      assert(plain.exceptAll(salted).count() === 0, s"salts=$salts")
+    }
+    // the build side must carry the salt explode (Generate) in the plan
+    val p = Scale.saltedJoin(ords, cust, "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("key-skew audit: value-frame Gini/top-10 equal the direct per-key math") {
     import org.apache.spark.sql.functions._
     // recompute every column naively from the per-key counts on the driver
