@@ -143,8 +143,12 @@ object ScaleUp {
       extra = (d, i) =>
         if (i == 0) d
         else d.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-            s"slice(embedding, 1, $i))"))), dst, "embeddings")
+          // rotate by i mod dim: copies beyond the dimensionality wrap
+          // instead of driving slice() lengths negative (copies > 64 broke
+          // the first 100-copy sf10 derivation)
+          s"concat(slice(embedding, ($i % size(embedding)) + 1, " +
+            s"size(embedding) - ($i % size(embedding))), " +
+            s"slice(embedding, 1, $i % size(embedding)))"))), dst, "embeddings")
 
     // report the scale actually written
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
