@@ -385,8 +385,12 @@ object Sketches {
     * frames the same way.
     */
   def quantileExtract(bucketTable0: DataFrame, cents: DataFrame): DataFrame = {
-    val bucketTable = bucketTable0.unionByName(
-      bucketTable0.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
+    // both the per-type rows and the _all merge read the bucket table —
+    // materialize once or the build (a full corpus agg in the batch path)
+    // runs twice
+    val bt = Scale.materialize(bucketTable0)
+    val bucketTable = bt.unionByName(
+      bt.groupBy(col("idx")).agg(sum(col("cnt")).as("cnt"))
         .select(lit("_all").as("event_type"), col("idx"), col("cnt")))
     val rep = expr("""CASE WHEN idx < 8 THEN idx ELSE
       shiftleft(8 + idx % 8, CAST(idx div 8 AS INT) - 3)
@@ -409,8 +413,8 @@ object Sketches {
       .groupBy(col("event_type"), col("q"))
       // rep is monotone in idx, so min(rep) IS the first qualifying bucket
       .agg(min(col("rep")).as("sketch_cents"), max(col("n")).as("n"))
-    val valFrame = cents.groupBy(col("event_type"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val valFrame = Scale.materialize(
+      cents.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt")))
     val exactCum = valFrame.unionByName(
         valFrame.groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
           .select(lit("_all").as("event_type"), col("v"), col("cnt")))

@@ -297,8 +297,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quantile sketch: bucket agg is map-side partial; no cartesian") {
+    // the BUILD is materialized before extraction (it feeds both the
+    // per-type rows and the _all merge), so audit its plan separately
+    val bp = plan(graft.operators.Sketches.quantileBuckets(
+      graft.operators.Sketches.quantileCents(Tables.events(spark, sf))))
+    assert(bp.contains("partial_count"), bp)
     val p = plan(graft.operators.Sketches.eventsQuantileSketch(spark, sf))
-    assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
     // extraction windows run on the bucket/value frames keyed by event_type
     p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
