@@ -599,6 +599,75 @@ object Similarity {
         detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4).as("recall"))
   }
 
+  // ------------------------------------------------------- matryoshka eval
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS 2022): recall@K
+    * of exact search run on PREFIX dimensions m ∈ [[MatDims]] against the
+    * full-dimension ground truth — the measurement that licenses serving a
+    * truncated embedding (¼ the bytes, ¼ the dot-product flops) and the
+    * published eval for MRL-trained models. Truncated cosine is the same
+    * unrolled left-to-right fold as the full one, just stopped at m
+    * ([[VectorFunctions.cosineU]]) — bit-identical in the oracle's prefix
+    * fold — and each budget's top-K reuses the bounded two-phase [[topK]].
+    *
+    * Scale: an exact-eval audit over the bounded [[NumQueries]] broadcast
+    * query set (the knn_recall_eval discipline): |MatDims| linear corpus
+    * scans, no index to drift. m = 64 rides along as the self-check — its
+    * recall is 1.0 by construction.
+    */
+  val MatDims = Seq(8, 16, 32, 64)
+
+  def knnMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val full = Scale.materialize(knnBrute(s, d).select(col("q_id"), col("nn_id")))
+    val trunc = MatDims.map { m =>
+      topK(broadcast(q).join(c)
+          .withColumn("cos", cosineU(col("qv"), col("v"), m)))
+        .select(lit(m).as("dim_budget"), col("q_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+    val hits = trunc.join(full, Seq("q_id", "nn_id"))
+      .groupBy(col("dim_budget"), col("q_id")).agg(count(lit(1)).as("n_hits"))
+    trunc.select(col("dim_budget"), col("q_id")).distinct()
+      .join(hits, Seq("dim_budget", "q_id"), "left_outer")
+      .select(col("dim_budget"), col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall"))
+  }
+
+  private def matryoshkaOracleSql: String = {
+    def dotP(m: Int, a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, ${m + 1}), i -> $a[i]*$b[i])), (acc, x) -> acc + x)"
+    def cosP(m: Int, a: String, b: String) =
+      s"(${dotP(m, a, b)} / sqrt(${dotP(m, a, a)} * ${dotP(m, b, b)}))"
+    val budgets = MatDims.map { m =>
+      s"""SELECT $m AS dim_budget, q_id, vec_id AS nn_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${cosP(m, "qv", "v")} DESC, vec_id) AS rank
+         |  FROM q, c) WHERE rank <= $K""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |tr AS (
+       |$budgets
+       |),
+       |full_ AS (SELECT q_id, vec_id AS nn_id FROM (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosineSql("qv", "v")} DESC, vec_id) AS rank
+       |  FROM q, c) WHERE rank <= $K),
+       |h AS (SELECT dim_budget, tr.q_id, count(*) AS n_hits
+       |  FROM tr JOIN full_ ON tr.q_id = full_.q_id AND tr.nn_id = full_.nn_id
+       |  GROUP BY 1, 2),
+       |base AS (SELECT DISTINCT dim_budget, q_id FROM tr)
+       |SELECT base.dim_budget, base.q_id,
+       |  coalesce(n_hits, 0) AS n_hits,
+       |  floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / $K) * 1e4) / 1e4 AS recall
+       |FROM base LEFT JOIN h
+       |  ON base.dim_budget = h.dim_budget AND base.q_id = h.q_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ PCA
   /** PCA projection of the embedding corpus (the dimensionality-reduction /
     * whitening stage in front of ANN indexes and semantic clustering —
@@ -1010,6 +1079,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semdedup" -> dedupSemdedup,
     "knn_brute_cosine" -> knnBrute,
+    "knn_matryoshka" -> knnMatryoshka,
     "knn_range" -> knnRange,
     "knn_filtered" -> knnFiltered,
     "knn_lsh" -> knnLsh,
@@ -1399,6 +1469,7 @@ object Similarity {
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
+      "knn_matryoshka" -> matryoshkaOracleSql,
       "knn_range" -> rangeOracleSql,
       "knn_filtered" -> filteredOracleSql,
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),

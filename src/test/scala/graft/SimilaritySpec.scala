@@ -258,4 +258,17 @@ class SimilaritySpec extends AnyFunSuite {
     // 3. the op actually prunes something at this scale
     assert(res.filter(col("keep") === 0).count() > 0)
   }
+
+  test("matryoshka audit: full-dim recall is exactly 1 and mean recall is monotone in m") {
+    val rows = Similarity.knnMatryoshka(spark, sf).collect()
+    val byM = rows.groupBy(_.getAs[Int]("dim_budget")).view
+      .mapValues(rs => rs.map(_.getAs[Double]("recall")).sum / rs.length).toMap
+    assert(byM.keySet === Similarity.MatDims.toSet)
+    // m = 64 IS the ground truth — every query must be a perfect self-match
+    rows.filter(_.getAs[Int]("dim_budget") === 64)
+      .foreach(r => assert(r.getAs[Double]("recall") === 1.0, r))
+    // more prefix dimensions can only help on average
+    val means = Similarity.MatDims.map(byM)
+    assert(means === means.sorted, s"mean recall not monotone: $byM")
+  }
 }
