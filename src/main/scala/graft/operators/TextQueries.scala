@@ -100,6 +100,29 @@ object TextQueries {
           .otherwise(lit("fr")))
       .select("doc_id", "lang", "pred_lang", "en_hits", "es_hits", "de_hits", "fr_hits")
 
+  /** Language-ID confusion matrix — the eval every classifier stage ships
+    * next to its predictions: (truth, predicted) doc counts with exact-ppm
+    * row shares. On THIS corpus the matrix is single-column (everything
+    * predicts `en`) and that is the audit working, not failing: the
+    * synthetic documents carry English stopwords under every `lang` label
+    * (es/de/fr hit counts are 0 across the board), i.e. a LABEL/TEXT
+    * MISMATCH — exactly the broken-labeling-pipe signal a mixture planner
+    * must see before weighting `lang` or trusting `pred_lang` downstream.
+    * One map-side-partial count-agg to the ≤ langs² cell frame; the
+    * row-total window runs on that bounded frame, never per doc.
+    */
+  def textLangConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    textLangid(s, d)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("truth_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("pred_lang"), col("n_docs"), col("truth_total"),
+        expr("(n_docs * CAST(1000000 AS BIGINT)) div truth_total").as("share_ppm"),
+        when(col("lang") === col("pred_lang"), lit(1)).otherwise(lit(0))
+          .as("is_correct"))
+  }
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
       col("doc_id"),
@@ -947,6 +970,7 @@ object TextQueries {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_langid" -> textLangid,
+    "text_lang_confusion" -> textLangConfusion,
     "text_signal_corr" -> textSignalCorr,
     "text_fingerprint" -> textFingerprint,
     "text_winnow_fp" -> textWinnowFp,
@@ -1226,6 +1250,24 @@ object TextQueries {
          |      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
          | en_hits, es_hits, de_hits, fr_hits
          |FROM h""".stripMargin,
+    "text_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  ${hitsSql(enStop)} AS en_hits, ${hitsSql(esStop)} AS es_hits,
+         |  ${hitsSql(deStop)} AS de_hits, ${hitsSql(frStop)} AS fr_hits
+         | FROM t),
+         |p AS (SELECT lang,
+         | CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |      WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |      WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+         | FROM h),
+         |cm AS (SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS truth_total
+         |  FROM cm GROUP BY 1)
+         |SELECT cm.lang, pred_lang, n_docs, truth_total,
+         |  (n_docs * CAST(1000000 AS BIGINT)) // truth_total AS share_ppm,
+         |  CASE WHEN cm.lang = pred_lang THEN 1 ELSE 0 END AS is_correct
+         |FROM cm JOIN tt ON cm.lang = tt.lang""".stripMargin,
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp,
          | greatest(len($toksSql) - 2, 0) AS n_shingles
