@@ -123,8 +123,8 @@ object Sketches {
        |  UNION ALL SELECT '_all', bucket, max(mj) FROM reg GROUP BY 2),
        |est AS (SELECT event_type,
        |    $HllM - count(*) AS v_zero,
-       |    sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
-       |      + ($HllM - count(*)) * CAST($TwoP55 AS BIGINT) AS reg_sum
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
+       |      + ($HllM - count(*)) * CAST($TwoP55 AS BIGINT) AS BIGINT) AS reg_sum
        |  FROM reg2 GROUP BY 1),
        |est1 AS (SELECT event_type, v_zero, reg_sum,
        |    ((${HllAlpha}e0) * (${HllM * HllM}e0)) *
@@ -311,7 +311,7 @@ object Sketches {
        |ur AS (SELECT type_a, type_b, h, nsrc,
        |    row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS r FROM uh),
        |uk AS (SELECT type_a, type_b, count(*) AS k_union, max(h) AS theta,
-       |    sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS n_common
+       |    CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
        |  FROM ur WHERE r <= $KmvK GROUP BY 1, 2),
        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
        |exi AS (SELECT p.event_type AS type_a, q.event_type AS type_b,

@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify output
 against the DuckDB oracle SQL on the same sf dir, compare values
-(columns sorted by name, rows sorted, exact equality)."""
+(columns sorted by name, rows sorted, exact equality) AND dtypes.
+
+Driver parity note (round 6 lesson): the driver's hash is dtype-sensitive —
+a DuckDB HUGEINT (materialized float64) vs a Spark BIGINT fails the driver
+even when every value is exactly equal. So a numeric-kind mismatch
+(int vs float) is a hard FAIL here too, and the default gate SF is the
+driver's sf0.1, not sf0.01."""
 import sys, os, json, glob
 import duckdb, pandas as pd, numpy as np
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 TABLES = ["region","nation","customer","supplier","part","orders",
@@ -36,6 +42,15 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in got.columns:
         a, b = got[c], exp[c]
+        # dtype gate first: int-vs-float (the HUGEINT widening class) is a
+        # driver hash fail even with exact values.
+        ka = 'i' if a.dtype.kind == 'u' else a.dtype.kind
+        kb = 'i' if b.dtype.kind == 'u' else b.dtype.kind
+        if {ka, kb} == {'i', 'f'}:
+            print(f"  col {c}: DTYPE mismatch {a.dtype} vs {b.dtype} "
+                  f"(driver hash is dtype-sensitive)")
+            ok = False
+            continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             eq = np.isclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
             exact = eq.all()
