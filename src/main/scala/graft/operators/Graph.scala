@@ -22,8 +22,12 @@ import graft.Tables
   * algorithm, not noise: both engines truncate identically, and the
   * result approximates real PageRank to ~1e-6 of total mass.
   *
-  * Scale: edges/degrees/nodes build once (bounded per-order quadratic —
-  * orders hold few distinct parts); each superstep shuffles edges once on
+  * Scale: edges/degrees/nodes build once — the per-order quadratic is
+  * bounded by the same > [[Analytics.MaxBasket]] wholesale-basket guard
+  * part_cosim uses (restated in both oracles, dormant at test scale:
+  * sf0.1's widest basket is ~7 lines); a guarded-out part keeps its node
+  * (it dangles and keeps teleport mass) but contributes no edges. Each
+  * superstep shuffles edges once on
   * src and once on dst, both SF-scaled keys with no hot node beyond
   * co-purchase degree; dangling parts (single-item orders only) keep the
   * teleport mass and drop out of the contribution join. The final top-k
@@ -43,6 +47,7 @@ object Graph {
       .repartition(col("p")) // align once: every superstep's contrib join keys on p
       .transform(Scale.materialize)
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val bs = basketGuarded(li)
     // Degree rides ON the edge list as a window count over the src
     // partition — the same shuffle that hash-partitions the edges on src,
     // so one pass builds (src, dst, d) already laid out for the loop: the
@@ -53,7 +58,7 @@ object Graph {
     // repartition → materialize) into a single materialized pass — one
     // fewer full scan of the edge relation, which is the term that
     // dominates at cluster scale.
-    val edges = li.as("a").join(li.as("b"),
+    val edges = bs.as("a").join(bs.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
@@ -110,6 +115,19 @@ object Graph {
   val LpIters = 4
   val LpMinWeight = 2
 
+  /** Edge-build input with the part_cosim wholesale-basket guard: baskets
+    * wider than [[Analytics.MaxBasket]] distinct parts are excluded from
+    * the per-order self-join (they link everything to everything while
+    * carrying no co-purchase signal, and make the edge build quadratic in
+    * one pathological order). Nodes are NOT built from this frame — a
+    * guarded-out part stays in the graph, edgeless. Restated verbatim in
+    * both oracles; dormant at test scale.
+    */
+  private def basketGuarded(li: DataFrame): DataFrame =
+    li.withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))))
+      .filter(col("_bsz") <= Analytics.MaxBasket).drop("_bsz")
+
   def partCommunities(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
@@ -118,7 +136,8 @@ object Graph {
     val nodes = li.select(col("l_partkey").as("p")).distinct()
       .repartition(col("p"))
       .transform(Scale.materialize)
-    val edges = li.as("a").join(li.as("b"),
+    val bs = basketGuarded(li)
+    val edges = bs.as("a").join(bs.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
@@ -164,8 +183,12 @@ object Graph {
          |    GROUP BY 1) cc ON cc.p = nodes.p)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |bs AS (SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS c FROM li)
+       |  WHERE c <= ${Analytics.MaxBasket}),
        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-       |  FROM li a JOIN li b
+       |  FROM bs a JOIN bs b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
        |nodes AS (SELECT DISTINCT l_partkey AS p FROM li),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
@@ -198,9 +221,13 @@ object Graph {
          |    WHERE rn = 1) b ON b.dst = n.p)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |bs AS (SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS c FROM li)
+       |  WHERE c <= ${Analytics.MaxBasket}),
        |e AS (SELECT src, dst, ew FROM (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS ew
-       |  FROM li a JOIN li b
+       |  FROM bs a JOIN bs b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
        |  GROUP BY 1, 2) w0 WHERE ew >= $LpMinWeight),
        |nodes AS (SELECT DISTINCT l_partkey AS p FROM li),

@@ -45,9 +45,13 @@ object Scale {
   /** Salted equi-join for hot probe keys — the join-side twin of
     * [[saltedSumCount]]: when one fact key holds a disproportionate share
     * of rows, a plain shuffle join lands that key's entire stream on ONE
-    * reducer. Here every PROBE row draws a deterministic per-row salt
-    * (hash of the row, not the key — the key's rows spread over all
-    * `salts` reducers) and the BUILD side replicates ×`salts`, so the
+    * reducer. Here every PROBE row draws a distribution-only salt — a
+    * row-content hash plus monotonically_increasing_id(), which is
+    * partition-layout-dependent, so the salt value is NOT deterministic
+    * across runs/retries; only its purpose (spreading a hot key's rows
+    * over all `salts` reducers) matters, and the id term guarantees
+    * spread even when every column of the hot key's rows is identical.
+    * The BUILD side replicates ×`salts`, so the
     * join keys become (key, salt) and no reducer sees more than ~1/salts
     * of any hot key. Result-identical to the plain join BY CONSTRUCTION
     * (each probe row meets exactly one copy of each matching build row);

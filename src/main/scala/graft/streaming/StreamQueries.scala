@@ -12,34 +12,54 @@ import graft.operators.Analytics
   */
 object StreamQueries {
 
+  /** Run one file-stream → Complete-mode → memory-sink query to
+    * completion and return its result table, leaving no residue: the
+    * symlink dir (file-stream sources want a directory, not a file) and
+    * the checkpoint dir are deleted once the query terminates, and the
+    * uniquely-named memory-sink view is dropped from the catalog before
+    * returning — repeated calls in a long-lived session accumulate
+    * nothing. Dropping the view is safe for the caller: the returned
+    * Dataset's plan already resolved to the sink's in-memory relation, so
+    * the data lives exactly as long as the returned frame is reachable.
+    */
+  private def runToMemory(s: SparkSession, prefix: String, srcFile: String,
+      build: DataFrame => DataFrame): DataFrame = {
+    val schema = s.read.parquet(srcFile).schema
+    val inDir = Files.createTempDirectory(s"graft_${prefix}_in")
+    Files.createSymbolicLink(inDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(srcFile))
+    val chkDir = Files.createTempDirectory(s"graft_${prefix}_chk")
+    val sinkName =
+      s"graft_${prefix}_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = build(s.readStream.schema(schema).parquet(inDir.toString))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", chkDir.resolve("chk").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(sinkName)
+    s.catalog.dropTempView(sinkName)
+    Seq(inDir, chkDir).foreach { dir =>
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    out
+  }
+
   /** `events_hourly` via readStream → Complete-mode agg → memory sink.
     * Identical grouping to Analytics.eventsHourly, so the driver's batch
     * oracle applies verbatim.
     */
-  def eventsHourlyStream(s: SparkSession, d: String): DataFrame = {
-    val path = s"$d/events.parquet"
-    val schema = s.read.parquet(path).schema
-    // File-stream sources want a directory; expose the single parquet file
-    // through a symlinked temp dir.
-    val inDir = Files.createTempDirectory("graft_hourly_in")
-    Files.createSymbolicLink(inDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
-    val raw = s.readStream.schema(schema).parquet(inDir.toString)
-    val ev =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(CAST(floor(ts / 1000) AS LONG))"))
-      else raw
-    val sinkName = "graft_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val tmp = Files.createTempDirectory("graft_hourly").toString
-    val q = Analytics.hourlyAgg(ev)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete)
-      .option("checkpointLocation", s"$tmp/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sinkName)
-  }
+  def eventsHourlyStream(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, "hourly", s"$d/events.parquet", { raw =>
+      val ev =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(CAST(floor(ts / 1000) AS LONG))"))
+        else raw
+      Analytics.hourlyAgg(ev)
+    })
 
   /** `events_quantile_sketch` with the SKETCH BUILD running as a streaming
     * aggregation: the (event_type, bucket) counter table is the only
@@ -52,22 +72,9 @@ object StreamQueries {
     */
   def eventsQuantileStream(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Sketches
-    val path = s"$d/events.parquet"
-    val schema = s.read.parquet(path).schema
-    val inDir = Files.createTempDirectory("graft_qsk_in")
-    Files.createSymbolicLink(inDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
-    val raw = s.readStream.schema(schema).parquet(inDir.toString)
-    val sinkName = "graft_qsk_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val tmp = Files.createTempDirectory("graft_qsk").toString
-    val q = Sketches.quantileBuckets(Sketches.quantileCents(raw))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete)
-      .option("checkpointLocation", s"$tmp/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    Sketches.quantileExtract(s.table(sinkName),
+    val buckets = runToMemory(s, "qsk", s"$d/events.parquet",
+      raw => Sketches.quantileBuckets(Sketches.quantileCents(raw)))
+    Sketches.quantileExtract(buckets,
       Sketches.quantileCents(graft.Tables.events(s, d)))
   }
 
