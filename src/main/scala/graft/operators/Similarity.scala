@@ -288,23 +288,37 @@ object Similarity {
   val LloydIters = 10
   val TrainSample = 2048
 
-  /** Cap keeps ≥ 8 training-sample points per cell (TrainSample/8). */
+  /** LITERAL-PLAN ceiling, not a cell-count cap (since round 7): at or
+    * below this many cells the centroid matrix embeds as expression
+    * literals (zero-join map-side assignment — the fast shape for every
+    * test SF); above it the SAME kernels read the matrix from a 1-row
+    * broadcast centroid frame instead ([[centCols]]), because a literal
+    * that grows with √n eventually bloats every serialized task, plan
+    * string, and codegen constant section, while broadcast DATA ships
+    * once per executor. 256 cells × 64 dims ≈ 16k doubles is comfortably
+    * inside literal territory; past it the join plan costs one
+    * BroadcastNestedLoopJoin against one row — no row multiplication, no
+    * shuffle, no ceiling.
+    */
   val MaxCells = 256
 
   /** The standard IVF sizing rule, now applied instead of prose: cells ∝
-    * √n (clamped to [NumCells, MaxCells]), so cell WIDTH is ~√n too and
-    * every cell-confined cost — knn_graph's base candidates (n·probe·√n),
-    * semdedup's within-cell pairs (√n·(√n)² = n^1.5) — stays subquadratic
-    * as the corpus grows. With cells fixed at 32, width grows ∝ n and the
-    * same joins are n²/32: measured 158.8 s for knn_graph at the
-    * 20k-vector sf1 before this rule, 45.0 s after (3.5×). NProbe stays
-    * fixed (the
-    * published shape: scan fraction SHRINKS as the index grows; recall is
-    * monitored by knn_recall_eval as a query, not assumed).
+    * √n (floored at NumCells, UNCAPPED above — the literal/join dispatch
+    * in [[centCols]] replaced the old MaxCells clamp), so cell WIDTH is
+    * ~√n too and every cell-confined cost — knn_graph's base candidates
+    * (n·probe·√n), semdedup's within-cell pairs (√n·(√n)² = n^1.5) —
+    * stays subquadratic as the corpus grows. With cells fixed at 32,
+    * width grows ∝ n and the same joins are n²/32: measured 158.8 s for
+    * knn_graph at the 20k-vector sf1 before this rule, 45.0 s after
+    * (3.5×). NProbe stays fixed (the published shape: scan fraction
+    * SHRINKS as the index grows; recall is monitored by knn_recall_eval
+    * as a query, not assumed). √n stays ≤ 256 up to 65k vectors — every
+    * gate SF (sf1 holds 20k) keeps the literal plan and its oracles
+    * unchanged; sf10's ~200k vectors are the first to cross into the
+    * join plan.
     */
   private[graft] def cellsFor(n: Long): Int =
-    math.min(MaxCells, math.max(NumCells,
-      math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.max(NumCells, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Coarse quantizer trained the way real IVF indexes train (bounded
     * sample + in-memory spherical k-means), not by full-corpus sweeps: a
@@ -315,7 +329,13 @@ object Similarity {
     * literals, so the corpus-side work is one fully map-side scan.
     */
   private def trainCentroids(c: DataFrame, cells: Int): Array[Array[Double]] = {
-    val sample = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainSample)
+    // ≥ 8 training points per cell: the sample grows with the cell count
+    // (cells ∝ √n ⇒ sample ∝ √n — still a bounded deterministic collect,
+    // ~8·√n vectors; past ~100M vectors you would train the quantizer
+    // distributed, which changes none of the plans downstream of the
+    // centroid array).
+    val sampleN = math.max(TrainSample, 8 * cells)
+    val sample = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     def norm(v: Array[Double]): Array[Double] = {
@@ -387,6 +407,41 @@ object Similarity {
     acc
   }
 
+  /** How the trained centroid matrix reaches the row-level kernels:
+    * `flat`/`m2d`/`sn` are the flattened matrix, nested matrix, and norm
+    * columns; `attach` makes them available on a frame and `cleanup`
+    * removes the plumbing. At ≤ [[MaxCells]] cells they are expression
+    * LITERALS and attach/cleanup are identity — the plan every test SF
+    * and every generated oracle sees. Above MaxCells the matrix rides a
+    * ONE-ROW broadcast DataFrame crossJoined on (BroadcastNestedLoopJoin
+    * against a single row: no row multiplication, no shuffle, matrix
+    * ships once per executor as torrent-broadcast data) — same kernels,
+    * same operands, no literal ceiling. CentroidPlanSpec pins literal ≡
+    * join assignment past the threshold.
+    */
+  private[graft] final case class CentCols(flat: Column, m2d: Column,
+      sn: Column, attach: DataFrame => DataFrame, cleanup: DataFrame => DataFrame)
+
+  private[graft] def centColsOf(s: SparkSession,
+      cents: Array[Array[Double]]): CentCols = {
+    val sn = cents.map(cv => math.sqrt(n2Seq(cv))).toIndexedSeq
+    if (cents.length <= MaxCells)
+      CentCols(typedlit(cents.flatten.toIndexedSeq),
+        typedlit(cents.map(_.toIndexedSeq).toIndexedSeq), typedlit(sn),
+        identity, identity)
+    else {
+      import s.implicits._
+      val row = Seq((cents.flatten.toSeq, cents.map(_.toSeq).toSeq, sn.toSeq))
+        .toDF("_cmat", "_cm2d", "_csn")
+      CentCols(col("_cmat"), col("_cm2d"), col("_csn"),
+        df => df.crossJoin(broadcast(row)),
+        df => df.drop("_cmat", "_cm2d", "_csn"))
+    }
+  }
+
+  private[graft] def centColsFor(s: SparkSession, d: String): CentCols =
+    centColsOf(s, centroidsFor(s, d))
+
   /** Map-side cell assignment for ANY (.., v) frame against this dir's
     * trained centroids — shared by knn_ivf, the ScaleStress diagnostics,
     * and the streaming index-maintenance path (IvfIngest assigns each
@@ -401,10 +456,9 @@ object Similarity {
     * row_number states. No join, no per-vector window, tiny codegen unit.
     */
   private[graft] def assignCells(df: DataFrame, s: SparkSession, d: String): DataFrame = {
-    val cents = centroidsFor(s, d)
-    val sn = cents.map(cv => math.sqrt(n2Seq(cv))).toIndexedSeq
-    df.withColumn("cell", NativeVector.argmaxDot(col("v"),
-      typedlit(cents.flatten.toIndexedSeq), typedlit(sn)))
+    val cc = centColsFor(s, d)
+    cc.cleanup(cc.attach(df)
+      .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
   }
 
   /** Per-query probe cells: rank all cells (transform-with-index over the
@@ -414,14 +468,11 @@ object Similarity {
     */
   private[graft] def queryProbes(q: DataFrame, s: SparkSession, d: String,
       nProbe: Int = NProbe): DataFrame = {
-    val cents = centroidsFor(s, d)
-    val sn = cents.map(cv => math.sqrt(n2Seq(cv))).toIndexedSeq
-    val snLit = typedlit(sn)
-    val m = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
-    val probe = transform(m, (cv, i) =>
-      struct((-NativeVector.dot(col("qv"), cv) / element_at(snLit, i + 1)).as("negccos"),
+    val cc = centColsFor(s, d)
+    val probe = transform(cc.m2d, (cv, i) =>
+      struct((-NativeVector.dot(col("qv"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
         i.cast("int").as("cell")))
-    q.withColumn("pr", explode(slice(sort_array(probe), 1, nProbe)))
+    cc.attach(q).withColumn("pr", explode(slice(sort_array(probe), 1, nProbe)))
       .select(col("q_id"), col("qv"), col("pr.cell").as("cell"))
   }
 
@@ -490,17 +541,13 @@ object Similarity {
   private[graft] def knnGraphRounds(s: SparkSession, d: String,
       descentRounds: Int): DataFrame = {
     val e = corpus(s, d)
-    val cents = centroidsFor(s, d)
-    val sn = cents.map(cv => math.sqrt(n2Seq(cv))).toIndexedSeq
-    val snLit = typedlit(sn)
-    val flat = typedlit(cents.flatten.toIndexedSeq)
-    val m = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
-    val cellAssigned = e
-      .withColumn("cell", NativeVector.argmaxDot(col("v"), flat, snLit))
-    val probe = transform(m, (cv, i) =>
-      struct((-NativeVector.dot(col("v"), cv) / element_at(snLit, i + 1)).as("negccos"),
+    val cc = centColsFor(s, d)
+    val cellAssigned = cc.cleanup(cc.attach(e)
+      .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+    val probe = transform(cc.m2d, (cv, i) =>
+      struct((-NativeVector.dot(col("v"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
         i.cast("int").as("cell")))
-    val probes = e
+    val probes = cc.attach(e)
       .withColumn("pr", explode(slice(sort_array(probe), 1, GraphProbe)))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("pr.cell").as("cell"))
     val scored = probes.join(cellAssigned, "cell")
@@ -549,8 +596,9 @@ object Similarity {
     * the later one), and every dup group keeps at least one member (its
     * rank-minimal vector has no preceding neighbor).
     *
-    * Scale: cell assignment is the map-side literal-centroid argmax shared
-    * with knn_ivf/stream_ivf_ingest (zero shuffle); the pair join is cell-
+    * Scale: cell assignment is the map-side centroid argmax shared with
+    * knn_ivf/stream_ivf_ingest (zero shuffle; literal matrix ≤ MaxCells,
+    * 1-row broadcast centroid frame above — centCols); the pair join is cell-
     * confined width² like knn_graph (cells ∝ √n at deployment — the IVF
     * sizing rule — keeps width and parallelism scaling); the drop set and
     * final flag join are id-keyed and linear. Both engines compare the SAME
@@ -560,10 +608,11 @@ object Similarity {
   val SemTau = 0.40
 
   def dedupSemdedup(s: SparkSession, d: String): DataFrame = {
-    val cents = centroidsFor(s, d)
-    val m = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
-    val cc = assignCells(corpus(s, d), s, d)
-      .withColumn("ccos", NativeVector.cosine(col("v"), element_at(m, col("cell") + 1)))
+    val cm = centColsFor(s, d)
+    val cc = cm.cleanup(cm.attach(corpus(s, d))
+        .withColumn("cell", NativeVector.argmaxDot(col("v"), cm.flat, cm.sn))
+        .withColumn("ccos",
+          NativeVector.cosine(col("v"), element_at(cm.m2d, col("cell") + 1))))
       .transform(Scale.materialize) // feeds both pair sides + the output
     val dropped = cc.as("a").join(cc.as("b"),
         col("a.cell") === col("b.cell") &&
@@ -1010,37 +1059,36 @@ object Similarity {
     val cents = idx.cents; val cb = idx.cb
     val dim = cents(0).length
     val sub = cb(0)(0).length
-    val sn = cents.map(cv => math.sqrt(n2Seq(cv))).toIndexedSeq
-    val flatC = typedlit(cents.flatten.toIndexedSeq)
-    val snLit = typedlit(sn)
+    val cc = centColsOf(s, cents)
     val flatCb = typedlit(cb.flatten.flatten.toIndexedSeq)
     val bias = typedlit(cb.flatMap(_.map(cv => -n2Seq(cv) / 2)).toIndexedSeq)
     // corpus → (cell, 8 residual codes) in ONE map-side codegen'd pass;
-    // only (vec_id, cell, codes) ever moves
-    val codes = c
-      .withColumn("cell", NativeVector.argmaxDot(col("v"), flatC, snLit))
+    // only (vec_id, cell, codes) ever moves. Cell-scaled operands route
+    // through centCols (literal ≤ MaxCells, 1-row broadcast frame above);
+    // the PQ codebook literals are cells-independent (PqSub·PqK·subDim).
+    val codes = cc.attach(c)
+      .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn))
       .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .withColumn("rv", transform(col("nv"), (x, i) =>
-        x - element_at(flatC, col("cell") * dim + i + lit(1))))
+        x - element_at(cc.flat, col("cell") * dim + i + lit(1))))
       .withColumn("codes", NativeVector.pqEncode(col("rv"), flatCb, bias, lit(PqSub)))
       .select(col("vec_id"), col("cell"), col("codes"))
     // query probes (same raw-v /sn ranking as knn_ivf) + per-cell centroid
     // term + the residual ADC table — all map-side on the bounded query set
-    val m = typedlit(cents.map(_.toIndexedSeq).toIndexedSeq)
-    val probe = transform(m, (cv, i) =>
-      struct((-NativeVector.dot(col("qv"), cv) / element_at(snLit, i + 1)).as("negccos"),
+    val probe = transform(cc.m2d, (cv, i) =>
+      struct((-NativeVector.dot(col("qv"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
         i.cast("int").as("cell")))
     val lutExprs = for (mm <- 0 until PqSub; k <- 0 until PqK)
       yield NativeVector.dot(slice(col("nqv"), mm * sub + 1, sub), typedlit(cb(mm)(k).toIndexedSeq))
-    val qCells = q
+    val qCells = cc.attach(q)
       .withColumn("nrm", sqrt(NativeVector.norm2(col("qv"))))
       .withColumn("nqv", transform(col("qv"), x => x / col("nrm")))
       .withColumn("lut", array(lutExprs: _*))
       .withColumn("pr", explode(slice(sort_array(probe), 1, IvfPqProbe)))
       .withColumn("cell", col("pr.cell"))
       .withColumn("cterm",
-        NativeVector.dot(col("nqv"), slice(flatC, col("cell") * dim + 1, lit(dim))))
+        NativeVector.dot(col("nqv"), slice(cc.flat, col("cell") * dim + 1, lit(dim))))
       .select(col("q_id"), col("cell"), col("cterm"), col("lut"))
     // approx = cterm + Σ_m lut[m][code_m], fixed left-assoc order (the
     // oracle states the same cterm + d0 + … + d7)
