@@ -23,4 +23,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ CdcQueries.oracles ++ TextQueries.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ StreamQueries.oracles ++ Scale.oracles ++ AsOf.oracles ++ Sampling.oracles ++ Olap.oracles ++ Graph.oracles ++ Sketches.oracles
+
+  /** Scale-affordable oracle OVERRIDES for the members whose gate oracles
+    * are quadratic by design (brute all-pairs, recursive-over-brute,
+    * interpreted per-pair folds): value-identical SQL that stays inside a
+    * per-query budget at sf1+ (`tools/check_one.py --oracles=scale`). Keys
+    * are a subset of [[oracleSql]]; the driver gate keeps the brute forms.
+    */
+  def scaleOracleSql: Map[String, String] =
+    Dedup.scaleOracles ++ TextQueries.scaleOracles ++ Similarity.scaleOracles
 }

@@ -33,9 +33,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def dump(m: Map[String, String], file: String): Unit =
+      Files.writeString(Paths.get(s"$outDir/$file"),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    dump(SparkEntry.oracleSql, "oracle_sql.json")
+    dump(SparkEntry.scaleOracleSql, "scale_oracle_sql.json")
     spark.stop()
   }
 }

@@ -892,53 +892,16 @@ object Dedup {
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_source_overlap" ->
-      s"""WITH jp AS (SELECT doc_a, doc_b FROM (
-         |$jaccardOracleSql
-         |) j),
-         |s AS (SELECT doc_id, source FROM documents),
-         |x AS (SELECT least(sa.source, sb.source) AS source_a,
-         |    greatest(sa.source, sb.source) AS source_b
-         |  FROM jp JOIN s sa ON jp.doc_a = sa.doc_id
-         |    JOIN s sb ON jp.doc_b = sb.doc_id
-         |  WHERE sa.source <> sb.source)
-         |SELECT source_a, source_b, count(*) AS n_pairs
-         |FROM x GROUP BY 1, 2""".stripMargin,
+    "dedup_source_overlap" -> sourceOverlapOracleFrom(jaccardOracleSql),
     "dedup_ngram_jaccard" -> jaccardOracleSql,
     // prefix-filtered plan, identical exact result set
     "dedup_jaccard_ppjoin" -> jaccardOracleSql,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracleSql) jp),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc, doc AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
-         |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
+    "dedup_clusters" -> clustersOracleFrom(jaccardOracleSql),
     // the clusters CTE chain verbatim, then the keep-one election: longest
     // text wins, doc_id breaks ties; singletons are their own canon. A
     // singleton's doc_id can never collide with a cluster label (labels are
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
-    "dedup_canonical" ->
-      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($jaccardOracleSql) jp),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
-         |reach AS (
-         |  SELECT doc, doc AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc),
-         |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
-         |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
-         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
-         |canon AS (SELECT cluster_id, doc_id AS canonical_id,
-         |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM alldocs)
-         |SELECT a.doc_id, a.cluster_id, c.canonical_id,
-         |  CASE WHEN a.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
-         |FROM alldocs a JOIN canon c ON a.cluster_id = c.cluster_id AND c.rn = 1""".stripMargin,
+    "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
     "dedup_semantic" ->
       s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
@@ -998,4 +961,114 @@ object Dedup {
        |    ${dotSql("a.v", "b.v")} / sqrt(a.n2 * b.n2) AS cos
        |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos FROM p WHERE cos >= 0.40""".stripMargin
+
+  // -------------------------------------------- pairs-parametric oracles
+  /** The cross-source rollup / CC / canonical-election oracle bodies,
+    * parametric in the near-dup PAIR source so the brute all-pairs SQL
+    * (the driver-gate formulation) and the scale-affordable postings form
+    * below plug into identical downstream algebra.
+    */
+  private def sourceOverlapOracleFrom(pairsSql: String): String =
+    s"""WITH jp AS (SELECT doc_a, doc_b FROM (
+       |$pairsSql
+       |) j),
+       |s AS (SELECT doc_id, source FROM documents),
+       |x AS (SELECT least(sa.source, sb.source) AS source_a,
+       |    greatest(sa.source, sb.source) AS source_b
+       |  FROM jp JOIN s sa ON jp.doc_a = sa.doc_id
+       |    JOIN s sb ON jp.doc_b = sb.doc_id
+       |  WHERE sa.source <> sb.source)
+       |SELECT source_a, source_b, count(*) AS n_pairs
+       |FROM x GROUP BY 1, 2""".stripMargin
+
+  private def clustersOracleFrom(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairsSql) jp),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc, doc AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc)
+       |SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc""".stripMargin
+
+  private def canonicalOracleFrom(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairsSql) jp),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc, doc AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.a AS doc, r.lbl FROM reach r JOIN edges e ON e.b = r.doc),
+       |labels AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+       |alldocs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |canon AS (SELECT cluster_id, doc_id AS canonical_id,
+       |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM alldocs)
+       |SELECT a.doc_id, a.cluster_id, c.canonical_id,
+       |  CASE WHEN a.doc_id = c.canonical_id THEN 1 ELSE 0 END AS keep
+       |FROM alldocs a JOIN canon c ON a.cluster_id = c.cluster_id AND c.rn = 1""".stripMargin
+
+  // ------------------------------------------------------- scale oracles
+  /** Scale-affordable restatement of the pairwise jaccard: the inverted-
+    * postings equi-join (cost Σ_shingle df², near-linear on real corpora)
+    * instead of the brute n²/2 all-pairs join. EXACTLY the same result
+    * set: a pair appears iff it shares ≥ 1 distinct shingle (pairs with
+    * i = 0 have jacc = 0 < τ and are absent from both forms), `i` is the
+    * same distinct-intersection count `len(list_intersect)` computes, and
+    * jacc is the same BIGINT-operand double division. Used for the sf1+
+    * attestation (`tools/check_one.py --oracles=scale`), where the brute
+    * form times out — the driver-gate oracle stays brute for structural
+    * independence.
+    */
+  private[operators] def postingsJaccardSqlAt(tau: Double): String =
+    s"""WITH $docShinglesSql,
+       |n AS (SELECT doc_id, len(shs) AS n FROM s),
+       |p AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+       |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jacc
+       |  FROM c JOIN n na ON c.doc_a = na.doc_id JOIN n nb ON c.doc_b = nb.doc_id)
+       |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
+       |FROM j WHERE jacc >= $tau""".stripMargin
+
+  /** All-pairs τ-cosine with DuckDB's NATIVE list_dot_product (measured
+    * bit-identical to the sequential-fold dotSql on this data — same
+    * multiply order, same left-to-right accumulation — and ~50× faster:
+    * 200M 64-dim dots in 9 s), norms precomputed once per vector.
+    */
+  private lazy val embeddingScaleOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS cos
+       |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos FROM p WHERE cos >= 0.40""".stripMargin
+
+  /** sf1+ attestation oracles for the members whose driver-gate oracles
+    * are quadratic BY DESIGN (brute all-pairs / recursive-over-brute):
+    * identical values, affordable plans. dedup_jaccard_auto follows the
+    * generated-oracle contract (present only once its tuner has run).
+    */
+  def scaleOracles: Map[String, String] = {
+    val postings = postingsJaccardSqlAt(0.5)
+    val auto =
+      if (jaccTauCache.size == 1)
+        Map("dedup_jaccard_auto" ->
+          postingsJaccardSqlAt(jaccTauCache.values.iterator.next()))
+      else Map.empty[String, String]
+    auto ++ Map(
+      "dedup_ngram_jaccard" -> postings,
+      "dedup_jaccard_ppjoin" -> postings,
+      "dedup_source_overlap" -> sourceOverlapOracleFrom(postings),
+      "dedup_clusters" -> clustersOracleFrom(postings),
+      "dedup_canonical" -> canonicalOracleFrom(postings),
+      "dedup_embedding" -> embeddingScaleOracleSql,
+      "dedup_embedding_blocked" -> embeddingScaleOracleSql,
+    )
+  }
 }

@@ -1249,6 +1249,83 @@ object Similarity {
        |  FROM $last) t WHERE rank <= $GraphK""".stripMargin
   }
 
+  /** knn_graph's sf1+ attestation oracle: the identical CTE chain as
+    * [[graphOracleSql]] with two value-preserving cost fixes — per-vector
+    * norms precomputed ONCE (`en`) instead of re-folded per candidate
+    * pair, and DuckDB's native `list_dot_product` instead of the
+    * interpreted `list_reduce` fold (measured bit-identical on this data:
+    * same multiply order, same left-to-right accumulation). The brute
+    * form re-computes 3 interpreted folds per candidate (~33M folds at
+    * sf1) and times out its budget; this one is the same algebra at
+    * native speed.
+    */
+  private def graphScaleOracleSql(cents: Array[Array[Double]]): String = {
+    def cosN(qa: String, qb: String, n2a: String, n2b: String) =
+      s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |cells AS (${cellRowsSql(cents)}),
+         |ca AS (SELECT vec_id, v, n2, cell FROM (
+         |  SELECT en.vec_id, en.v, en.n2, cells.cell,
+         |    row_number() OVER (PARTITION BY en.vec_id
+         |      ORDER BY list_dot_product(en.v, cells.cv) / cells.sn DESC, cells.cell) AS r
+         |  FROM en, cells) t WHERE r = 1),
+         |qa AS (SELECT q_id, qv, n2 AS qn2, cell FROM (
+         |  SELECT en.vec_id AS q_id, en.v AS qv, en.n2, cells.cell,
+         |    row_number() OVER (PARTITION BY en.vec_id
+         |      ORDER BY list_dot_product(en.v, cells.cv) / cells.sn DESC, cells.cell) AS r
+         |  FROM en, cells) t WHERE r <= $GraphProbe),
+         |sc AS (SELECT qa.q_id AS src, ca.vec_id AS dst,
+         |    ${cosN("qa.qv", "ca.v", "qa.qn2", "ca.n2")} AS cos
+         |  FROM qa JOIN ca USING (cell) WHERE qa.q_id <> ca.vec_id),
+         |e0 AS (SELECT src, dst, cos FROM (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM sc) t WHERE rank <= $GraphK)""".stripMargin
+    val rounds = (1 to GraphDescentRounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""sym$r AS (SELECT src, dst FROM $prev
+         |  UNION SELECT dst, src FROM $prev),
+         |cand$r AS (
+         |  SELECT DISTINCT s1.src, s2.dst FROM sym$r s1
+         |    JOIN sym$r s2 ON s1.dst = s2.src WHERE s1.src <> s2.dst
+         |  EXCEPT SELECT src, dst FROM $prev),
+         |fresh$r AS (SELECT c.src, c.dst,
+         |    ${cosN("a.v", "b.v", "a.n2", "b.n2")} AS cos
+         |  FROM cand$r c JOIN en a ON c.src = a.vec_id JOIN en b ON c.dst = b.vec_id),
+         |e$r AS (SELECT src, dst, cos FROM (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM fresh$r) u) t
+         |  WHERE rank <= $GraphK)""".stripMargin
+    }
+    val last = s"e$GraphDescentRounds"
+    val sql =
+      s"""$base,
+         |${rounds.mkString(",\n")}
+         |SELECT src AS vec_id, dst AS nbr_id, rank, floor(cos*1e6)/1e6 AS cos
+         |FROM (SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM $last) t WHERE rank <= $GraphK""".stripMargin
+    // Force every CTE materialized: the descent rounds reference their
+    // predecessors multiple times (sym twice, EXCEPT prev, union prev) and
+    // DuckDB's default inlining re-derives the whole upstream chain per
+    // reference — measured 300s+ → 21s at sf1 with the hints. ` AS (`
+    // appears in this SQL only at CTE definitions (subqueries are aliased
+    // `) t` / `) u`), so the rewrite is exact.
+    sql.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** sf1+ attestation oracles (same generated-after-training contract as
+    * [[oracles]]: emitted only when exactly one dir has trained, so the
+    * literal centroids always restate the plan that actually ran).
+    */
+  def scaleOracles: Map[String, String] =
+    if (centroidCache.size == 1)
+      Map("knn_graph" -> graphScaleOracleSql(centroidCache.values.iterator.next()))
+    else Map.empty
+
   /** dedup_semdedup restated in DuckDB: the same literal centroids and
     * argmax cell assignment as the IVF oracle, the same IEEE centroid
     * cosine, the identical (ccos asc, vec_id) precedence inside the drop

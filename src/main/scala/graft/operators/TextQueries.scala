@@ -1039,6 +1039,44 @@ object TextQueries {
        |    j -> list_min(list_slice(rh, j+1, j+$WinnowW)))) AS fps FROM r),
        |p AS (SELECT doc_id, unnest(fps) AS fp FROM f)""".stripMargin
 
+  /** corpus_pipeline's oracle, parametric in the near-dup pair source: the
+    * driver gate plugs in the brute all-pairs jaccard, the sf1+ scale
+    * attestation the postings form (identical pair set — see
+    * Dedup.postingsJaccardSqlAt).
+    */
+  private def corpusPipelineOracleFrom(pairsSql: String): String =
+    s"""WITH surv AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+       |np AS (SELECT DISTINCT doc_b AS doc_id FROM (
+       |$pairsSql
+       |)),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
+       |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
+       |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
+       | FROM t),
+       |clean AS (SELECT s.doc_id, q.quality, q.n_tokens
+       |  FROM surv s JOIN q ON s.doc_id = q.doc_id
+       |  WHERE q.quality >= 0.5
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM np)),
+       |c AS (SELECT doc_id, quality, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM clean),
+       |sh AS (SELECT doc_id, quality, n_tokens,
+       |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${Sampling.PackBudget}) AS BIGINT) AS shard
+       |  FROM c)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  floor(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)/count(*)*1e4)/1e4 AS mean_quality
+       |FROM sh GROUP BY 1""".stripMargin
+
+  /** sf1+ attestation oracle (see Dedup.scaleOracles). */
+  def scaleOracles: Map[String, String] = Map(
+    "corpus_pipeline" ->
+      corpusPipelineOracleFrom(graft.operators.Dedup.postingsJaccardSqlAt(0.5)))
+
   def oracles: Map[String, String] = maybeQmOracle ++ maybeBloomOracle ++ Map(
     "sample_dsir" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1133,33 +1171,7 @@ object TextQueries {
          | md5(regexp_replace(regexp_replace(norm, '$emailRe', '<EMAIL>', 'g'),
          |     '$digitsRe', '<NUM>', 'g')) AS scrubbed_fp
          |FROM t""".stripMargin,
-    "corpus_pipeline" ->
-      s"""WITH surv AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
-         |np AS (SELECT DISTINCT doc_b AS doc_id FROM (
-         |${graft.operators.Dedup.jaccardOracleSql}
-         |)),
-         |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |q AS (SELECT doc_id, len(toks) AS n_tokens,
-         |  floor((0.4*least(1.0, CAST(len(toks) AS DOUBLE)/100.0)
-         |       + 0.3*least(1.0, (CAST(${hitsSql(enStop)} AS DOUBLE)/len(toks))*5.0)
-         |       + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)))*1e4)/1e4 AS quality
-         | FROM t),
-         |clean AS (SELECT s.doc_id, q.quality, q.n_tokens
-         |  FROM surv s JOIN q ON s.doc_id = q.doc_id
-         |  WHERE q.quality >= 0.5
-         |    AND s.doc_id NOT IN (SELECT doc_id FROM np)),
-         |c AS (SELECT doc_id, quality, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM clean),
-         |sh AS (SELECT doc_id, quality, n_tokens,
-         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / ${Sampling.PackBudget}) AS BIGINT) AS shard
-         |  FROM c)
-         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-         |  floor(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)/count(*)*1e4)/1e4 AS mean_quality
-         |FROM sh GROUP BY 1""".stripMargin,
+    "corpus_pipeline" -> corpusPipelineOracleFrom(graft.operators.Dedup.jaccardOracleSql),
     "corpus_clean" ->
       s"""WITH survivors AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
