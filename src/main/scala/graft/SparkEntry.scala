@@ -31,5 +31,5 @@ object SparkEntry {
     * are a subset of [[oracleSql]]; the driver gate keeps the brute forms.
     */
   def scaleOracleSql: Map[String, String] =
-    Dedup.scaleOracles ++ TextQueries.scaleOracles ++ Similarity.scaleOracles
+    Dedup.scaleOracles ++ TextQueries.scaleOracles ++ Similarity.scaleOracles ++ Graph.scaleOracles
 }

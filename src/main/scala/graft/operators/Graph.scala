@@ -242,4 +242,16 @@ object Graph {
     "part_pagerank" -> pagerankOracle,
     "part_communities" -> communitiesOracle,
   )
+
+  /** sf1+ attestation variants: the SAME unrolled-iteration SQL with every
+    * CTE forced MATERIALIZED. Each round's CTE references its predecessor
+    * twice (the contribution/vote join plus the carry-forward), so
+    * DuckDB's default inlining re-derives the whole upstream chain per
+    * reference — exponential in rounds; round 6b measured the unrolled
+    * LPA spilling past temp disk at sf1. ` AS (` appears in these
+    * strings only at CTE definitions (subqueries alias as `) t` / `) w0`),
+    * so the rewrite is exact. Values identical by construction.
+    */
+  val scaleOracles: Map[String, String] =
+    oracles.map { case (k, v) => k -> v.replace(" AS (", " AS MATERIALIZED (") }
 }
