@@ -484,6 +484,61 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ------------------------------------------------------------- outliers
+  /** Outlier report size. */
+  val OutlierK = 50
+
+  /** Quantization-error outliers: the corpus vectors farthest (lowest
+    * cosine) from their own nearest trained centroid — the standard
+    * embedding-space data-quality sweep (out-of-distribution and
+    * mislabeled rows surface first; SemDeDup's "far from every cluster"
+    * tail). Reuses the dir's trained IVF centroids ([[centroidsFor]]), so
+    * the sweep costs ONE map-side argmax + cosine per vector (no join, no
+    * shuffle beyond the global top-[[OutlierK]], which is a TakeOrdered —
+    * a per-partition heap then a driver merge of 50-row heads, the only
+    * correct shape for a global top-k at 10^9 vectors). The oracle
+    * restates the same literal centroids (generated-after-training
+    * contract), cell argmax, and IEEE cosine.
+    */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val c = split(s, d)._2
+    val cc = centColsFor(s, d)
+    val dim = centroidsFor(s, d)(0).length
+    val scored = cc.cleanup(cc.attach(c)
+      .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn))
+      .withColumn("cos", NativeVector.cosine(col("v"),
+        slice(cc.flat, col("cell") * dim + 1, lit(dim)))))
+    val top = scored.orderBy(col("cos").asc, col("vec_id")).limit(OutlierK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").asc, col("vec_id"))))
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(broadcast(top), "vec_id")
+      .select(col("rnk"), col("vec_id"), col("label"), col("cell"),
+        detRound(lit(1.0) - col("cos"), 6).as("qerr"))
+  }
+
+  private def outliersOracleSql(cents: Array[Array[Double]]): String = {
+    val cellRows = cellRowsSql(cents)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |cells AS ($cellRows),
+       |ca AS (SELECT vec_id, v, label, cell FROM (
+       |  SELECT c.vec_id, c.v, c.label, cells.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${dotSql("c.v", "cells.cv")} / cells.sn DESC, cells.cell) AS r
+       |  FROM c, cells) t WHERE r = 1),
+       |sc AS (SELECT ca.vec_id, ca.label, ca.cell,
+       |    ${cosineSql("ca.v", "cells.cv")} AS cos
+       |  FROM ca JOIN cells USING (cell)),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY cos ASC, vec_id) AS rnk
+       |  FROM sc)
+       |SELECT CAST(rnk AS INT) AS rnk, vec_id, label, cell,
+       |  floor((1e0 - cos) * 1e6) / 1e6 AS qerr
+       |FROM rk WHERE rnk <= $OutlierK""".stripMargin
+  }
+
   // ------------------------------------------------------------ kNN graph
   /** Approximate kNN GRAPH: every corpus vector's top GraphK neighbors
     * (self excluded) — the primitive semantic clustering, diversity
@@ -1133,6 +1188,7 @@ object Similarity {
     "knn_lsh" -> knnLsh,
     "knn_lsh_auto" -> knnLshAuto,
     "knn_ivf" -> knnIvf,
+    "embed_outliers" -> embedOutliers,
     "knn_rrf" -> knnRrf,
     "embed_pca" -> embedPca,
     "knn_graph" -> knnGraph,
@@ -1610,6 +1666,7 @@ object Similarity {
       if (centroidCache.size == 1) {
         val cents = centroidCache.values.iterator.next()
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
+          ("embed_outliers" -> outliersOracleSql(cents)) +
           ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +

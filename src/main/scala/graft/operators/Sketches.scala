@@ -144,6 +144,108 @@ object Sketches {
        |FROM est2 JOIN ex USING (event_type)""".stripMargin
   }
 
+  // ------------------------------------------------- HLL sliding window
+  /** Trailing window width (days) — matches events_wau, its exact twin. */
+  val HllWinDays = 7
+
+  /** 7-day sliding distinct users per day via HLL REGISTER-TABLE merges —
+    * the scale path for `events_wau`'s exact sliding distinct. Per day the
+    * sketch build keeps 64 registers; each day's register table then
+    * contributes to the 7 window ends it falls inside, and the window
+    * estimate max-merges those ≤ 7 tables — so the sliding-window state is
+    * O(days x 64) REGARDLESS of user cardinality, where the exact form
+    * shuffles every (day, user) pair 7 times. This is exactly how a
+    * 1000-executor daily-uniques dashboard slides at 10^12 events: merge
+    * yesterday's registers, never rescan yesterday's users. The exact
+    * count rides along as the audit column (same fan-out as events_wau).
+    *
+    * Determinism: identical register math to [[eventsApproxDistinct]]
+    * (integer registers, literal linear-counting table, parenthesized
+    * final ratios) — the oracle is hash-exact including the sketch error.
+    */
+  def eventsHllSliding(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val days = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+    val bounds = days.agg(max(col("day")).as("hi"))
+    val reg = days
+      .select(col("day"), hexH(concat(lit("hll:"), col("user_id"))).as("h"))
+      .select(col("day"), (col("h") % HllM).as("bucket"), expr(s"h div $HllM").as("rest"))
+      .withColumn("rho", (lit(55) - length(bin(col("rest")))).cast("int"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mj"))
+    // slide: each day's register table max-merges into window ends day..day+6
+    val slid = reg
+      .select(col("day"), col("bucket"), col("mj"),
+        explode(sequence(lit(0), lit(HllWinDays - 1))).as("off"))
+      .select(date_add(col("day"), col("off")).as("wday"), col("bucket"), col("mj"))
+      .join(broadcast(bounds))
+      .filter(col("wday") <= col("hi"))
+      .groupBy(col("wday"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val est = slid.groupBy(col("wday"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))")).as("psum"))
+      .select(col("wday"),
+        (lit(HllM.toLong) - col("present")).as("v_zero"),
+        (col("psum") + (lit(HllM.toLong) - col("present")) * expr(s"CAST($TwoP55 AS BIGINT)"))
+          .as("reg_sum"))
+      .withColumn("raw_est",
+        (lit(HllAlpha) * lit(HllM.toDouble * HllM)) *
+          (lit(TwoP55.toDouble) / col("reg_sum").cast("double")))
+      .withColumn("hll_est", detRound(
+        when(col("raw_est") <= lit(HllLcCut) && col("v_zero") > 0,
+          element_at(typedlit(HllLc), col("v_zero").cast("int")))
+          .otherwise(col("raw_est")), 2))
+    val exact = days.distinct()
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(HllWinDays - 1))).as("off"))
+      .select(date_add(col("day"), col("off")).as("wday"), col("user_id"))
+      .join(broadcast(bounds))
+      .filter(col("wday") <= col("hi"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "wday")
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"),
+        col("n_exact"), col("v_zero"), col("reg_sum"), col("hll_est"),
+        detRound((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") * lit(100.0), 2).as("err_pct"))
+  }
+
+  private val hllSlidingOracleSql: String = {
+    val h = hexHSql("'hll:' || user_id")
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       |b AS (SELECT max(day) AS hi FROM ev),
+       |rows_ AS (SELECT day, ($h) % $HllM AS bucket, ($h) // $HllM AS rest
+       |  FROM ev),
+       |reg AS (SELECT day, bucket, max(55 - length(bin(rest))) AS mj
+       |  FROM rows_ GROUP BY 1, 2),
+       |sl AS (SELECT day + CAST(off AS INTEGER) AS wday, bucket, mj
+       |  FROM reg, (SELECT unnest(range(0, $HllWinDays)) AS off) o),
+       |sl2 AS (SELECT wday, bucket, max(mj) AS mj
+       |  FROM sl, b WHERE wday <= hi GROUP BY 1, 2),
+       |est AS (SELECT wday,
+       |    $HllM - count(*) AS v_zero,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mj AS INT))
+       |      + ($HllM - count(*)) * CAST($TwoP55 AS BIGINT) AS BIGINT) AS reg_sum
+       |  FROM sl2 GROUP BY 1),
+       |est1 AS (SELECT wday, v_zero, reg_sum,
+       |    ((${HllAlpha}e0) * (${HllM * HllM}e0)) *
+       |      ((${TwoP55}e0) / CAST(reg_sum AS DOUBLE)) AS raw_est
+       |  FROM est),
+       |est2 AS (SELECT wday, v_zero, reg_sum,
+       |    floor((CASE WHEN raw_est <= ${dlit(HllLcCut)} AND v_zero > 0
+       |      THEN ([${HllLc.map(dlit).mkString(", ")}])[CAST(v_zero AS INT)]
+       |      ELSE raw_est END) * 1e2) / 1e2 AS hll_est
+       |  FROM est1),
+       |du AS (SELECT DISTINCT day, user_id FROM ev),
+       |exw AS (SELECT day + CAST(off AS INTEGER) AS wday, user_id
+       |  FROM du, (SELECT unnest(range(0, $HllWinDays)) AS off) o),
+       |ex AS (SELECT wday, count(DISTINCT user_id) AS n_exact
+       |  FROM exw, b WHERE wday <= hi GROUP BY 1)
+       |SELECT strftime(est2.wday, '%Y-%m-%d') AS day, n_exact, v_zero,
+       |  reg_sum, hll_est,
+       |  floor(((hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |    * 100e0) * 1e2) / 1e2 AS err_pct
+       |FROM est2 JOIN ex USING (wday)""".stripMargin
+  }
+
   // ------------------------------------------------------------ Count-Min
   /** Depth 4 × width 256 counter grid over (event_type, user_id) items
     * (~750 distinct at sf0.01 — wider than the grid, so collisions are
@@ -492,6 +594,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_approx_distinct" -> eventsApproxDistinct,
+    "events_hll_sliding" -> eventsHllSliding,
     "events_count_min" -> eventsCountMin,
     "events_kmv_overlap" -> eventsKmvOverlap,
     "events_quantile_sketch" -> eventsQuantileSketch,
@@ -499,6 +602,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "events_approx_distinct" -> hllOracleSql,
+    "events_hll_sliding" -> hllSlidingOracleSql,
     "events_count_min" -> cmOracleSql,
     "events_kmv_overlap" -> kmvOracleSql,
     "events_quantile_sketch" -> quantileOracleSql,

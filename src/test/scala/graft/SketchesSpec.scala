@@ -201,4 +201,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(sketchTotals.forall(_ === total), s"rows=$sketchTotals total=$total")
     assert(perRow.columns.contains("overcount"))
   }
+
+  test("sliding HLL window estimate equals a from-scratch sketch per window") {
+    // the slid register table is a max-merge of per-day tables; re-sketch
+    // each 7-day window directly from raw (day, user) rows and demand the
+    // identical reg_sum-driven estimate — proves the merge loses nothing
+    val out = Sketches.eventsHllSliding(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = raw.map(_._1).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexH(sv: String): Long = java.lang.Long.parseLong(
+      md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    for ((dayStr, row) <- out) {
+      val wend = java.time.LocalDate.parse(dayStr)
+      val wstart = wend.minusDays(Sketches.HllWinDays - 1)
+      val users = raw.filter { case (dd, _) =>
+        !dd.isBefore(wstart) && !dd.isAfter(wend) }.map(_._2).distinct
+      assert(row.getAs[Long]("n_exact") == users.length.toLong, s"day $dayStr")
+      // from-scratch registers over the window's users
+      val regs = users.map(u => hexH(s"hll:$u"))
+        .groupBy(_ % Sketches.HllM).view
+        .mapValues(_.map(h => 55 - java.lang.Long.toBinaryString(h / Sketches.HllM).length).max)
+        .toMap
+      val present = regs.size.toLong
+      val regSum = regs.values.map(mj => 1L << (55 - mj)).sum +
+        (Sketches.HllM - present) * (1L << 55)
+      assert(row.getAs[Long]("reg_sum") == regSum, s"day $dayStr")
+    }
+    // window ends clip at the observed max day — no phantom future windows
+    val maxDay = days.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    assert(out.keys.max == maxDay.toString)
+  }
 }

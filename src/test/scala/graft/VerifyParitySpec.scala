@@ -30,6 +30,8 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.Similarity.embedPca(spark, sf).count()
     graft.operators.TextQueries.textDecontaminateBloom(spark, sf).count()
     graft.operators.TextQueries.textQualityModel(spark, sf).count()
+    // text_bm25's idf/avgdl stats follow the same generated-oracle contract
+    graft.operators.Search.textBm25(spark, sf).count()
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
