@@ -42,16 +42,24 @@ object Experiments {
     * shuffle (order-independent), doubles appear only in the final scalar
     * arithmetic, stated identically in the oracle.
     */
-  def eventsAbTest(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val users = ev.select(col("user_id")).distinct()
-      .withColumn("variant", (hexH(concat(lit("ab:"), col("user_id"))) % 2).cast("int"))
-    val purch = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(sum(col("value").cast("decimal(18,4)")).as("m"))
-    val um = users.join(purch, Seq("user_id"), "left_outer")
-      .select(col("variant"),
-        coalesce(col("m"), lit(0).cast("decimal(18,4)")).as("m"))
+  /** Per-user conditional purchase totals — ONE aggregation over the raw
+    * stream (every user appears; non-purchasers sum all-NULL → NULL).
+    * This frame is exactly the state a streaming Complete-mode agg keeps
+    * (one running decimal row per user), which is how [[graft.streaming
+    * .StreamQueries]] runs the same experiment incrementally.
+    */
+  def abUserTotals(ev: DataFrame): DataFrame = ev
+    .groupBy(col("user_id"))
+    .agg(sum(when(col("event_type") === "purchase",
+      col("value").cast("decimal(18,4)"))).as("m"))
+
+  /** Variant assembly over the per-user totals: deterministic hash
+    * assignment, Welch moments, z + verdict.
+    */
+  def abFromUserTotals(um0: DataFrame): DataFrame = {
+    val um = um0.select(
+      (hexH(concat(lit("ab:"), col("user_id"))) % 2).cast("int").as("variant"),
+      coalesce(col("m"), lit(0).cast("decimal(18,4)")).as("m"))
     // per-user totals fit (18,4); the (18,4)x(18,4) product is (37,8) —
     // exact in BOTH engines (a wider multiply would trip Spark's decimal
     // precision-loss truncation and diverge from DuckDB)
@@ -81,15 +89,17 @@ object Experiments {
         (abs(col("z")) > lit(AbZCrit)).as("significant"))
   }
 
-  private val abOracleSql: String =
-    s"""WITH users AS (SELECT DISTINCT user_id FROM events),
-       |v AS (SELECT user_id,
-       |    CAST(${hexHSql("'ab:' || user_id")} % 2 AS INT) AS variant FROM users),
-       |p AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,4))) AS m
-       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-       |um AS (SELECT variant,
+  def eventsAbTest(s: SparkSession, d: String): DataFrame =
+    abFromUserTotals(abUserTotals(Tables.events(s, d)))
+
+  private[graft] val abOracleSql: String =
+    s"""WITH ut AS (SELECT user_id,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(value AS DECIMAL(18,4)) END) AS m
+       |  FROM events GROUP BY 1),
+       |um AS (SELECT CAST(${hexHSql("'ab:' || user_id")} % 2 AS INT) AS variant,
        |    coalesce(m, CAST(0 AS DECIMAL(18,4))) AS m
-       |  FROM v LEFT JOIN p USING (user_id)),
+       |  FROM ut),
        |ag AS (SELECT variant, count(*) AS n_users,
        |    CAST(sum(m) AS DOUBLE) AS sx,
        |    CAST(sum(CAST(CAST(m AS DECIMAL(18,4)) * CAST(m AS DECIMAL(18,4))

@@ -539,6 +539,143 @@ object Similarity {
        |FROM rk WHERE rnk <= $OutlierK""".stripMargin
   }
 
+  // ------------------------------------------------------- cluster purity
+  /** Clustering-quality evaluation over the trained IVF cells: per-cell
+    * label contingency → majority label + purity, plus a corpus-wide
+    * `_all` row (Σ majority counts / n — the standard external purity
+    * metric). The eval a 100 TB embedding pipeline runs after (re)training
+    * its coarse quantizer: one map-side argmax per vector, a (cell, label)
+    * count-agg (cells x labels cells — bounded model statistics, fully
+    * map-side partial), everything downstream on that bounded frame.
+    * Integer counts end to end; the two divisions are final-projection
+    * floors. Generated oracle restates the literal centroids + argmax.
+    */
+  def embedClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.embeddings(s, d)
+      .filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val assigned = {
+      val cc = centColsFor(s, d)
+      cc.cleanup(cc.attach(c)
+        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+    }
+    val cont = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val per = cont
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("cnt").desc, col("label"))))
+      .withColumn("n_vecs", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("top_label"),
+        col("cnt").as("top_cnt"))
+    val overall = per.agg(sum(col("top_cnt")).as("top_cnt"),
+        sum(col("n_vecs")).as("n_vecs"))
+      .select(lit(-1).as("cell"), col("n_vecs"),
+        lit(-1).as("top_label"), col("top_cnt"))
+    per.unionByName(overall)
+      .select(col("cell"), col("n_vecs"), col("top_label"), col("top_cnt"),
+        (floor(col("top_cnt").cast("double") / col("n_vecs").cast("double") * 1e4) / 1e4)
+          .as("purity"))
+  }
+
+  private def purityOracleSql(cents: Array[Array[Double]]): String = {
+    val cellRows = cellRowsSql(cents)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       |cells AS ($cellRows),
+       |ca AS (SELECT vec_id, label, cell FROM (
+       |  SELECT e.vec_id, e.label, cells.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.v", "cells.cv")} / cells.sn DESC, cells.cell) AS r
+       |  FROM e, cells) t WHERE r = 1),
+       |cont AS (SELECT cell, label, count(*) AS cnt FROM ca GROUP BY 1, 2),
+       |per AS (SELECT cell, n_vecs, label AS top_label, cnt AS top_cnt FROM (
+       |  SELECT cell, label, cnt,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS r,
+       |    sum(cnt) OVER (PARTITION BY cell) AS n_vecs
+       |  FROM cont) t WHERE r = 1),
+       |uni AS (SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs, top_label,
+       |    top_cnt FROM per
+       |  UNION ALL SELECT -1, CAST(sum(n_vecs) AS BIGINT), -1,
+       |    CAST(sum(top_cnt) AS BIGINT) FROM per)
+       |SELECT cell, n_vecs, top_label, top_cnt,
+       |  floor(CAST(top_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE) * 1e4) / 1e4
+       |    AS purity
+       |FROM uni""".stripMargin
+  }
+
+  // ------------------------------------------------------------- k-center
+  /** Coreset size for the greedy k-center selection. */
+  val KcK = 8
+
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985) over
+    * cosine distance — the classic diversity-coreset selection a
+    * data-curation pipeline uses to pick maximally-spread exemplars (and
+    * the 2-approximation to optimal k-center). Deterministic seed = lowest
+    * vec_id; each round picks the vector minimizing max-cosine to the
+    * chosen set (= farthest), ties to the lowest vec_id.
+    *
+    * Scale: each of the K-1 rounds is ONE map-side pass (cosines against
+    * ≤ K literal center vectors, max is order-exact) ending in a global
+    * top-1 TakeOrdered — K full scans total, no shuffle, no state beyond
+    * the K collected center rows (the bounded-collect training contract).
+    * The oracle unrolls the same K-1 rounds as CTEs with incremental
+    * `greatest` — max over the same exactly-computed doubles, so
+    * association cannot change the result.
+    */
+  def embedKcenter(s: SparkSession, d: String): DataFrame = {
+    val c = split(s, d)._2
+    val first = c.orderBy(col("vec_id")).limit(1).head()
+    var centers =
+      Vector((first.getLong(0), first.getSeq[Double](1).toArray, 2.0))
+    for (_ <- 2 to KcK) {
+      val sCol = centers.map { case (_, cv, _) =>
+        NativeVector.cosine(col("v"), typedlit(cv.toIndexedSeq)) }
+        .reduceLeft(greatest(_, _))
+      val chosen = centers.map(_._1)
+      val next = c.filter(!col("vec_id").isInCollection(chosen))
+        .withColumn("s", sCol)
+        .orderBy(col("s").asc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("s")).head()
+      centers = centers :+
+        ((next.getLong(0), next.getSeq[Double](1).toArray, 1.0 - next.getDouble(2)))
+    }
+    import s.implicits._
+    centers.zipWithIndex.map { case ((id, _, dist), i) =>
+      (i + 1, id, math.floor(dist * 1e6) / 1e6) }
+      .toDF("rnk", "vec_id", "dist")
+  }
+
+  /** The unrolled greedy restated in SQL: round k's candidate frame
+    * excludes the round-(k-1) pick and carries s = greatest(prev s, cos to
+    * the new center); the seed row reports the 2e0 "unbounded" sentinel
+    * (max possible 1−cos) as its distance-to-set, matching the Spark side.
+    */
+  private val kcenterOracleSql: String = {
+    val rounds = (2 to KcK).map { k =>
+      val prevS = if (k == 2) s"${cosineSql("s1.v", "c1.v")}"
+      else s"greatest(s${k - 1}.s, ${cosineSql(s"s${k - 1}.v", s"c${k - 1}.v")})"
+      // s1 is the base corpus frame; later frames chain exclusions
+      val src = if (k == 2) "s1" else s"s${k - 1}"
+      s"""s$k AS (SELECT $src.vec_id, $src.v, $prevS AS s
+         |  FROM $src, c${k - 1} WHERE $src.vec_id <> c${k - 1}.vec_id),
+         |c$k AS (SELECT vec_id, v, s FROM s$k ORDER BY s ASC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (2 to KcK).map(k =>
+      s"UNION ALL SELECT $k AS rnk, vec_id, floor((1e0 - s) * 1e6) / 1e6 FROM c$k")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |s1 AS (SELECT e.vec_id, e.v FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+       |$rounds
+       |SELECT 1 AS rnk, vec_id, 2e0 AS dist FROM c1
+       |$sel""".stripMargin
+  }
+
   // ------------------------------------------------------------ kNN graph
   /** Approximate kNN GRAPH: every corpus vector's top GraphK neighbors
     * (self excluded) — the primitive semantic clustering, diversity
@@ -1189,6 +1326,8 @@ object Similarity {
     "knn_lsh_auto" -> knnLshAuto,
     "knn_ivf" -> knnIvf,
     "embed_outliers" -> embedOutliers,
+    "embed_cluster_purity" -> embedClusterPurity,
+    "embed_kcenter" -> embedKcenter,
     "knn_rrf" -> knnRrf,
     "embed_pca" -> embedPca,
     "knn_graph" -> knnGraph,
@@ -1654,6 +1793,7 @@ object Similarity {
       "knn_range" -> rangeOracleSql,
       "knn_filtered" -> filteredOracleSql,
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),
+      "embed_kcenter" -> kcenterOracleSql,
     )
     // generated-oracle pattern (see Scaladoc above): emit only when exactly
     // one sf dir trained/tuned in this JVM, so the SQL always restates the
@@ -1667,6 +1807,7 @@ object Similarity {
         val cents = centroidCache.values.iterator.next()
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
           ("embed_outliers" -> outliersOracleSql(cents)) +
+          ("embed_cluster_purity" -> purityOracleSql(cents)) +
           ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +

@@ -78,13 +78,30 @@ object StreamQueries {
       Sketches.quantileCents(graft.Tables.events(s, d)))
   }
 
+  /** `events_ab_test` with the experiment STATE maintained by the stream:
+    * the per-user conditional purchase totals are a Complete-mode
+    * decimal-sum agg (one running row per user — decimal addition is the
+    * order-independent monoid, so micro-batch partials fold into state
+    * exactly like any running count); variant assembly + Welch z run on
+    * the materialized per-user table. This is how a live experiment
+    * dashboard actually updates — fold the batch into per-user moments,
+    * never rescan history. The batch oracle applies verbatim.
+    */
+  def eventsAbStream(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Experiments
+    val um = runToMemory(s, "ab", s"$d/events.parquet", Experiments.abUserTotals)
+    Experiments.abFromUserTotals(um)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> eventsHourlyStream,
     "events_quantile_stream" -> eventsQuantileStream,
+    "events_ab_stream" -> eventsAbStream,
   )
 
   val oracles: Map[String, String] = Map(
     "events_hourly_stream" -> Analytics.oracles("events_hourly"),
     "events_quantile_stream" -> graft.operators.Sketches.oracles("events_quantile_sketch"),
+    "events_ab_stream" -> graft.operators.Experiments.abOracleSql,
   )
 }
