@@ -538,7 +538,7 @@ object Analytics {
   /** Events with their gap-based session number — the shared sessionize
     * subtree (30-min inactivity boundary, per-user window).
     */
-  private def sessionAssigned(s: SparkSession, d: String): DataFrame = {
+  private[operators] def sessionAssigned(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))

@@ -183,13 +183,193 @@ object Experiments {
        |    WHERE num.source = mx.source AND num.num = mx.maxnum) AS ks_at
        |FROM mx""".stripMargin
 
+  /** The conversion event type and the attributable channel states for the
+    * Markov attribution model (the corpus event alphabet minus the
+    * conversion — a literal parametrization, the Bm25Queries pattern).
+    */
+  val MkConv = "purchase"
+  val MkChannels = Seq("click", "error", "signup", "view")
+  val MkScale = 1000000000L // 1e9 fixed-point probability/mass units
+  val MkSteps = 16
+
+  /** First-order Markov removal-effect attribution (Anderl et al. 2014 —
+    * the data-driven alternative to last-touch): sessions become
+    * START → touchpoints → CONV/NULL paths (truncated at the first
+    * conversion), transition counts collapse to the ≤ (types+3)² alphabet,
+    * and each channel's credit is its REMOVAL EFFECT — how much K-step
+    * absorption mass CONV loses when the channel is made absorbing-to-NULL
+    * (entering it never converts).
+    *
+    * Scale design: the only corpus-sized work is the sessionize window and
+    * one alphabet-bounded count agg (map-side partial); everything after —
+    * quantized probabilities, the 5 graph variants, [[MkSteps]] propagation
+    * steps, removal shares — runs on ≤ |graphs|·(types+3)² rows,
+    * re-materialized per step (the Graph.scala superstep discipline, flat
+    * lineage, trivial jobs). Arithmetic is LONG FIXED-POINT end to end
+    * (the Graph.scala PageRank discipline): probabilities `cnt·1e9 div
+    * rowtotal` (HUGEINT/DECIMAL(38,0) intermediate so the multiply can't
+    * overflow at any SF), per-term floored mass products summed exactly —
+    * deterministic BY CONSTRUCTION, so the oracle restates the identical
+    * unrolled steps and is hash-exact including the stated truncation.
+    * Removal numerators are `greatest(·,0)`-clamped BEFORE the integer
+    * division: Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so negatives must never reach the divide.
+    */
+  def eventsAttributionMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sess = Analytics.sessionAssigned(s, d)
+      .select(col("user_id"), col("session_seq"), col("ts"), col("event_id"),
+        col("event_type"))
+    val win = Window.partitionBy(col("user_id"), col("session_seq"))
+    val withFp = sess.withColumn("fp",
+      min(when(col("event_type") === MkConv,
+        struct(col("ts"), col("event_id")))).over(win))
+    val wOrd = win.orderBy(col("ts"), col("event_id"))
+    val kept = withFp
+      .filter(col("event_type") =!= MkConv &&
+        (col("fp").isNull || struct(col("ts"), col("event_id")) < col("fp")))
+      .withColumn("nxt", lead(col("event_type"), 1).over(wOrd))
+      .withColumn("rn", row_number().over(wOrd))
+    val ss = sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(max(when(col("event_type") === MkConv, 1).otherwise(0)).as("has_p"))
+    val term = when(col("has_p") === 1, lit("CONV")).otherwise(lit("NULL"))
+    val tr1 = kept.join(ss, Seq("user_id", "session_seq"))
+      .select(col("event_type").as("src"), coalesce(col("nxt"), term).as("dst"))
+    val firstKept = kept.filter(col("rn") === 1)
+      .select(col("user_id"), col("session_seq"), col("event_type").as("ft"))
+    val tr2 = ss.join(firstKept, Seq("user_id", "session_seq"), "left_outer")
+      .select(lit("START").as("src"), coalesce(col("ft"), term).as("dst"))
+    val cnts = tr1.union(tr2).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(Scale.materialize) // ≤ alphabet² rows; corpus never rescanned
+    val tot = cnts.groupBy(col("src")).agg(sum(col("cnt")).as("tot"))
+    val pq = cnts.join(tot, "src")
+      .select(col("src"), col("dst"),
+        expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * $MkScale AS DECIMAL(38,0)) div tot")
+          .as("p"))
+    val graphNames = "_full" +: MkChannels
+    val graphs = graphNames.toDF("g")
+    val gp0 = graphs.crossJoin(pq) // bounded × bounded (≤ 5 × alphabet²)
+      .filter(col("g") === "_full" || col("src") =!= col("g"))
+      .select(col("g"), col("src"), col("dst"), col("p"))
+    val gpd = MkChannels.map(c => (c, c, "NULL", MkScale)).toDF("g", "src", "dst", "p")
+    val gpa = graphNames.flatMap(g =>
+      Seq((g, "CONV", "CONV", MkScale), (g, "NULL", "NULL", MkScale)))
+      .toDF("g", "src", "dst", "p")
+    val gp = gp0.union(gpd).union(gpa)
+      .withColumnRenamed("g", "g2").transform(Scale.materialize)
+    var m = graphNames.map(g => (g, "START", MkScale)).toDF("g", "st", "m")
+    for (_ <- 1 to MkSteps) {
+      m = m.join(gp, col("g") === col("g2") && col("st") === col("src"))
+        .groupBy(col("g"), col("dst"))
+        .agg(sum(expr(s"m * p div $MkScale")).as("m"))
+        .select(col("g"), col("dst").as("st"), col("m"))
+        .transform(Scale.materialize)
+    }
+    val convQ = m.groupBy(col("g"))
+      .agg(coalesce(max(when(col("st") === "CONV", col("m"))), lit(0L)).as("conv_q"))
+    val base = convQ.filter(col("g") === "_full")
+      .select(col("conv_q").as("conv_full"))
+    val re = convQ.filter(col("g") =!= "_full")
+      .select(col("g").as("channel"), col("conv_q"))
+      .crossJoin(broadcast(base)) // 1-row scalar
+      .withColumn("removal_ppm",
+        expr(s"CASE WHEN conv_full > 0 THEN greatest(conv_full - conv_q, 0) " +
+          s"* 1000000 div conv_full ELSE CAST(0 AS BIGINT) END"))
+    val reTot = re.agg(sum(col("removal_ppm")).as("s_re"))
+    re.crossJoin(broadcast(reTot)) // 1-row scalar
+      .select(col("channel"),
+        expr("conv_full div 1000").as("conv_ppm"),
+        expr("conv_q div 1000").as("drop_conv_ppm"),
+        col("removal_ppm"),
+        expr("CASE WHEN s_re > 0 THEN removal_ppm * 1000000 div s_re " +
+          "ELSE CAST(0 AS BIGINT) END").as("attribution_ppm"))
+  }
+
+  private val markovOracleSql: String = {
+    val graphVals = ("_full" +: MkChannels).map(g => s"('$g')").mkString(", ")
+    val steps = (1 to MkSteps).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT g2 AS g, dst AS st, CAST(sum(m * p // $MkScale) AS BIGINT) AS m
+         |  FROM m${k - 1} JOIN gp ON gp.g2 = m${k - 1}.g AND gp.src = m${k - 1}.st
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS MATERIALIZED (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+       |  FROM flagged),
+       |fpr AS (SELECT user_id, session_seq, ts, event_id, row_number() OVER (
+       |    PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS prn
+       |  FROM sess WHERE event_type = '$MkConv'),
+       |fp AS (SELECT user_id, session_seq, ts AS pts, event_id AS peid
+       |  FROM fpr WHERE prn = 1),
+       |kept AS (SELECT e.user_id, e.session_seq, e.ts, e.event_id, e.event_type
+       |  FROM sess e LEFT JOIN fp f USING (user_id, session_seq)
+       |  WHERE e.event_type <> '$MkConv'
+       |    AND (f.peid IS NULL OR (e.ts, e.event_id) < (f.pts, f.peid))),
+       |kt AS (SELECT user_id, session_seq, event_type,
+       |    lead(event_type) OVER w2 AS nxt, row_number() OVER w2 AS rn
+       |  FROM kept
+       |  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)),
+       |ss AS (SELECT user_id, session_seq,
+       |    max(CASE WHEN event_type = '$MkConv' THEN 1 ELSE 0 END) AS has_p
+       |  FROM sess GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT k.event_type AS src,
+       |    coalesce(k.nxt, CASE WHEN s.has_p = 1 THEN 'CONV' ELSE 'NULL' END) AS dst
+       |  FROM kt k JOIN ss s USING (user_id, session_seq)
+       |  UNION ALL
+       |  SELECT 'START' AS src,
+       |    coalesce(f.ft, CASE WHEN s.has_p = 1 THEN 'CONV' ELSE 'NULL' END) AS dst
+       |  FROM ss s LEFT JOIN (SELECT user_id, session_seq, event_type AS ft
+       |    FROM kt WHERE rn = 1) f USING (user_id, session_seq)),
+       |cnts AS (SELECT src, dst, count(*) AS cnt FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT src, sum(cnt) AS tot FROM cnts GROUP BY 1),
+       |pq AS (SELECT src, dst,
+       |    CAST((CAST(cnt AS HUGEINT) * $MkScale) // CAST(tot AS HUGEINT) AS BIGINT) AS p
+       |  FROM cnts JOIN tot USING (src)),
+       |graphs(g2) AS (VALUES $graphVals),
+       |gp AS MATERIALIZED (
+       |  SELECT g2, src, dst, p FROM graphs, pq WHERE g2 = '_full' OR src <> g2
+       |  UNION ALL
+       |  SELECT g2, g2 AS src, 'NULL' AS dst, CAST($MkScale AS BIGINT) AS p
+       |    FROM graphs WHERE g2 <> '_full'
+       |  UNION ALL
+       |  SELECT g2, s AS src, s AS dst, CAST($MkScale AS BIGINT) AS p
+       |    FROM graphs, (VALUES ('CONV'), ('NULL')) t(s)),
+       |m0 AS (SELECT g2 AS g, 'START' AS st, CAST($MkScale AS BIGINT) AS m FROM graphs),
+       |$steps,
+       |conv AS (SELECT g, coalesce(max(CASE WHEN st = 'CONV' THEN m END), 0) AS conv_q
+       |  FROM m$MkSteps GROUP BY 1),
+       |base AS (SELECT conv_q AS conv_full FROM conv WHERE g = '_full'),
+       |re AS (SELECT g AS channel, conv_q, conv_full,
+       |    CASE WHEN conv_full > 0
+       |      THEN greatest(conv_full - conv_q, 0) * 1000000 // conv_full
+       |      ELSE CAST(0 AS BIGINT) END AS removal_ppm
+       |  FROM conv, base WHERE g <> '_full'),
+       |ret AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS s_re FROM re)
+       |SELECT channel, conv_full // 1000 AS conv_ppm, conv_q // 1000 AS drop_conv_ppm,
+       |  removal_ppm,
+       |  CASE WHEN s_re > 0 THEN removal_ppm * 1000000 // s_re
+       |    ELSE CAST(0 AS BIGINT) END AS attribution_ppm
+       |FROM re, ret""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> eventsAbTest,
     "text_length_ks" -> textLengthKs,
+    "events_attribution_markov" -> eventsAttributionMarkov,
   )
 
   val oracles: Map[String, String] = Map(
     "events_ab_test" -> abOracleSql,
     "text_length_ks" -> ksOracleSql,
+    "events_attribution_markov" -> markovOracleSql,
   )
 }

@@ -174,9 +174,216 @@ object Search {
        |SELECT CAST(rnk AS INT) AS rnk, pair, cnt FROM rk
        |WHERE rnk <= $BpeTopPairs""".stripMargin
 
+  /** Number of BPE merge rounds `text_bpe_train` runs. */
+  val BpeMerges = 10
+
+  /** Space-delimited symbol string for a word: " c h a r s " — sentinel
+    * spaces on both ends so a merge pattern " a b " can only match at a
+    * symbol boundary (never inside a multi-char symbol).
+    */
+  private def charSeq(word: org.apache.spark.sql.Column) =
+    concat(regexp_replace(word, "(.)", " $1"), lit(" "))
+
+  /** Apply one BPE merge to a symbol string: replace every non-overlapping
+    * " a b " with " ab ". A single left-to-right `replace` consumes the
+    * trailing space of each match, so an occurrence immediately following a
+    * replaced one loses its leading space and survives; the second pass
+    * catches exactly those (remaining occurrences are non-adjacent after
+    * pass one), making the composition the full simultaneous
+    * non-overlapping merge — proven against a token-list merge in
+    * SearchSpec. Plain `replace` (not regexp), so symbols never need
+    * escaping, and both engines share Java/DuckDB's identical left-to-right
+    * non-overlap semantics.
+    */
+  private def mergeOnce(seq: org.apache.spark.sql.Column, pair: String) = {
+    val from = lit(" " + pair + " ")
+    val to = lit(" " + pair.replace(" ", "") + " ")
+    call_function("replace", call_function("replace", seq, from, to), from, to)
+  }
+
+  /** Full BPE tokenizer training: [[BpeMerges]] merge rounds over the
+    * frequency-weighted vocabulary frame — the corpus-scale formulation
+    * (Sennrich et al. 2016 §3.2): the corpus is scanned ONCE into
+    * (word, count); every round after that touches only the vocabulary
+    * frame, whose symbol strings shrink as merges apply. Per round: pair
+    * counts collapse to the pair alphabet map-side, the argmax is a
+    * TakeOrdered limit(1) (a bounded 1-row collect, the literal-model
+    * pattern), and the chosen merge applies as a narrow string map with the
+    * frame re-materialized to keep lineage flat (the Graph.scala superstep
+    * discipline). The oracle is fully independent: it restates the whole
+    * loop as [[BpeMerges]] unrolled CTE rounds and recomputes each argmax
+    * itself — no trained literals cross over.
+    */
+  /** Trained-tokenizer state: the vocabulary frame after all merges
+    * (word, wc, seq) plus the merge list — cached per sf dir so
+    * `text_bpe_train` and `text_bpe_tokenize` share one training run.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Seq[(Int, String, Long)])]()
+
+  private def bpeTrained(s: SparkSession, d: String): (DataFrame, Seq[(Int, String, Long)]) =
+    bpeCache.computeIfAbsent(d, _ => {
+      var vocab = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .select(col("word"), col("wc"), charSeq(col("word")).as("seq"))
+        .transform(Scale.materialize)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= BpeMerges && !done) {
+        val best = vocab
+          .select(col("wc"), split(trim(col("seq")), " ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("wc"), col("sy"),
+            explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+          .select(concat(element_at(col("sy"), col("i")), lit(" "),
+            element_at(col("sy"), col("i") + 1)).as("pair"), col("wc"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val pair = best(0).getString(0)
+          merges += ((r, pair, best(0).getLong(1)))
+          vocab = vocab.withColumn("seq", mergeOnce(col("seq"), pair))
+            .transform(Scale.materialize)
+          r += 1
+        }
+      }
+      (vocab, merges.toSeq)
+    })
+
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrained(s, d)._2.toDF("rnk", "pair", "cnt")
+  }
+
+  /** Tokenize the corpus under the trained merges and report per-source
+    * fertility — the statistic that decides whether a tokenizer suits a
+    * corpus (tokens per word, chars per token). The corpus is tokenized
+    * through the VOCABULARY frame (each word type segmented once, the
+    * trained seq is already its segmentation), so the apply step is one
+    * word-keyed join + a per-source agg; no per-document re-segmentation.
+    * All-integer outputs (`*1e6 div`) keep it hash-exact; the oracle
+    * retrains from scratch in SQL (the unrolled rounds) and re-applies —
+    * nothing trained crosses over.
+    */
+  def textBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val wt = bpeTrained(s, d)._1
+      .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .join(wt, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("fertility_ppm", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_tok_ppm", expr("n_chars * 1000000 div n_tokens"))
+  }
+
+  /** The shared training prefix: vocabulary + [[BpeMerges]] unrolled merge
+    * rounds, ending at `u{BpeMerges}` (word, wc, seq) — both BPE oracles
+    * append their own final SELECT to this.
+    */
+  private val bpeRoundsCte: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT word, wc, seq, string_split(trim(seq), ' ') AS sy FROM u${r - 1}),
+         |p$r AS (SELECT sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT)+1] AS pair, wc
+         |  FROM s$r, unnest(range(1, len(sy))) AS t(i) WHERE len(sy) >= 2),
+         |c$r AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p$r GROUP BY 1),
+         |b$r AS (SELECT pair, cnt FROM c$r ORDER BY cnt DESC, pair LIMIT 1),
+         |u$r AS (SELECT word, wc, replace(replace(seq,
+         |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+         |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq
+         |  FROM s$r, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |  FROM documents),
+       |v AS (SELECT word, count(*) AS wc FROM w GROUP BY 1),
+       |u0 AS (SELECT word, wc, regexp_replace(word, '(.)', ' \\1', 'g') || ' ' AS seq FROM v),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainOracleSql: String = {
+    val sel = (1 to BpeMerges).map { r =>
+      s"SELECT CAST($r AS INT) AS rnk, pair, cnt FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeRoundsCte
+       |$sel""".stripMargin
+  }
+
+  private val bpeTokenizeOracleSql: String =
+    s"""$bpeRoundsCte,
+       |wt AS (SELECT word, len(string_split(trim(seq), ' ')) AS n_tok FROM u$BpeMerges),
+       |dw AS (SELECT source, unnest(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |  FROM documents)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       |  (CAST(sum(n_tok) AS BIGINT) * 1000000) // count(*) AS fertility_ppm,
+       |  (CAST(sum(length(word)) AS BIGINT) * 1000000)
+       |    // CAST(sum(n_tok) AS BIGINT) AS chars_per_tok_ppm
+       |FROM dw JOIN wt USING (word) GROUP BY 1""".stripMargin
+
+  /** Word n-gram order for the novelty statistic. */
+  val NovN = 3
+
+  /** First-occurrence n-gram novelty per source — the curation statistic
+    * behind "is this source adding new content or re-mixing what the
+    * corpus already has?" (the n-gram-overlap view of dedup, aggregated to
+    * a per-source report instead of per-pair). A doc's distinct word
+    * [[NovN]]-grams are novel iff their corpus-wide first occurrence
+    * (min doc_id) is this doc. Three linear shuffles — distinct on
+    * (doc, gram), min-agg on gram, join back on gram — all SF-scaled keys,
+    * report bounded at |sources| rows; novelty_ppm stays integer
+    * (`*1e6 div`) so the oracle is hash-exact.
+    */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= NovN)
+    val grams = toks
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(col("toks")) - (NovN - 1))).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty_ppm", expr("novel_grams * 1000000 div n_grams"))
+  }
+
+  private val noveltyOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g0 AS (SELECT DISTINCT doc_id, source,
+       |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+       |      || ' ' || toks[CAST(i AS INT)+2] AS g
+       |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+       |  WHERE len(toks) >= $NovN),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM g0 GROUP BY 1)
+       |SELECT source, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       |  (CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000) // count(*) AS novelty_ppm
+       |FROM g0 JOIN f USING (g) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> textBm25,
     "text_bpe_pairs" -> textBpePairs,
+    "text_bpe_train" -> textBpeTrain,
+    "text_bpe_tokenize" -> textBpeTokenize,
+    "text_ngram_novelty" -> textNgramNovelty,
   )
 
   /** bm25's oracle follows the generated-after-training contract (see
@@ -184,7 +391,10 @@ object Search {
     * in this JVM, so the SQL restates the exact literals the plan used.
     */
   def oracles: Map[String, String] = {
-    val base = Map("text_bpe_pairs" -> bpeOracleSql)
+    val base = Map("text_bpe_pairs" -> bpeOracleSql,
+      "text_bpe_train" -> bpeTrainOracleSql,
+      "text_bpe_tokenize" -> bpeTokenizeOracleSql,
+      "text_ngram_novelty" -> noveltyOracleSql)
     if (bm25Cache.size == 1)
       base + ("text_bm25" -> bm25OracleSql(bm25Cache.values.iterator.next()))
     else base

@@ -1316,8 +1316,73 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
   }
 
+  /** int8 scalar quantization (the SQ8 storage path of a large vector
+    * store — 4 bytes/dim → 1, the standard FAISS `SQ8` codec) with a
+    * per-label L1 reconstruction-error report: per-dim [min,max] ranges
+    * (one map-side-partial agg to a ≤dims-row frame, collected as the
+    * bounded literal model), code = floor((x−mn)·255/(mx−mn)) clamped to
+    * 255 (x ≥ mn by construction so no lower clamp; the upper guard
+    * absorbs the 1-ulp overshoot at x = mx), dequant at the cell midpoint.
+    * The per-vector error is a SEQUENTIAL left fold over dims (identical
+    * association in both engines — the list_reduce(list_prepend) pattern),
+    * floored to integer BEFORE the per-label agg so shuffle order can
+    * never change a bit. The oracle recomputes the ranges itself in SQL —
+    * nothing trained crosses over. Scale: one stats pass + one scoring
+    * pass, both shuffle-free except the dims-row and labels-row aggs.
+    */
+  def embedSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val dims = emb.select(size(col("v"))).head.getInt(0)
+    val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect() // ≤ dims rows — the bounded literal model
+    val mnA = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val err = aggregate(sequence(lit(1), lit(dims)), lit(0.0), (acc, i) => {
+      val x = element_at(col("v"), i).cast("double")
+      val mn = element_at(mnA, i)
+      val mx = element_at(mxA, i)
+      val code = least(lit(255.0), floor((x - mn) * lit(255.0) / (mx - mn)))
+      val dq = mn + (code + lit(0.5)) * (mx - mn) / lit(255.0)
+      acc + when(mx > mn, abs(x - dq)).otherwise(lit(0.0))
+    })
+    emb.select(col("label"), floor(err * lit(1e9)).cast("long").as("err_e9"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_e9")).as("sum_err"),
+        max(col("err_e9")).as("max_err_e9"))
+      .select(col("label"), col("n_vecs"),
+        expr("sum_err div n_vecs").as("avg_err_e9"), col("max_err_e9"))
+  }
+
+  private val sq8OracleSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+      |st AS (SELECT CAST(i AS INT) AS i,
+      |    min(CAST(v[CAST(i AS INT)] AS DOUBLE)) AS mn,
+      |    max(CAST(v[CAST(i AS INT)] AS DOUBLE)) AS mx
+      |  FROM e, unnest(range(1, len(v)+1)) t(i) GROUP BY 1),
+      |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      |er AS (SELECT label,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1), i ->
+      |      CASE WHEN mxs[CAST(i AS INT)] > mns[CAST(i AS INT)] THEN
+      |        abs(CAST(v[CAST(i AS INT)] AS DOUBLE) - (mns[CAST(i AS INT)]
+      |          + (least(255.0, floor((CAST(v[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)])
+      |              * 255.0 / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]))) + 0.5)
+      |            * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) / 255.0))
+      |      ELSE 0.0 END)), (acc, x) -> acc + x) AS sse
+      |  FROM e, mm),
+      |eq AS (SELECT label, CAST(floor(sse * 1e9) AS BIGINT) AS err_e9 FROM er)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(err_e9) AS BIGINT) // count(*) AS avg_err_e9,
+      |  max(err_e9) AS max_err_e9
+      |FROM eq GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semdedup" -> dedupSemdedup,
+    "embed_sq8" -> embedSq8,
     "knn_brute_cosine" -> knnBrute,
     "knn_matryoshka" -> knnMatryoshka,
     "knn_range" -> knnRange,
@@ -1794,6 +1859,7 @@ object Similarity {
       "knn_filtered" -> filteredOracleSql,
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),
       "embed_kcenter" -> kcenterOracleSql,
+      "embed_sq8" -> sq8OracleSql,
     )
     // generated-oracle pattern (see Scaladoc above): emit only when exactly
     // one sf dir trained/tuned in this JVM, so the SQL always restates the

@@ -88,4 +88,66 @@ class ExperimentsSpec extends AnyFunSuite {
       assert(ks >= 0.0 && ks <= 1.0)
     }
   }
+
+  test("markov attribution matches a driver-side model built from raw events") {
+    val out = Experiments.eventsAttributionMarkov(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // independent path construction: sessionize → truncate at first
+    // purchase → START/terminal-wrapped transitions
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    def bump(a: String, b: String): Unit =
+      counts((a, b)) = counts.getOrElse((a, b), 0L) + 1L
+    for ((_, rows) <- evs.groupBy(_._1)) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)])
+      var prev = Long.MinValue
+      for ((_, ts, eid, et) <- ordered) {
+        if (prev != Long.MinValue && ts - prev > 1800)
+          sessions += scala.collection.mutable.ArrayBuffer.empty
+        sessions.last += ((ts, eid, et))
+        prev = ts
+      }
+      for (sess <- sessions if sess.nonEmpty) {
+        val conv = sess.exists(_._3 == Experiments.MkConv)
+        val kept = sess.takeWhile(_._3 != Experiments.MkConv)
+          .map(_._3).toList
+        val path = "START" :: kept ::: List(if (conv) "CONV" else "NULL")
+        path.sliding(2).foreach { case Seq(a, b) => bump(a, b) }
+      }
+    }
+    // quantized probabilities, 5 graphs, MkSteps fixed-point propagation
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def conv(drop: Option[String]): Long = {
+      def p(a: String, b: String): Long = drop match {
+        case Some(c) if a == c => if (b == "NULL") Experiments.MkScale else 0L
+        case _ =>
+          if ((a == "CONV" || a == "NULL") && a == b) Experiments.MkScale
+          else counts.get((a, b)).map(c =>
+            (BigInt(c) * Experiments.MkScale / totals(a)).toLong).getOrElse(0L)
+      }
+      val states = ("START" :: "CONV" :: "NULL" :: Experiments.MkChannels.toList).distinct
+      var m = states.map(s => s -> (if (s == "START") Experiments.MkScale else 0L)).toMap
+      for (_ <- 1 to Experiments.MkSteps)
+        m = states.map(dst => dst -> states.map(src =>
+          m(src) * p(src, dst) / Experiments.MkScale).sum).toMap
+      m("CONV")
+    }
+    val full = conv(None)
+    val re = Experiments.MkChannels.map(c =>
+      c -> math.max(full - conv(Some(c)), 0L) * 1000000L / full).toMap
+    val sre = re.values.sum
+    for (c <- Experiments.MkChannels) {
+      val expect = (full / 1000L, conv(Some(c)) / 1000L, re(c),
+        if (sre > 0) re(c) * 1000000L / sre else 0L)
+      assert(out(c) == expect, s"channel $c")
+    }
+    // removal effects must be positive and ordered sanely
+    assert(re.values.forall(_ >= 0))
+  }
 }

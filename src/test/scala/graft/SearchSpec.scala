@@ -63,6 +63,126 @@ class SearchSpec extends AnyFunSuite {
     assert(out.sortBy(_._1) == expect)
   }
 
+  /** One consuming-replace pass at token level: LTR scan; a match at j
+    * merges (j, j+1) and resumes at j+3 — the occurrence at j+2 lost its
+    * leading boundary space to the match, exactly what a string
+    * `replace(" a b ", " ab ")` does. Two passes = the operator's stated
+    * merge semantics (pinned ≡ the real string replace in the property
+    * test below).
+    */
+  private def mergePass(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var j = 0
+    while (j < syms.size) {
+      if (j + 1 < syms.size && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 3
+        if (j - 1 < syms.size) out += syms(j - 1)
+      } else { out += syms(j); j += 1 }
+    }
+    out.toList
+  }
+
+  /** Reference BPE trainer: weighted adjacent-pair counts over token
+    * lists, (cnt desc, pair asc) argmax, two-pass consuming merge.
+    */
+  private def bruteBpe(vocab0: Map[List[String], Long], k: Int): Seq[(Int, String, Long)] = {
+    var vocab = vocab0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to k) {
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      for ((syms, wc) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.size >= 2) {
+        val p = s"$a $b"
+        counts(p) = counts.getOrElse(p, 0L) + wc
+      }
+      if (counts.nonEmpty) {
+        val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val Array(a, b) = pair.split(" ")
+        out += ((r, pair, cnt))
+        vocab = vocab.toSeq
+          .map { case (syms, wc) => mergePass(mergePass(syms, a, b), a, b) -> wc }
+          .groupBy(_._1).map { case (s2, g) => s2 -> g.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("token-level two-pass merge ≡ the string two-pass replace (incl. identical-symbol runs)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = Seq("a", "b", "ab", "x")
+    for (_ <- 1 to 500) {
+      val syms = List.fill(1 + rnd.nextInt(9))(alpha(rnd.nextInt(alpha.size)))
+      val (a, b) = (alpha(rnd.nextInt(2)), alpha(rnd.nextInt(2)))
+      val seq = syms.mkString(" ", " ", " ")
+      val (from, to) = (s" $a $b ", s" ${a + b} ")
+      val viaString = seq.replace(from, to).replace(from, to)
+      val viaTokens = mergePass(mergePass(syms, a, b), a, b).mkString(" ", " ", " ")
+      assert(viaString == viaTokens, s"syms=$syms pair=($a,$b)")
+    }
+  }
+
+  test("text_bpe_train matches driver-side brute-force BPE merge training") {
+    val out = Search.textBpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val vocab = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.toList.map(_.toString) -> c }
+    assert(out == bruteBpe(vocab, Search.BpeMerges))
+  }
+
+  test("text_bpe_tokenize matches brute-force trained segmentation per source") {
+    val out = Search.textBpeTokenize(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val vocab = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.toList.map(_.toString) -> c }
+    val merges = bruteBpe(vocab, Search.BpeMerges)
+    val nTok = vocab.keys.map { syms0 =>
+      var syms = syms0
+      for ((_, pair, _) <- merges) {
+        val Array(a, b) = pair.split(" ")
+        syms = mergePass(mergePass(syms, a, b), a, b)
+      }
+      syms0.mkString -> syms.size.toLong
+    }.toMap
+    val srcOf = {
+      import org.apache.spark.sql.functions.col
+      Tables.documents(spark, sf).select(col("doc_id"), col("source")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val expect = docs.flatMap { case (id, toks) => toks.map(w => (srcOf(id), w)) }
+      .groupBy(_._1).map { case (src, ws) =>
+        val nw = ws.size.toLong
+        val nt = ws.map(w => nTok(w._2)).sum
+        val nc = ws.map(_._2.length.toLong).sum
+        src -> ((nw, nt, nc, nt * 1000000L / nw, nc * 1000000L / nt))
+      }
+    for ((src, e) <- expect) assert(out(src) == e, s"source $src")
+  }
+
+  test("text_ngram_novelty matches driver-side first-occurrence counting") {
+    val out = Search.textNgramNovelty(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val srcOf = {
+      import org.apache.spark.sql.functions.col
+      Tables.documents(spark, sf).select(col("doc_id"), col("source")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val perDoc = docs.filter(_._2.length >= Search.NovN).map { case (id, toks) =>
+      id -> toks.sliding(Search.NovN).map(_.mkString(" ")).toSet
+    }
+    val firstDoc = new scala.collection.mutable.HashMap[String, Long]()
+    for ((id, gs) <- perDoc; g <- gs)
+      firstDoc(g) = math.min(firstDoc.getOrElse(g, Long.MaxValue), id)
+    val expect = perDoc.flatMap { case (id, gs) => gs.map(g => (srcOf(id), id, g)) }
+      .groupBy(_._1).map { case (src, rows) =>
+        val n = rows.size.toLong
+        val nov = rows.count { case (_, id, g) => firstDoc(g) == id }.toLong
+        (src, n, nov, nov * 1000000L / n)
+      }.toSeq
+    assert(out.sortBy(_._1) == expect.sortBy(_._1))
+  }
+
   test("bm25 query terms all resolve to positive idf (terms exist in corpus)") {
     // guards the benchmark-query choice: a zero-df term would make the
     // literal-idf stats degenerate (ln(2N+1)-ish) and the query vacuous

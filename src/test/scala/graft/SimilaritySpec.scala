@@ -259,6 +259,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.filter(col("keep") === 0).count() > 0)
   }
 
+  test("embed_sq8 matches a driver-side SQ8 codec and errors sit under the cell bound") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.embedSq8(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val dims = vecs.head._2.length
+    val mns = Array.tabulate(dims)(i => vecs.map(_._2(i).toDouble).min)
+    val mxs = Array.tabulate(dims)(i => vecs.map(_._2(i).toDouble).max)
+    def err(v: Array[Float]): Long = {
+      var acc = 0.0
+      for (i <- 0 until dims) {
+        val x = v(i).toDouble; val mn = mns(i); val mx = mxs(i)
+        if (mx > mn) {
+          val code = math.min(255.0, math.floor((x - mn) * 255.0 / (mx - mn)))
+          val dq = mn + (code + 0.5) * (mx - mn) / 255.0
+          acc += math.abs(x - dq)
+        }
+      }
+      math.floor(acc * 1e9).toLong
+    }
+    val expect = vecs.groupBy(_._1).map { case (l, vs) =>
+      val es = vs.map(v => err(v._2))
+      l -> ((vs.length.toLong, es.sum / vs.length, es.max))
+    }
+    assert(out == expect)
+    // every per-vector error ≤ dims · (half cell width + float cast slack)
+    val worstCell = (0 until dims).map(i => (mxs(i) - mns(i)) / 255.0 / 2.0).max
+    for ((_, (_, _, mx)) <- out)
+      assert(mx <= math.ceil(dims * worstCell * 1.01 * 1e9).toLong)
+  }
+
   test("matryoshka audit: full-dim recall is exactly 1 and mean recall is monotone in m") {
     val rows = Similarity.knnMatryoshka(spark, sf).collect()
     val byM = rows.groupBy(_.getAs[Int]("dim_budget")).view
