@@ -361,15 +361,161 @@ object Experiments {
        |FROM re, ret""".stripMargin
   }
 
+  /** Cadence thresholds for the bot triage (seconds; calibrated to the
+    * corpus's per-user median-gap spread — 5th..95th pct ≈ 20k..34k).
+    */
+  val BotMedGap = 24000L
+  val BotMinGap = 60L
+  val RegMedGap = 30000L
+
+  /** Behavioral bot/automation triage — the abuse-filter stage a pipeline
+    * runs before training on behavioral data: per-user inter-arrival
+    * cadence (FLOOR-median gap = the k-th smallest with k = (n+1) div 2 —
+    * an exact integer order statistic, no interpolation to diverge on),
+    * burst floor (min gap), and error ratio, classed by literal thresholds
+    * into bot_like / rapid / regular / sporadic and rolled up per verdict.
+    *
+    * Scale: gaps are one user-keyed lag window; the median is a
+    * row_number over the same per-user partitions (k-th VALUE is
+    * well-defined even though row identity among equal gaps isn't); all
+    * joins are user-keyed (co-partitioned with the windows); the report is
+    * bounded at 4 rows. Everything is 64-bit integer (epoch seconds,
+    * `*1e6 div` ratios) ⇒ hash-exact. Users with no gaps (single event)
+    * have NULL med/min, which falls through every threshold comparison to
+    * 'sporadic' identically in both engines.
+    */
+  def eventsBotTriage(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val gaps = ev
+      .withColumn("gap",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+      .filter(col("gap").isNotNull)
+    val wG = Window.partitionBy(col("user_id")).orderBy(col("gap"))
+    val med = gaps
+      .withColumn("rn", row_number().over(wG))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("user_id"), col("gap").as("med_gap"))
+    val mins = gaps.groupBy(col("user_id")).agg(min(col("gap")).as("min_gap"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val verdict =
+      when(col("med_gap") <= BotMedGap && col("min_gap") <= BotMinGap, "bot_like")
+        .when(col("med_gap") <= BotMedGap, "rapid")
+        .when(col("med_gap") <= RegMedGap, "regular")
+        .otherwise("sporadic")
+    stats.join(med, Seq("user_id"), "left_outer")
+      .join(mins, Seq("user_id"), "left_outer")
+      .withColumn("verdict", verdict)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("med_gap")).as("sum_med"),
+        sum(col("n_err")).as("sum_err"))
+      .select(col("verdict"), col("n_users"), col("n_events"),
+        expr("sum_med div n_users").as("avg_med_gap"),
+        expr("sum_err * 1000000 div n_events").as("err_ppm"))
+  }
+
+  private val botOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+       |g0 AS (SELECT user_id, date_diff('second', lag(ts) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap FROM ev),
+       |gaps AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+       |med AS (SELECT user_id, gap AS med_gap FROM (
+       |    SELECT user_id, gap,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS cnt
+       |    FROM gaps) WHERE rn = (cnt + 1) // 2),
+       |mins AS (SELECT user_id, min(gap) AS min_gap FROM gaps GROUP BY 1),
+       |stats AS (SELECT user_id, count(*) AS n_events,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+       |  FROM ev GROUP BY 1),
+       |cls AS (SELECT s.user_id, s.n_events, s.n_err, m.med_gap,
+       |    CASE WHEN m.med_gap <= $BotMedGap AND x.min_gap <= $BotMinGap THEN 'bot_like'
+       |         WHEN m.med_gap <= $BotMedGap THEN 'rapid'
+       |         WHEN m.med_gap <= $RegMedGap THEN 'regular'
+       |         ELSE 'sporadic' END AS verdict
+       |  FROM stats s LEFT JOIN med m USING (user_id)
+       |  LEFT JOIN mins x USING (user_id))
+       |SELECT verdict, count(*) AS n_users,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(sum(med_gap) AS BIGINT) // count(*) AS avg_med_gap,
+       |  (CAST(sum(n_err) AS BIGINT) * 1000000) // CAST(sum(n_events) AS BIGINT) AS err_ppm
+       |FROM cls GROUP BY 1""".stripMargin
+
+  /** χ² critical value at 5% for df = 167 (168 week-hour cells), in ppm. */
+  val SeasonChi2CritPpm = 198154000L
+
+  /** Day-of-week × hour-of-day seasonality profile per event type with a
+    * chi-square uniformity test — "does this event type have a weekly
+    * rhythm?" (the drift/seasonality dashboard next to text_length_ks's
+    * KS). The χ² against the uniform 168-cell expectation collapses
+    * algebraically to 168·Σo²/n − n (zero cells need no materialization —
+    * they contribute only through n), computed in DECIMAL(38,0)/HUGEINT so
+    * Σo²·168e6 can't overflow at any SF, floored to ppm — integer-exact
+    * cross-engine. Counts collapse to ≤ types·168 cells map-side; the
+    * peak cell comes from a row_number over that bounded frame with a
+    * (cnt DESC, dow, hr) total order. dow is aligned to DuckDB's 0=Sunday
+    * (Spark's dayofweek() is 1-based).
+    */
+  def eventsSeasonality(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cells.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("sq"))
+      .withColumn("chi2_ppm",
+        expr("CAST((sq * 168000000) div n_events AS BIGINT) - n_events * 1000000"))
+    val peak = cells
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("dow"), col("hr"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("peak_dow"),
+        col("hr").as("peak_hr"), col("cnt").as("peak_cnt"))
+    stats.join(peak, "event_type")
+      .select(col("event_type"), col("n_events"), col("chi2_ppm"),
+        (col("chi2_ppm") > SeasonChi2CritPpm).as("nonuniform"),
+        col("peak_dow"), col("peak_hr"), col("peak_cnt"))
+  }
+
+  private val seasonOracleSql: String =
+    s"""WITH cells AS (SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+       |    CAST(hour(ts) AS INT) AS hr, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |stats AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+       |    sum(CAST(cnt AS HUGEINT) * cnt) AS sq
+       |  FROM cells GROUP BY 1),
+       |chi AS (SELECT event_type, n_events,
+       |    CAST((sq * 168000000) // n_events AS BIGINT) - n_events * 1000000 AS chi2_ppm
+       |  FROM stats),
+       |pk AS (SELECT event_type, dow AS peak_dow, hr AS peak_hr, cnt AS peak_cnt
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY cnt DESC, dow, hr) AS rn FROM cells) WHERE rn = 1)
+       |SELECT event_type, n_events, chi2_ppm,
+       |  chi2_ppm > $SeasonChi2CritPpm AS nonuniform,
+       |  peak_dow, peak_hr, peak_cnt
+       |FROM chi JOIN pk USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> eventsAbTest,
     "text_length_ks" -> textLengthKs,
     "events_attribution_markov" -> eventsAttributionMarkov,
+    "events_bot_triage" -> eventsBotTriage,
+    "events_seasonality" -> eventsSeasonality,
   )
 
   val oracles: Map[String, String] = Map(
     "events_ab_test" -> abOracleSql,
     "text_length_ks" -> ksOracleSql,
     "events_attribution_markov" -> markovOracleSql,
+    "events_bot_triage" -> botOracleSql,
+    "events_seasonality" -> seasonOracleSql,
   )
 }

@@ -162,9 +162,105 @@ object Graph {
         col("community_size"))
   }
 
+  val TriTopK = 20
+
+  /** Triangle counting on the repeat-co-purchase graph (the cohesion
+    * statistic behind clustering-coefficient dashboards): DEGENERACY-
+    * ORIENTED wedge closure (Schank–Wagner / Suri–Vassilvitskii — the
+    * MapReduce-standard formulation): each undirected edge is oriented
+    * from the lower to the higher endpoint in the (degree, id) total
+    * order, wedges enumerate pairs of out-edges per source, and the
+    * closing edge — which this orientation makes UNIQUE and forward —
+    * closes via one equi-join (no OR-condition join to degrade into a
+    * nested loop). Out-degrees under this orientation are O(√m), so wedge
+    * work is Σ outdeg² ≪ Σ deg² on skewed graphs — the property that
+    * keeps the plan alive when one hub part appears in every basket.
+    * Graph = the LpMinWeight repeat-co-purchase graph with the wholesale
+    * guard (the part_communities edge set: the unit-weight graph is
+    * near-complete and its triangle count is meaningless). Each triangle
+    * is counted once as an ordered (a,b,c); per-part participation
+    * explodes it to 3 rows; global total rides along from a 1-row
+    * broadcast. All integer; top-k via the bucketed two-phase operator.
+    */
+  def partTriangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(Scale.materialize)
+    val bs = basketGuarded(li)
+    val und = bs.as("a").join(bs.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("ew"))
+      .filter(col("ew") >= LpMinWeight)
+      .select(col("u"), col("v"))
+      .transform(Scale.materialize)
+    val deg = und.select(col("u").as("p")).union(und.select(col("v").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+    val lt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val fwd = und
+      .join(deg.select(col("p").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("dg").as("dv")), "v")
+      .select(when(lt, col("u")).otherwise(col("v")).as("src"),
+        when(lt, col("v")).otherwise(col("u")).as("dst"),
+        when(lt, col("dv")).otherwise(col("du")).as("ddg"))
+      .transform(Scale.materialize)
+    val wedges = fwd.as("x").join(fwd.as("y"),
+        col("x.src") === col("y.src") &&
+          struct(col("x.ddg"), col("x.dst")) < struct(col("y.ddg"), col("y.dst")))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(fwd.as("z"),
+        col("b") === col("z.src") && col("c") === col("z.dst"))
+      .select(col("a"), col("b"), col("c"))
+      .transform(Scale.materialize)
+    val per = tri.select(col("a").as("p"))
+      .union(tri.select(col("b").as("p")))
+      .union(tri.select(col("c").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_tri"))
+    val total = tri.agg(count(lit(1)).as("total_tri"))
+    Scale.topKPerGroup(per, Seq.empty, Seq(col("n_tri").desc, col("p")),
+        k = TriTopK, saltSrc = col("p"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("rnk"), col("p").as("p_partkey"), col("n_tri"), col("total_tri"))
+  }
+
+  private val trianglesOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |bs AS (SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS c FROM li)
+       |  WHERE c <= ${Analytics.MaxBasket}),
+       |und AS (SELECT u, v FROM (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS ew
+       |  FROM bs a JOIN bs b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2) w0 WHERE ew >= $LpMinWeight),
+       |deg AS (SELECT p, count(*) AS dg FROM (
+       |  SELECT u AS p FROM und UNION ALL SELECT v AS p FROM und) GROUP BY 1),
+       |fwd AS (SELECT
+       |    CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+       |    CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+       |    CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS ddg
+       |  FROM und
+       |  JOIN (SELECT p AS u, dg AS du FROM deg) USING (u)
+       |  JOIN (SELECT p AS v, dg AS dv FROM deg) USING (v)),
+       |tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+       |  FROM fwd x JOIN fwd y
+       |    ON x.src = y.src AND (x.ddg, x.dst) < (y.ddg, y.dst)
+       |  JOIN fwd z ON z.src = x.dst AND z.dst = y.dst),
+       |per AS (SELECT p, count(*) AS n_tri FROM (
+       |  SELECT a AS p FROM tri UNION ALL SELECT b AS p FROM tri
+       |  UNION ALL SELECT c AS p FROM tri) GROUP BY 1),
+       |tt AS (SELECT count(*) AS total_tri FROM tri),
+       |rk AS (SELECT p, n_tri,
+       |    row_number() OVER (ORDER BY n_tri DESC, p) AS rnk FROM per)
+       |SELECT CAST(rnk AS INT) AS rnk, p AS p_partkey, n_tri, total_tri
+       |FROM rk, tt WHERE rnk <= $TriTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "part_pagerank" -> partPagerank,
     "part_communities" -> partCommunities,
+    "part_triangles" -> partTriangles,
   )
 
   /** The identical fixed-point iterations unrolled as chained CTEs — every
@@ -241,6 +337,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "part_pagerank" -> pagerankOracle,
     "part_communities" -> communitiesOracle,
+    "part_triangles" -> trianglesOracle,
   )
 
   /** sf1+ attestation variants: the SAME unrolled-iteration SQL with every

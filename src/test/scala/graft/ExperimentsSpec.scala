@@ -150,4 +150,68 @@ class ExperimentsSpec extends AnyFunSuite {
     // removal effects must be positive and ordered sanely
     assert(re.values.forall(_ >= 0))
   }
+
+  test("bot triage matches a driver-side cadence classification") {
+    val out = Experiments.eventsBotTriage(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    case class U(n: Long, err: Long, med: Option[Long], mn: Option[Long])
+    val users = evs.groupBy(_._1).map { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val gaps = ordered.sliding(2).collect {
+        case Array(a, b) => b._2 - a._2
+      }.toSeq
+      val med = if (gaps.isEmpty) None
+        else Some(gaps.sorted.apply(((gaps.size + 1) / 2 - 1).toInt))
+      U(rows.length.toLong, rows.count(_._4 == "error").toLong,
+        med, if (gaps.isEmpty) None else Some(gaps.min))
+    }
+    def verdict(u: U): String = (u.med, u.mn) match {
+      case (Some(m), Some(g)) if m <= Experiments.BotMedGap && g <= Experiments.BotMinGap => "bot_like"
+      case (Some(m), _) if m <= Experiments.BotMedGap => "rapid"
+      case (Some(m), _) if m <= Experiments.RegMedGap => "regular"
+      case _ => "sporadic"
+    }
+    val expect = users.groupBy(verdict).map { case (v, us) =>
+      val nu = us.size.toLong
+      val ne = us.map(_.n).sum
+      val sm = us.flatMap(_.med).sum
+      val se = us.map(_.err).sum
+      v -> ((nu, ne, sm / nu, se * 1000000L / ne))
+    }
+    assert(out == expect)
+    // every user lands in exactly one class
+    assert(out.values.map(_._1).sum == users.size.toLong)
+  }
+
+  test("seasonality chi-square matches a driver-side 168-cell recomputation") {
+    val out = Experiments.eventsSeasonality(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getInt(4), r.getInt(5), r.getLong(6))))
+      .toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- evs.groupBy(_._1)) {
+      val cells = rows.map { case (_, sec) =>
+        val z = java.time.Instant.ofEpochSecond(sec)
+          .atZone(java.time.ZoneOffset.UTC)
+        // 0 = Sunday, matching DuckDB's dayofweek
+        ((z.getDayOfWeek.getValue % 7), z.getHour)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = rows.length.toLong
+      val sq = cells.values.map(c => BigInt(c) * c).sum
+      val chi2 = ((sq * 168000000L) / n - BigInt(n) * 1000000L).toLong
+      val (pd, ph) = cells.toSeq.map { case ((dw, h), c) => (-c, dw, h) }
+        .min match { case (_, dw, h) => (dw, h) }
+      val pc = cells((pd, ph))
+      assert(out(t) == ((n, chi2, chi2 > Experiments.SeasonChi2CritPpm, pd, ph, pc)), s"type $t")
+      // χ² of a uniform sample over 168 cells is nonnegative by construction
+      assert(chi2 >= 0L)
+    }
+  }
 }

@@ -68,4 +68,38 @@ class GraphSpec extends AnyFunSuite {
     // count is scale-stable; the sf0.01 gate shows 555 communities, max 51)
     assert(sizes.size >= 10, s"collapsed to ${sizes.size} communities")
   }
+
+  test("triangle counts equal a brute-force enumeration of the weighted graph") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted.toList)
+      .filter(_.size <= graft.operators.Analytics.MaxBasket)
+    val w = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    for (b <- byOrder; i <- b.indices; j <- i + 1 until b.size) {
+      val e = (b(i), b(j)); w(e) = w.getOrElse(e, 0L) + 1L
+    }
+    // NB: Map.collect with a tuple-valued function would rebuild a Map and
+    // collapse edges by their first endpoint — filter + keys instead
+    val edges = w.filter(_._2 >= Graph.LpMinWeight).keys.toSet
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    var total = 0L
+    val per = new scala.collection.mutable.HashMap[Long, Long]()
+    for (a <- nodes; b <- adj(a) if b > a; c <- adj(a) if c > b
+         if edges.contains((math.min(b, c), math.max(b, c)))) {
+      total += 1
+      for (p <- Seq(a, b, c)) per(p) = per.getOrElse(p, 0L) + 1L
+    }
+    val expect = per.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(Graph.TriTopK).zipWithIndex
+      .map { case ((p, n), i) => (i + 1, p, n, total) }
+    val out = Graph.partTriangles(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == expect)
+    assert(total > 0, "graph has no triangles at this SF — statistic vacuous")
+  }
 }
