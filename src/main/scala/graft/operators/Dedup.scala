@@ -807,7 +807,41 @@ object Dedup {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** Blocking-quality audit for the minhash-LSH dedup — the measurement a
+    * pipeline owner needs before trusting approximate dedup at 100 TB:
+    * recall (what fraction of the TRUE ≥τ pairs does the band blocking
+    * surface as candidates?) and precision (what fraction of candidates
+    * verify?) of the (Bands × RowsPerBand) banding against the exact
+    * ngram-Jaccard ground truth. Truth = the verified dedup_ngram_jaccard
+    * pair set; candidates = the same lshCandidatePairs stage
+    * dedup_minhash_lsh blocks with. One left-semi hit join + three 1-row
+    * scalar aggregates; ratios integer (`*1e6 div`), zero-denominator
+    * guarded identically in both engines (DuckDB `// 0` errors where Spark
+    * `div` returns NULL).
+    */
+  def dedupRecallEval(s: SparkSession, d: String): DataFrame = {
+    val truth = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+      .transform(Scale.materialize)
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
+      .transform(Scale.materialize)
+    val m = minhashSignatures(postings, Bands * RowsPerBand)
+    val cand = lshCandidatePairs(m, Bands, RowsPerBand)
+      .transform(Scale.materialize)
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = hit.agg(count(lit(1)).as("n_hit"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh)) // 1-row scalars
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true " +
+          "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"),
+        expr("CASE WHEN n_cand > 0 THEN n_hit * 1000000 div n_cand " +
+          "ELSE CAST(0 AS BIGINT) END").as("precision_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall_eval" -> dedupRecallEval,
     "dedup_exact" -> dedupExact,
     "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -903,6 +937,20 @@ object Dedup {
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
     "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
+    "dedup_recall_eval" ->
+      s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE ${jaccSql("a.shs", "b.shs")} >= 0.5),
+         |nt AS (SELECT count(*) AS n_true FROM tp),
+         |nc AS (SELECT count(*) AS n_cand FROM pairs),
+         |nh AS (SELECT count(*) AS n_hit FROM pairs JOIN tp USING (doc_a, doc_b))
+         |SELECT n_true, n_cand, n_hit,
+         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+         |    ELSE CAST(0 AS BIGINT) END AS recall_ppm,
+         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+         |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
+         |FROM nt, nc, nh""".stripMargin,
     "dedup_semantic" ->
       s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1062,6 +1110,28 @@ object Dedup {
           postingsJaccardSqlAt(jaccTauCache.values.iterator.next()))
       else Map.empty[String, String]
     auto ++ Map(
+      // same metrics, truth set restated through the postings join instead
+      // of the all-pairs list_intersect (the postingsJaccardSqlAt discipline)
+      "dedup_recall_eval" ->
+        s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+           |n AS (SELECT doc_id, len(shs) AS n FROM s),
+           |p AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+           |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |  FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |tp AS (SELECT doc_a, doc_b FROM (
+           |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jacc
+           |  FROM c JOIN n na ON c.doc_a = na.doc_id
+           |  JOIN n nb ON c.doc_b = nb.doc_id) WHERE jacc >= 0.5),
+           |nt AS (SELECT count(*) AS n_true FROM tp),
+           |nc AS (SELECT count(*) AS n_cand FROM pairs),
+           |nh AS (SELECT count(*) AS n_hit FROM pairs JOIN tp USING (doc_a, doc_b))
+           |SELECT n_true, n_cand, n_hit,
+           |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+           |    ELSE CAST(0 AS BIGINT) END AS recall_ppm,
+           |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+           |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
+           |FROM nt, nc, nh""".stripMargin,
       "dedup_ngram_jaccard" -> postings,
       "dedup_jaccard_ppjoin" -> postings,
       "dedup_source_overlap" -> sourceOverlapOracleFrom(postings),

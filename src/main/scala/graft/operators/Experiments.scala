@@ -503,12 +503,110 @@ object Experiments {
        |  peak_dow, peak_hr, peak_cnt
        |FROM chi JOIN pk USING (event_type)""".stripMargin
 
+  /** Train fraction for the temporal split (in tenths: 8 = 80%). */
+  val EvalTrainTenths = 8L
+
+  /** Time-split next-event prediction eval — the train/test hygiene
+    * pattern (split on TIME, never randomly: random splits leak future
+    * behavior into training) applied to a first-order next-event model:
+    * train = events strictly before the split day, model = majority next
+    * type per previous type ((count DESC, type ASC) total order), eval =
+    * top-1 accuracy over held-out consecutive pairs, against the majority-
+    * class baseline. The split day is an exact order statistic computed on
+    * the BOUNDED daily-count frame (first day whose cumulative count
+    * reaches 80%, `cum·10 ≥ n·8` in integers — no corpus-sized sort).
+    *
+    * Scale: one per-user lag window over the stream; train counts collapse
+    * to the ≤types² alphabet map-side; the model and split day re-enter as
+    * 1-row/alphabet-sized broadcasts; accuracy is integer ppm. Unseen
+    * prev-types predict NULL → counted wrong identically in both engines
+    * (CASE/when null falls to the else-branch).
+    */
+  def eventsNextEventEval(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    val daily = ev.groupBy(col("day")).agg(count(lit(1)).as("dc"))
+    val cum = daily.withColumn("cum",
+      sum(col("dc")).over(Window.orderBy(col("day")))) // bounded daily frame
+    val split = cum.crossJoin(broadcast(n)) // bounded × 1 row
+      .filter(col("cum") * 10 >= col("n") * EvalTrainTenths)
+      .agg(min(col("day")).as("split_day"))
+    val pairs = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("cur"), col("day"))
+      .crossJoin(broadcast(split)) // 1-row scalar
+      .transform(Scale.materialize)
+    val train = pairs.filter(col("day") < col("split_day"))
+    val evalp = pairs.filter(col("day") >= col("split_day"))
+    val model = train.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("prev"))
+        .orderBy(col("c").desc, col("cur"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("cur").as("pred"))
+    val majority = train.groupBy(col("cur")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("cur")).limit(1)
+      .select(col("cur").as("maj"))
+    val scored = evalp.join(broadcast(model), Seq("prev"), "left_outer")
+      .crossJoin(broadcast(majority)) // 1-row scalar
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cur") === col("pred"), 1L).otherwise(0L)).as("ok"),
+        sum(when(col("cur") === col("maj"), 1L).otherwise(0L)).as("okb"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    scored.crossJoin(broadcast(nTrain)).crossJoin(broadcast(split)) // 1-row scalars
+      .select(date_format(col("split_day"), "yyyy-MM-dd").as("split_day"),
+        col("n_train"), col("n_eval"),
+        expr("CASE WHEN n_eval > 0 THEN ok * 1000000 div n_eval " +
+          "ELSE CAST(0 AS BIGINT) END").as("acc_ppm"),
+        expr("CASE WHEN n_eval > 0 THEN okb * 1000000 div n_eval " +
+          "ELSE CAST(0 AS BIGINT) END").as("baseline_ppm"))
+  }
+
+  private val nextEvalOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+       |    CAST(ts AS DATE) AS day FROM events),
+       |n AS (SELECT count(*) AS n FROM ev),
+       |daily AS (SELECT day, count(*) AS dc FROM ev GROUP BY 1),
+       |cum AS (SELECT day, sum(dc) OVER (ORDER BY day) AS cum FROM daily),
+       |split AS (SELECT min(day) AS split_day FROM cum, n
+       |  WHERE cum * 10 >= n * $EvalTrainTenths),
+       |pairs AS (SELECT prev, cur, day FROM (
+       |  SELECT lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+       |    event_type AS cur, day
+       |  FROM ev) WHERE prev IS NOT NULL),
+       |train AS (SELECT p.* FROM pairs p, split WHERE day < split_day),
+       |ev2 AS (SELECT p.* FROM pairs p, split WHERE day >= split_day),
+       |model AS (SELECT prev, cur AS pred FROM (
+       |  SELECT prev, cur, row_number() OVER (PARTITION BY prev
+       |      ORDER BY count(*) DESC, cur) AS rn
+       |  FROM train GROUP BY prev, cur) WHERE rn = 1),
+       |maj AS (SELECT cur AS maj FROM (
+       |  SELECT cur, count(*) AS c FROM train GROUP BY 1
+       |  ORDER BY c DESC, cur LIMIT 1)),
+       |sc AS (SELECT count(*) AS n_eval,
+       |    CAST(sum(CASE WHEN cur = pred THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+       |    CAST(sum(CASE WHEN cur = maj THEN 1 ELSE 0 END) AS BIGINT) AS okb
+       |  FROM ev2 LEFT JOIN model USING (prev), maj),
+       |nt AS (SELECT count(*) AS n_train FROM train)
+       |SELECT strftime(split_day, '%Y-%m-%d') AS split_day, n_train, n_eval,
+       |  CASE WHEN n_eval > 0 THEN ok * 1000000 // n_eval
+       |    ELSE CAST(0 AS BIGINT) END AS acc_ppm,
+       |  CASE WHEN n_eval > 0 THEN okb * 1000000 // n_eval
+       |    ELSE CAST(0 AS BIGINT) END AS baseline_ppm
+       |FROM sc, nt, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> eventsAbTest,
     "text_length_ks" -> textLengthKs,
     "events_attribution_markov" -> eventsAttributionMarkov,
     "events_bot_triage" -> eventsBotTriage,
     "events_seasonality" -> eventsSeasonality,
+    "events_next_event_eval" -> eventsNextEventEval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -517,5 +615,6 @@ object Experiments {
     "events_attribution_markov" -> markovOracleSql,
     "events_bot_triage" -> botOracleSql,
     "events_seasonality" -> seasonOracleSql,
+    "events_next_event_eval" -> nextEvalOracleSql,
   )
 }

@@ -284,4 +284,27 @@ class DedupSpec extends AnyFunSuite {
     // every node labeled 0 (the chain min)
     assert(labels.filter(col("lbl") =!= 0L).count() === 0)
   }
+
+  test("recall eval: metrics recompute from the two verified pipelines") {
+    val r = Dedup.dedupRecallEval(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nt, nc, nh) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val truth = Dedup.dedupNgramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // dedup_minhash_lsh's output IS candidates ∩ truth (candidates
+    // verified by the same exact Jaccard at the same τ) — so its size must
+    // equal the eval's hit count, closing the loop between the two
+    // verified pipelines and this audit
+    val verified = Dedup.dedupMinhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nt == truth.size.toLong)
+    assert(nh == verified.size.toLong)
+    assert(verified.subsetOf(truth))
+    assert(nh <= nt && nh <= nc)
+    assert(row.getLong(3) == (if (nt > 0) nh * 1000000L / nt else 0L))
+    assert(row.getLong(4) == (if (nc > 0) nh * 1000000L / nc else 0L))
+  }
 }

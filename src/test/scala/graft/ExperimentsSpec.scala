@@ -188,6 +188,39 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == users.size.toLong)
   }
 
+  test("next-event eval matches a driver-side temporal-split recomputation") {
+    val row = Experiments.eventsNextEventEval(spark, sf).collect().head
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type"), col("ts").cast("date").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val n = evs.length.toLong
+    val byDay = evs.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+    val days = byDay.keys.toSeq.sorted
+    var cum = 0L
+    val splitDay = days.find { dd => cum += byDay(dd); cum * 10 >= n * Experiments.EvalTrainTenths }.get
+    assert(row.getString(0) == splitDay)
+    val pairs = evs.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4, b._5)
+      }
+    }.toSeq
+    val train = pairs.filter(_._3 < splitDay)
+    val ev2 = pairs.filter(_._3 >= splitDay)
+    val model = train.groupBy(_._1).view.mapValues(ps =>
+      ps.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (c, k) => (-k, c) }._1).toMap
+    val maj = train.groupBy(_._2).view.mapValues(_.size).toSeq
+      .minBy { case (c, k) => (-k, c) }._1
+    val ok = ev2.count(p => model.get(p._1).contains(p._2)).toLong
+    val okb = ev2.count(_._2 == maj).toLong
+    assert(row.getLong(1) == train.size.toLong)
+    assert(row.getLong(2) == ev2.size.toLong)
+    assert(row.getLong(3) == ok * 1000000L / ev2.size)
+    assert(row.getLong(4) == okb * 1000000L / ev2.size)
+  }
+
   test("seasonality chi-square matches a driver-side 168-cell recomputation") {
     val out = Experiments.eventsSeasonality(spark, sf).collect()
       .map(r => r.getString(0) ->

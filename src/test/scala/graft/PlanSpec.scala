@@ -320,4 +320,35 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("triangle closure is an equi-join chain, never cartesian/nested-loop") {
+    val p = plan(graft.operators.Graph.partTriangles(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BNLJ is expected: the 1-row total_tri scalar broadcast.
+    // The wedge + closing-edge joins must be equi (an OR-condition closure
+    // would add a second nested-loop join)
+    // (the wedge + closure joins themselves sit behind the materialize
+    // checkpoints and don't appear in this final plan; their equi-join
+    // shape is pinned by the exact-equality GraphSpec result instead)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("ngram novelty: no cartesian; gram join is key-equi") {
+    val p = plan(graft.operators.Search.textNgramNovelty(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bot triage windows are user-keyed; joins stay equi") {
+    val p = plan(graft.operators.Experiments.eventsBotTriage(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("user_id"), s"window not user-keyed: $l"))
+  }
+
+  test("seasonality cell agg is map-side partial before the exchange") {
+    val p = plan(graft.operators.Experiments.eventsSeasonality(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), "cell counts must partial-agg map-side")
+  }
 }
