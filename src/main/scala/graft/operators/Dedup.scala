@@ -70,6 +70,36 @@ object Dedup {
       .groupBy(md5(normalize(col("text"))).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Duplicate-content waste audit per source — the token-budget view of
+    * exact dedup: for each source, how many documents (and how much of its
+    * character mass) are non-canonical copies of content the corpus already
+    * keeps? Canonical = min doc_id per normalized-text md5 CORPUS-WIDE, so
+    * a source whose docs are republished from another source is charged for
+    * them (the curation question is "what does dropping dups save?").
+    * Waste ratio stays integer (DECIMAL-guarded `*1e6 div`, character mass
+    * per source can exceed 2^63/1e6 at 100 TB).
+    *
+    * Scale: one fingerprint agg (the audited dedup_exact shuffle), one
+    * fp-keyed join back, one bounded per-source agg — all linear.
+    */
+  def dedupWaste(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(normalize(col("text"))).as("fp"))
+    val canon = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(canon, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).as("dup_chars"))
+      .withColumn("waste_ppm",
+        expr("CASE WHEN n_chars > 0 THEN CAST(CAST(CAST(dup_chars AS DECIMAL(38,0)) " +
+          "* 1000000 AS DECIMAL(38,0)) div n_chars AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
+
   /** Cross-source duplication matrix — the dataset-curation diagnostic
     * behind "how much of source A is republished in source B" (subset
     * contamination drives both dedup priorities and mixture-weight
@@ -843,6 +873,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_eval" -> dedupRecallEval,
     "dedup_exact" -> dedupExact,
+    "dedup_waste" -> dedupWaste,
     "dedup_source_overlap" -> dedupSourceOverlap,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_ppjoin" -> dedupJaccardPpjoin,
@@ -926,6 +957,22 @@ object Dedup {
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_waste" ->
+      s"""WITH docs AS (SELECT doc_id, source, n_chars, md5($normSql) AS fp
+         |  FROM documents),
+         |canon AS (SELECT fp, min(doc_id) AS keep_id FROM docs GROUP BY 1),
+         |j AS (SELECT d.source, d.doc_id, d.n_chars, c.keep_id
+         |  FROM docs d JOIN canon c USING (fp)),
+         |ag AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END) AS BIGINT) AS dup_chars
+         |  FROM j GROUP BY 1)
+         |SELECT source, n_docs, dup_docs, n_chars, dup_chars,
+         |  CASE WHEN n_chars > 0
+         |    THEN CAST((CAST(dup_chars AS HUGEINT) * 1000000) // n_chars AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS waste_ppm
+         |FROM ag""".stripMargin,
     "dedup_source_overlap" -> sourceOverlapOracleFrom(jaccardOracleSql),
     "dedup_ngram_jaccard" -> jaccardOracleSql,
     // prefix-filtered plan, identical exact result set

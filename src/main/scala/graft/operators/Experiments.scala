@@ -600,8 +600,126 @@ object Experiments {
        |    ELSE CAST(0 AS BIGINT) END AS baseline_ppm
        |FROM sc, nt, split""".stripMargin
 
+  /** χ² critical value at 5% for df = 1, in ppm (3.841459). */
+  val SrmChi2CritPpm = 3841459L
+
+  /** Sample-ratio-mismatch guardrail for the A/B assignment — the check a
+    * real experiment platform runs BEFORE reading any metric: if the
+    * 50/50 hash split's observed counts are chi-square-incompatible with
+    * the design ratio, the experiment is invalid (broken logging,
+    * assignment drift) and `events_ab_test`'s z-score means nothing.
+    * χ² for two cells against E = n/2 collapses algebraically to
+    * (n0−n1)²/(n0+n1) — computed in DECIMAL(38,0)/HUGEINT so the square
+    * can't overflow at any user cardinality, floored to ppm.
+    *
+    * Scale: one distinct on user_id (the same shuffle key the experiment
+    * itself uses), a 2-row agg, then 1-row scalar assembly — nothing else.
+    */
+  def eventsAbSrm(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .select((hexH(concat(lit("ab:"), col("user_id"))) % 2).cast("int").as("variant"))
+    val agg = users.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val a = agg.filter(col("variant") === 0).select(col("n").as("n0"))
+    val b = agg.filter(col("variant") === 1).select(col("n").as("n1"))
+    a.crossJoin(b) // 1-row × 1-row scalar assembly
+      .select(col("n0"), col("n1"),
+        expr("abs(n0 - n1) * 1000000 div (n0 + n1)").as("delta_ppm"),
+        expr("CAST(CAST(CAST(n0 - n1 AS DECIMAL(38,0)) * (n0 - n1) * 1000000 " +
+          "AS DECIMAL(38,0)) div (n0 + n1) AS BIGINT)").as("chi2_ppm"))
+      .withColumn("srm", col("chi2_ppm") > SrmChi2CritPpm)
+  }
+
+  private val srmOracleSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (SELECT CAST(${hexHSql("'ab:' || user_id")} % 2 AS INT) AS variant FROM u),
+       |ag AS (SELECT variant, count(*) AS n FROM v GROUP BY 1)
+       |SELECT a.n AS n0, b.n AS n1,
+       |  abs(a.n - b.n) * 1000000 // (a.n + b.n) AS delta_ppm,
+       |  CAST((CAST(a.n - b.n AS HUGEINT) * (a.n - b.n) * 1000000)
+       |    // (a.n + b.n) AS BIGINT) AS chi2_ppm,
+       |  CAST((CAST(a.n - b.n AS HUGEINT) * (a.n - b.n) * 1000000)
+       |    // (a.n + b.n) AS BIGINT) > $SrmChi2CritPpm AS srm
+       |FROM (SELECT n FROM ag WHERE variant = 0) a,
+       |     (SELECT n FROM ag WHERE variant = 1) b""".stripMargin
+
+  /** CUSUM change-point sweep — per event type, where does activity shift
+    * level? Daily counts are zero-filled onto the global day grid; the
+    * cumulative deviation from the type's own mean stays INTEGER by
+    * scaling with the grid size D: S_i·D = cum_i·D − i·total (the classic
+    * CUSUM statistic times a positive constant, so its argmax is the
+    * change point and its max is reported as a ppm of the total mass).
+    * 64-bit throughout until the final DECIMAL-guarded ppm projection.
+    *
+    * Scale: the corpus collapses to a (type, day) count agg map-side;
+    * every window after that runs on the bounded alphabet × calendar grid
+    * (per-type partitions of |days| rows), never on raw events.
+    */
+  def eventsCusumShift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val days = ev.select(col("day")).distinct() // bounded calendar frame
+    val types = ev.select(col("event_type")).distinct() // bounded alphabet
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val grid = types.crossJoin(broadcast(days)) // alphabet × calendar, bounded
+      .join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wt = Window.partitionBy(col("event_type"))
+    // total = the last cumulative value, n_days = the last index — derived
+    // from the SAME window pass (a separate grid-wide agg would
+    // re-instantiate the grid and rescan the corpus)
+    val dev = grid
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", max(col("cum")).over(wt))
+      .withColumn("n_days", max(col("i")).over(wt).cast("long"))
+      .withColumn("dev", abs(col("cum") * col("n_days") - col("i") * col("total")))
+    dev.withColumn("mx", max(col("dev")).over(wt))
+      .filter(col("dev") === col("mx"))
+      .groupBy(col("event_type"), col("total"), col("n_days"), col("mx"))
+      .agg(min(col("day")).as("sd"))
+      .select(col("event_type"), col("total").as("n_events"), col("n_days"),
+        date_format(col("sd"), "yyyy-MM-dd").as("shift_day"),
+        col("mx").as("max_dev"),
+        expr("CASE WHEN total > 0 THEN CAST(CAST(CAST(mx AS DECIMAL(38,0)) " +
+          "* 1000000 AS DECIMAL(38,0)) div (total * n_days) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END").as("dev_ppm"))
+  }
+
+  private val cusumOracleSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |daily AS (SELECT event_type, day, count(*) AS c FROM ev GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, dy.day, coalesce(d.c, 0) AS c
+      |  FROM types t CROSS JOIN days dy
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day),
+      |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+      |    count(*) AS n_days FROM grid GROUP BY 1),
+      |cum AS (SELECT event_type, day,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum
+      |  FROM grid),
+      |dev AS (SELECT c.event_type, c.day, t.total, t.n_days,
+      |    abs(c.cum * t.n_days - c.i * t.total) AS dev
+      |  FROM cum c JOIN tot t USING (event_type)),
+      |mx AS (SELECT event_type, total, n_days, max(dev) AS mx
+      |  FROM dev GROUP BY 1, 2, 3)
+      |SELECT m.event_type, m.total AS n_events, m.n_days,
+      |  strftime((SELECT min(day) FROM dev
+      |    WHERE dev.event_type = m.event_type AND dev.dev = m.mx),
+      |    '%Y-%m-%d') AS shift_day,
+      |  m.mx AS max_dev,
+      |  CASE WHEN m.total > 0
+      |    THEN CAST((CAST(m.mx AS HUGEINT) * 1000000)
+      |      // (m.total * m.n_days) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS dev_ppm
+      |FROM mx m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_test" -> eventsAbTest,
+    "events_ab_srm" -> eventsAbSrm,
+    "events_cusum_shift" -> eventsCusumShift,
     "text_length_ks" -> textLengthKs,
     "events_attribution_markov" -> eventsAttributionMarkov,
     "events_bot_triage" -> eventsBotTriage,
@@ -611,6 +729,8 @@ object Experiments {
 
   val oracles: Map[String, String] = Map(
     "events_ab_test" -> abOracleSql,
+    "events_ab_srm" -> srmOracleSql,
+    "events_cusum_shift" -> cusumOracleSql,
     "text_length_ks" -> ksOracleSql,
     "events_attribution_markov" -> markovOracleSql,
     "events_bot_triage" -> botOracleSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -82,7 +83,41 @@ object Olap {
       .agg(q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
   }
 
+  /** Open-order backlog over time — the interval-overlap OLAP pattern
+    * (how many orders are in flight on each day?) solved the only way
+    * that scales: ±1 DELTAS on a bounded calendar, never a per-day
+    * point-in-interval join. An order opens at o_orderdate and closes at
+    * its last line's l_shipdate; daily opened/closed counts collapse
+    * map-side, and the backlog is one running sum over the calendar frame
+    * (|days| rows — a corpus statistic, not corpus-sized; the global
+    * single-partition window is on that bounded frame only). The close day
+    * clamps to the open day (this testdata's ship dates are uncorrelated
+    * with order dates — an order cannot close before it opens).
+    */
+  def ordersBacklog(s: SparkSession, d: String): DataFrame = {
+    val opened = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day")).agg(count(lit(1)).as("opened"))
+    val closed = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(max(to_date(col("l_shipdate"))).as("sd"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(greatest(col("sd"), col("od")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("closed"))
+    val days = opened.select(col("day")).union(closed.select(col("day"))).distinct()
+    val g = days
+      .join(opened, Seq("day"), "left_outer")
+      .join(closed, Seq("day"), "left_outer")
+      .select(col("day"), coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+    g.withColumn("backlog",
+        sum(col("opened") - col("closed")).over(Window.orderBy(col("day"))))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("opened"), col("closed"), col("backlog"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backlog" -> ordersBacklog,
     "orders_pivot" -> ordersPivot,
     "orders_rollup" -> ordersRollup,
     "orders_cube" -> ordersCube,
@@ -91,6 +126,21 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_backlog" ->
+      """WITH op AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS opened
+        |  FROM orders GROUP BY 1),
+        |cl AS (SELECT day, count(*) AS closed FROM (
+        |  SELECT greatest(s.sd, CAST(o.o_orderdate AS DATE)) AS day
+        |  FROM (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS sd
+        |    FROM lineitem GROUP BY 1) s
+        |  JOIN orders o ON o.o_orderkey = s.l_orderkey) GROUP BY 1),
+        |days AS (SELECT day FROM op UNION SELECT day FROM cl),
+        |g AS (SELECT d.day, coalesce(op.opened, 0) AS opened,
+        |    coalesce(cl.closed, 0) AS closed
+        |  FROM days d LEFT JOIN op USING (day) LEFT JOIN cl USING (day))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+        |  CAST(sum(opened - closed) OVER (ORDER BY day) AS BIGINT) AS backlog
+        |FROM g""".stripMargin,
     "orders_pivot" ->
       """SELECT o_orderstatus,
         | count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,

@@ -110,7 +110,11 @@ object Search {
     if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
 
-  private def bm25OracleSql(st: Bm25Stats): String = {
+  /** The shared BM25 ranking prefix — CTEs up to `rk` (query_id, doc_id,
+    * score, rnk). Both the retrieval oracle and the NDCG-eval oracle
+    * append their own final SELECT to this.
+    */
+  private def bm25RankCte(st: Bm25Stats): String = {
     val termList = Bm25Terms.map("'" + _ + "'").mkString(", ")
     val qtRows = Bm25Queries.flatMap { case (qid, ts) =>
       ts.map(t => s"('$qid', '$t', ${dlit(st.idf(t))})")
@@ -131,9 +135,87 @@ object Search {
        |sc AS (SELECT query_id, doc_id, CAST(sum(si) AS BIGINT) AS score
        |  FROM si GROUP BY 1, 2),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)""".stripMargin
+  }
+
+  private def bm25OracleSql(st: Bm25Stats): String =
+    s"""${bm25RankCte(st)}
        |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score
        |FROM rk WHERE rnk <= $Bm25TopK""".stripMargin
+
+  /** Discount weights floor(1e9 / log2(r+1)) for ranks 1..[[Bm25TopK]] —
+    * driver-computed integer literals shared verbatim with the oracle, so
+    * no log2 is ever evaluated inside either engine.
+    */
+  private val ndcgW: Seq[(Int, Long)] = (1 to Bm25TopK).map(r =>
+    r -> math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k of the BM25 ranking — the retrieval-quality eval run next to
+    * the ranker it grades (knn_recall_eval's lexical sibling). Graded
+    * relevance = number of DISTINCT query terms a document contains
+    * (0..|terms|, engine-independent ground truth); DCG numerators are
+    * rel·floor(1e9/log2(r+1)) with the discount table as driver-computed
+    * integer literals, so the whole metric is 64-bit integer until the
+    * final ppm division. IDCG ranks the corpus-wide top-k relevance values
+    * per query through the bucketed two-phase [[Scale.topKPerGroup]] (never
+    * a per-query global sort).
+    *
+    * Scale: the relevance frame is (docs with ≥1 query term) × ≤4 queries —
+    * linear in matched docs; everything else is the already-audited BM25
+    * plan plus bounded-frame joins against the ≤k-row weight table.
+    */
+  def textNdcgEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ranked = textBm25(s, d) // (query_id, rnk, doc_id, score)
+    val qterms = broadcast(
+      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "term"))
+    val rel = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .join(qterms, "term")
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("rel"))
+    val wdf = broadcast(ndcgW.toDF("rnk", "w"))
+    val dcg = ranked.join(rel, Seq("query_id", "doc_id"), "left_outer")
+      .select(col("query_id"), col("rnk"), coalesce(col("rel"), lit(0L)).as("rel"))
+      .join(wdf, "rnk")
+      .groupBy(col("query_id")).agg(sum(col("rel") * col("w")).as("dcg_num"))
+    val ideal = Scale.topKPerGroup(rel, Seq("query_id"),
+        Seq(col("rel").desc, col("doc_id")), k = Bm25TopK, saltSrc = col("doc_id"))
+      .join(wdf, "rnk")
+      .groupBy(col("query_id")).agg(sum(col("rel") * col("w")).as("idcg_num"))
+    dcg.join(ideal, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("dcg_num"),
+        coalesce(col("idcg_num"), lit(0L)).as("idcg_num"))
+      .withColumn("ndcg_ppm",
+        expr("CASE WHEN idcg_num > 0 THEN dcg_num * 1000000 div idcg_num " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
+
+  private def ndcgOracleSql(st: Bm25Stats): String = {
+    val wRows = ndcgW.map { case (r, w) => s"($r, CAST($w AS BIGINT))" }.mkString(", ")
+    s"""${bm25RankCte(st)},
+       |qt2 AS (SELECT DISTINCT query_id, term FROM qt),
+       |dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM dd),
+       |rel AS (SELECT q.query_id, d.doc_id, count(*) AS rel
+       |  FROM dt d JOIN qt2 q USING (term) GROUP BY 1, 2),
+       |wt(rnk, w) AS (VALUES $wRows),
+       |dcg AS (SELECT r.query_id,
+       |    CAST(sum(coalesce(rel.rel, 0) * w.w) AS BIGINT) AS dcg_num
+       |  FROM rk r
+       |  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+       |  JOIN wt w ON w.rnk = r.rnk
+       |  WHERE r.rnk <= $Bm25TopK GROUP BY 1),
+       |irk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, doc_id) AS rnk FROM rel),
+       |ideal AS (SELECT i.query_id, CAST(sum(i.rel * w.w) AS BIGINT) AS idcg_num
+       |  FROM irk i JOIN wt w USING (rnk)
+       |  WHERE i.rnk <= $Bm25TopK GROUP BY 1)
+       |SELECT d.query_id, d.dcg_num, coalesce(i.idcg_num, 0) AS idcg_num,
+       |  CASE WHEN coalesce(i.idcg_num, 0) > 0
+       |    THEN d.dcg_num * 1000000 // i.idcg_num
+       |    ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
+       |FROM dcg d LEFT JOIN ideal i USING (query_id)""".stripMargin
   }
 
   /** Top adjacent character pairs the first BPE merge would pick. */
@@ -396,6 +478,7 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> textBm25,
+    "text_ndcg_eval" -> textNdcgEval,
     "text_bpe_pairs" -> textBpePairs,
     "text_bpe_train" -> textBpeTrain,
     "text_bpe_tokenize" -> textBpeTokenize,
@@ -411,8 +494,10 @@ object Search {
       "text_bpe_train" -> bpeTrainOracleSql,
       "text_bpe_tokenize" -> bpeTokenizeOracleSql,
       "text_ngram_novelty" -> noveltyOracleSql)
-    if (bm25Cache.size == 1)
-      base + ("text_bm25" -> bm25OracleSql(bm25Cache.values.iterator.next()))
-    else base
+    if (bm25Cache.size == 1) {
+      val st = bm25Cache.values.iterator.next()
+      base + ("text_bm25" -> bm25OracleSql(st)) +
+        ("text_ndcg_eval" -> ndcgOracleSql(st))
+    } else base
   }
 }

@@ -606,6 +606,122 @@ object Similarity {
        |FROM uni""".stripMargin
   }
 
+  // ------------------------------------------------------ IVF cell balance
+  /** IVF index-health report — the balance statistics an operator reads
+    * before trusting an IVF layout at scale (a hot cell means probe-time
+    * skew; empty cells mean wasted train budget): per-cell population of
+    * the trained coarse quantizer, collapsed to one bounded row of
+    * min/max/avg/empties plus an imbalance factor (max·cells/n, 1e6 = a
+    * perfectly even layout). One map-side argmax per vector (the audited
+    * [[assignCells]] expression), a cell-keyed count agg (≤ cells rows),
+    * then a 1-row rollup — nothing corpus-sized survives the first agg.
+    * DECIMAL guards max_cell·cells·1e6; everything else is 64-bit integer,
+    * so the generated oracle (literal centroids) is hash-exact.
+    */
+  def embedIvfBalance(s: SparkSession, d: String): DataFrame = {
+    val c = split(s, d)._2
+    val cells = centroidsFor(s, d).length
+    val counts = assignCells(c, s, d)
+      .groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    counts.agg(count(lit(1)).as("used0"),
+        sum(col("cn")).as("n_vecs"),
+        min(col("cn")).as("min_cell"),
+        max(col("cn")).as("max_cell"))
+      .select(lit(cells.toLong).as("n_cells"),
+        col("used0").as("used_cells"),
+        (lit(cells.toLong) - col("used0")).as("empty_cells"),
+        col("n_vecs"), col("min_cell"), col("max_cell"),
+        expr(s"CAST(CAST(CAST(max_cell AS DECIMAL(38,0)) * $cells * 1000000 " +
+          "AS DECIMAL(38,0)) div n_vecs AS BIGINT)").as("imbalance_ppm"))
+  }
+
+  private def ivfBalanceOracleSql(cents: Array[Array[Double]]): String = {
+    val cellRows = cellRowsSql(cents)
+    val cells = cents.length
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       |cells AS ($cellRows),
+       |ca AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, cells.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.v", "cells.cv")} / cells.sn DESC, cells.cell) AS r
+       |  FROM e, cells) t WHERE r = 1),
+       |cnt AS (SELECT cell, count(*) AS cn FROM ca GROUP BY 1)
+       |SELECT CAST($cells AS BIGINT) AS n_cells,
+       |  count(*) AS used_cells,
+       |  CAST($cells AS BIGINT) - count(*) AS empty_cells,
+       |  CAST(sum(cn) AS BIGINT) AS n_vecs,
+       |  min(cn) AS min_cell, max(cn) AS max_cell,
+       |  CAST((CAST(max(cn) AS HUGEINT) * $cells * 1000000)
+       |    // CAST(sum(cn) AS HUGEINT) AS BIGINT) AS imbalance_ppm
+       |FROM cnt""".stripMargin
+  }
+
+  // ------------------------------------------------------- centroid drift
+  /** Per-dimension fixed-point quantization for the drift centroids. */
+  val DriftQ = 1000000L
+
+  /** Per-label centroid drift from the corpus centroid — the domain-mix
+    * diagnostic an embedding pipeline tracks across snapshots ("is this
+    * slice's embedding mass moving away from the corpus?"). Every
+    * component quantizes to floor(x·1e6) BIGINT FIRST, so the per-label
+    * per-dimension sums are exact integers no aggregation order can
+    * perturb; means use the shared truncating integer division (Spark
+    * `div` ≡ DuckDB `//`); the mean-vector dot products and norms stay
+    * ≤ dims·(1e6)² < 2^53, so the final double cosine is bit-identical in
+    * both engines.
+    *
+    * Scale: one posexplode (corpus × dims rows, linear, map-side agg to
+    * labels × dims), then everything runs on the bounded labels × dims
+    * model frame with the dims-sized global sum broadcast back on.
+    */
+  def embedCentroidDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), toDouble(col("embedding")).as("v"))
+    val n = e.count() // corpus scalar, metadata-cheap
+    val q = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x") * DriftQ).cast("long").as("q"))
+    val byLab = q.groupBy(col("label"), col("dim")).agg(sum(col("q")).as("sq"))
+    val nl = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val glob = byLab.groupBy(col("dim")).agg(sum(col("sq")).as("gq"))
+    val m = byLab.join(nl, "label").join(broadcast(glob), "dim")
+      .select(col("label"), col("n_vecs"),
+        expr("sq div n_vecs").as("ml"), expr(s"gq div ${n}L").as("mg"))
+    m.groupBy(col("label"), col("n_vecs"))
+      .agg(sum(col("ml") * col("mg")).as("dotlg"),
+        sum(col("ml") * col("ml")).as("n2l"),
+        sum(col("mg") * col("mg")).as("n2g"))
+      .select(col("label"), col("n_vecs"),
+        expr("CASE WHEN n2l > 0 AND n2g > 0 THEN floor(CAST(dotlg AS DOUBLE) " +
+          "/ sqrt(CAST(n2l AS DOUBLE) * CAST(n2g AS DOUBLE)) * 1e6) / 1e6 " +
+          "ELSE 0e0 END").as("cos_centroid"))
+  }
+
+  private val driftOracleSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM e),
+       |q AS (SELECT label, CAST(i AS INT) - 1 AS dim,
+       |    CAST(floor(v[CAST(i AS INT)] * $DriftQ) AS BIGINT) AS q
+       |  FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+       |bylab AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq
+       |  FROM q GROUP BY 1, 2),
+       |nl AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1),
+       |gsum AS (SELECT dim, CAST(sum(sq) AS BIGINT) AS gq FROM bylab GROUP BY 1),
+       |m AS (SELECT label, n_vecs, sq // n_vecs AS ml, gq // n.n AS mg
+       |  FROM bylab JOIN nl USING (label) JOIN gsum USING (dim), n),
+       |p AS (SELECT label, n_vecs,
+       |    CAST(sum(ml * mg) AS BIGINT) AS dotlg,
+       |    CAST(sum(ml * ml) AS BIGINT) AS n2l,
+       |    CAST(sum(mg * mg) AS BIGINT) AS n2g
+       |  FROM m GROUP BY 1, 2)
+       |SELECT label, n_vecs,
+       |  CASE WHEN n2l > 0 AND n2g > 0
+       |    THEN floor(CAST(dotlg AS DOUBLE)
+       |      / sqrt(CAST(n2l AS DOUBLE) * CAST(n2g AS DOUBLE)) * 1e6) / 1e6
+       |    ELSE 0e0 END AS cos_centroid
+       |FROM p""".stripMargin
+
   // ------------------------------------------------------------- k-center
   /** Coreset size for the greedy k-center selection. */
   val KcK = 8
@@ -1392,6 +1508,8 @@ object Similarity {
     "knn_ivf" -> knnIvf,
     "embed_outliers" -> embedOutliers,
     "embed_cluster_purity" -> embedClusterPurity,
+    "embed_ivf_balance" -> embedIvfBalance,
+    "embed_centroid_drift" -> embedCentroidDrift,
     "embed_kcenter" -> embedKcenter,
     "knn_rrf" -> knnRrf,
     "embed_pca" -> embedPca,
@@ -1860,6 +1978,7 @@ object Similarity {
       "knn_lsh" -> lshOracleSqlFor(NumTables, SigBits),
       "embed_kcenter" -> kcenterOracleSql,
       "embed_sq8" -> sq8OracleSql,
+      "embed_centroid_drift" -> driftOracleSql,
     )
     // generated-oracle pattern (see Scaladoc above): emit only when exactly
     // one sf dir trained/tuned in this JVM, so the SQL always restates the
@@ -1874,6 +1993,7 @@ object Similarity {
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
           ("embed_outliers" -> outliersOracleSql(cents)) +
           ("embed_cluster_purity" -> purityOracleSql(cents)) +
+          ("embed_ivf_balance" -> ivfBalanceOracleSql(cents)) +
           ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +

@@ -26,6 +26,28 @@ class DedupSpec extends AnyFunSuite {
       "band buckets are wide enough that the stop-band cap would change results")
   }
 
+  test("dedup_waste matches a driver-side duplicate-mass audit") {
+    val out = Dedup.dedupWaste(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).trim.toLowerCase.replaceAll("\\s+", " ")))
+    val keep = docs.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      val dup = rows.filter(r => keep(r._4) != r._1)
+      val chars = rows.map(_._3).sum
+      val dchars = dup.map(_._3).sum
+      src -> ((rows.length.toLong, dup.length.toLong, chars, dchars,
+        if (chars > 0) dchars * 1000000L / chars else 0L))
+    }
+    assert(out == expect)
+    // corpus-wide: dup doc count is n_docs - |distinct normalized texts|
+    assert(out.values.map(_._2).sum == docs.length - keep.size)
+  }
+
   test("simhash geometry scales key space with corpus size") {
     // the rule must keep expected bucket width <= target at every n, keep
     // the table count C(m, radius)-polynomial, and never shrink below the

@@ -221,6 +221,54 @@ class ExperimentsSpec extends AnyFunSuite {
     assert(row.getLong(4) == okb * 1000000L / ev2.size)
   }
 
+  test("ab srm matches a driver-side chi-square on the same assignment") {
+    val row = Experiments.eventsAbSrm(spark, sf).collect().head
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexH(sv: String): Long = {
+      val h = md.digest(sv.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(h, 16)
+    }
+    val n0 = users.count(u => hexH(s"ab:$u") % 2 == 0).toLong
+    val n1 = users.length - n0
+    val chi2 = (BigInt(n0 - n1) * (n0 - n1) * 1000000L / (n0 + n1)).toLong
+    assert(row.getAs[Long]("n0") == n0 && row.getAs[Long]("n1") == n1)
+    assert(row.getAs[Long]("delta_ppm") == math.abs(n0 - n1) * 1000000L / (n0 + n1))
+    assert(row.getAs[Long]("chi2_ppm") == chi2)
+    assert(row.getAs[Boolean]("srm") == (chi2 > Experiments.SrmChi2CritPpm))
+    // the srm counts must agree with the experiment's own variant counts
+    val ab = Experiments.eventsAbTest(spark, sf).collect().head
+    assert(ab.getAs[Long]("n0") == n0 && ab.getAs[Long]("n1") == n1)
+  }
+
+  test("cusum shift matches a driver-side change-point recomputation") {
+    val out = Experiments.eventsCusumShift(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("date").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val days = evs.map(_._2).distinct.sorted
+    val dN = days.length.toLong
+    for ((t, rows) <- evs.groupBy(_._1)) {
+      val byDay = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = rows.length.toLong
+      var cum = 0L; var best = -1L; var bestDay = ""
+      for ((dd, i) <- days.zipWithIndex) {
+        cum += byDay.getOrElse(dd, 0L)
+        val dev = math.abs(cum * dN - (i + 1) * total)
+        if (dev > best) { best = dev; bestDay = dd }
+      }
+      val ppm = (BigInt(best) * 1000000L / (total * dN)).toLong
+      assert(out(t) == ((total, dN, bestDay, best, ppm)), s"type $t")
+      // final-day deviation is identically zero, so the max is interior
+      assert(best >= 0 && ppm <= 1000000L)
+    }
+  }
+
   test("seasonality chi-square matches a driver-side 168-cell recomputation") {
     val out = Experiments.eventsSeasonality(spark, sf).collect()
       .map(r => r.getString(0) ->

@@ -351,4 +351,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count"), "cell counts must partial-agg map-side")
   }
+
+  test("ab srm: only the 1-row scalar assembly is a nested-loop join") {
+    val p = plan(graft.operators.Experiments.eventsAbSrm(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("cusum shift: grid fill is the one broadcast calendar join; windows type-keyed") {
+    val p = plan(graft.operators.Experiments.eventsCusumShift(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one BNLJ is expected: the bounded alphabet × calendar grid
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l => assert(l.contains("event_type"), s"window not type-keyed: $l"))
+  }
+
+  test("orders_backlog: delta joins are equi; no cartesian") {
+    val p = plan(graft.operators.Olap.ordersBacklog(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), "daily deltas must partial-agg map-side")
+  }
+
+  test("dedup_waste: fp join is equi; per-source agg is map-side partial") {
+    val p = plan(graft.operators.Dedup.dedupWaste(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("ndcg eval: relevance/weight joins are equi; no cartesian") {
+    val p = plan(graft.operators.Search.textNdcgEval(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("centroid drift: the dims-frame join is a broadcast equi-join") {
+    val p = plan(graft.operators.Similarity.embedCentroidDrift(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ivf balance: map-side assignment, no joins beyond the bounded rollup") {
+    val p = plan(graft.operators.Similarity.embedIvfBalance(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), "assignment must be map-side, never a join")
+  }
 }

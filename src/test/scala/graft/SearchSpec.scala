@@ -48,6 +48,36 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("text_ndcg_eval matches a driver-side NDCG over the verified ranking") {
+    val out = Search.textNdcgEval(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ranked = Search.textBm25(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val w = (1 to Search.Bm25TopK).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+    for ((qid, terms) <- Search.Bm25Queries) {
+      def rel(id: Long): Long = {
+        val toks = docs.find(_._1 == id).get._2.toSet
+        terms.count(toks.contains).toLong
+      }
+      val dcg = ranked(qid).zipWithIndex
+        .map { case (id, i) => rel(id) * w(i) }.sum
+      // ideal: every doc's graded relevance, best-first with id tiebreak
+      val rels = docs.map { case (id, toks) =>
+        (id, terms.count(toks.toSet.contains).toLong) }
+        .filter(_._2 > 0)
+      val idcg = rels.sortBy { case (id, r) => (-r, id) }
+        .take(Search.Bm25TopK).zipWithIndex
+        .map { case ((_, r), i) => r * w(i) }.sum
+      val ndcg = if (idcg > 0) dcg * 1000000L / idcg else 0L
+      assert(out(qid) == ((dcg, idcg, ndcg)), s"query $qid")
+      // a top-k of a graded list can never beat the ideal ordering
+      assert(dcg <= idcg && ndcg <= 1000000L)
+    }
+  }
+
   test("text_bpe_pairs matches driver-side pair counting") {
     val out = Search.textBpePairs(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq

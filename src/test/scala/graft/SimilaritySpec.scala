@@ -19,6 +19,56 @@ class SimilaritySpec extends AnyFunSuite {
     per.sum / per.size
   }
 
+  test("embed_centroid_drift matches a driver-side fixed-point recomputation") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.embedCentroidDrift(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = vecs.head._2.length
+    val n = vecs.length.toLong
+    def qv(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * Similarity.DriftQ).toLong)
+    val byLab = vecs.groupBy(_._1)
+    val gsum = new Array[Long](dims)
+    for ((_, v) <- vecs; i <- 0 until dims) gsum(i) += qv(v)(i)
+    val mg = gsum.map(_ / n) // truncating, as both engines' integer div
+    for ((lab, rows) <- byLab) {
+      val s = new Array[Long](dims)
+      for ((_, v) <- rows; i <- 0 until dims) s(i) += qv(v)(i)
+      val nl = rows.length.toLong
+      val ml = s.map(_ / nl)
+      val dot = (0 until dims).map(i => ml(i) * mg(i)).sum
+      val n2l = ml.map(x => x * x).sum
+      val n2g = mg.map(x => x * x).sum
+      val cos =
+        if (n2l > 0 && n2g > 0)
+          math.floor(dot.toDouble / math.sqrt(n2l.toDouble * n2g.toDouble) * 1e6) / 1e6
+        else 0.0
+      assert(out(lab) == ((nl, cos)), s"label $lab")
+    }
+    // a label's centroid should broadly align with the corpus centroid
+    assert(out.values.forall { case (_, c) => c >= -1.0 && c <= 1.0 })
+  }
+
+  test("embed_ivf_balance is consistent with the per-cell purity populations") {
+    val bal = Similarity.embedIvfBalance(spark, sf).collect().head
+    val cells = Similarity.embedClusterPurity(spark, sf).collect()
+      .filter(_.getInt(0) >= 0) // drop the _all row
+      .map(r => r.getLong(1))
+    assert(bal.getAs[Long]("used_cells") == cells.length.toLong)
+    assert(bal.getAs[Long]("n_vecs") == cells.sum)
+    assert(bal.getAs[Long]("min_cell") == cells.min)
+    assert(bal.getAs[Long]("max_cell") == cells.max)
+    assert(bal.getAs[Long]("used_cells") + bal.getAs[Long]("empty_cells")
+      == bal.getAs[Long]("n_cells"))
+    val imb = BigInt(cells.max) * bal.getAs[Long]("n_cells") * 1000000L / cells.sum
+    assert(bal.getAs[Long]("imbalance_ppm") == imb.toLong)
+    // imbalance is >= 1e6 by construction (max >= mean)
+    assert(bal.getAs[Long]("imbalance_ppm") >= 1000000L)
+  }
+
   test("LSH top-k recall vs brute force") {
     val r = recall(neighborSet(Similarity.knnLsh(spark, sf)))
     info(f"lsh recall = $r%.3f")
