@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-evolution analytics over the mart: exponential smoothing of the
+  * daily revenue series, a customer-lifetime survival (hazard) table, and
+  * period-over-period heavy-changer detection. All three collapse the
+  * corpus to a bounded frame (calendar days, tenure buckets, per-user
+  * counts) with ONE map-side-partial aggregate before any window, and all
+  * arithmetic that crosses the engine boundary is integer/decimal-exact —
+  * the fixed-point discipline the iterative operators (Graph, Experiments)
+  * established, applied to smoothing and survival estimation.
+  */
+object Lifecycle {
+
+  /** Truncated-EWMA horizon: weights 2^-(k+1) for the k-th most recent day,
+    * cut at 30 terms (the omitted tail mass is 2^-30 of the level — below
+    * cent resolution at any realistic revenue).
+    */
+  val EwmaTerms = 30
+
+  /** EWMA of daily revenue with decay α = 1/2 (the ClickHouse
+    * `exponentialMovingAverage` / monitoring-forecast role): for each order
+    * day, the smoothed level Σ_{k<30} cents_{n-k}·2^-(k+1) over the
+    * OBSERVED daily series. Exactness: weights are powers of two, so the
+    * weighted sum is computed as Σ cents_{n-k}·2^(29-k) in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) and scaled down by ONE integer division
+    * by 2^30 — there is no float anywhere, hence no summation-order hazard.
+    * Scale: the corpus collapses to the daily frame map-side; the 30-lag
+    * window runs on |days| rows (a corpus statistic, not corpus-sized).
+    */
+  def dailyRevenueEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("day")) // bounded daily frame only
+    val wsum = (0 until EwmaTerms).map { k =>
+      coalesce(lag(col("cents"), k).over(w), lit(0L))
+        .cast("decimal(38,0)") * lit(1L << (EwmaTerms - 1 - k))
+    }.reduce(_ + _)
+    daily.withColumn("_ws", wsum)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("order_day"),
+        col("cents"),
+        expr(s"CAST(_ws div ${1L << EwmaTerms} AS BIGINT)").as("ewma_cents"))
+  }
+
+  private def ewmaOracleSql: String = {
+    val terms = (0 until EwmaTerms).map { k =>
+      s"CAST(coalesce(lag(cents, $k) OVER (ORDER BY day), 0) AS HUGEINT)" +
+        s" * ${1L << (EwmaTerms - 1 - k)}"
+    }.mkString(" + ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |sm AS (SELECT day, cents, $terms AS ws FROM daily)
+       |SELECT strftime(day, '%Y-%m-%d') AS order_day, cents,
+       |  CAST(ws // ${1L << EwmaTerms} AS BIGINT) AS ewma_cents
+       |FROM sm""".stripMargin
+  }
+
+  /** A customer is counted as churned when their last order is more than
+    * this many days before the corpus's last order day (otherwise their
+    * lifetime is censored — still alive at the observation edge). The
+    * standard life-table censoring rule.
+    */
+  val ChurnHorizonDays = 90
+
+  /** Tenure buckets of the life table, in days. */
+  val HazardBucketDays = 30
+
+  /** Customer-lifetime survival table (the Kaplan-Meier life-table shape):
+    * tenure = days between a customer's first and last order, bucketed by
+    * [[HazardBucketDays]]; a bucket row reports how many customers were
+    * still at risk entering the bucket (tenure ≥ bucket start), how many
+    * churned there, how many were censored there, and the discrete hazard
+    * d/n in ppm. Survival itself is a product of (1 − hazard) terms — a
+    * float-product whose cross-engine story is weak, so the gated output
+    * is the integer life table the product derives from (the spec folds
+    * the product driver-side). Scale: one customer-keyed map-side-partial
+    * aggregate + a 1-row broadcast corpus-max scalar; every window runs on
+    * the bounded bucket frame.
+    */
+  def customerChurnHazard(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val mx = o.agg(max(col("day")).as("m"))
+    val cust = per.crossJoin(broadcast(mx)) // 1-row corpus-max scalar
+      .select(
+        expr(s"CAST(datediff(l, f) div $HazardBucketDays AS INT)")
+          .as("tenure_bucket"),
+        (datediff(col("m"), col("l")) > lit(ChurnHorizonDays)).as("churned"))
+    val byB = cust.groupBy(col("tenure_bucket"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy(col("tenure_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byB
+      .withColumn("n_at_risk",
+        sum(col("n_churned") + col("n_censored")).over(w))
+      .select(col("tenure_bucket"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        expr("CAST(CAST(CAST(n_churned AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div n_at_risk AS BIGINT)").as("hazard_ppm"))
+  }
+
+  private def hazardOracleSql: String =
+    s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+       |per AS (SELECT o_custkey, min(day) AS f, max(day) AS l FROM o GROUP BY 1),
+       |mx AS (SELECT max(day) AS m FROM o),
+       |cust AS (SELECT
+       |    CAST(date_diff('day', f, l) // $HazardBucketDays AS INT) AS tenure_bucket,
+       |    date_diff('day', l, m) > $ChurnHorizonDays AS churned
+       |  FROM per, mx),
+       |byb AS (SELECT tenure_bucket,
+       |    CAST(count(*) FILTER (churned) AS BIGINT) AS n_churned,
+       |    CAST(count(*) FILTER (NOT churned) AS BIGINT) AS n_censored
+       |  FROM cust GROUP BY 1),
+       |rk AS (SELECT *, sum(n_churned + n_censored) OVER (
+       |    ORDER BY tenure_bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+       |  FROM byb)
+       |SELECT tenure_bucket, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       |  n_churned, n_censored,
+       |  CAST((CAST(n_churned AS HUGEINT) * 1000000) // n_at_risk AS BIGINT)
+       |    AS hazard_ppm
+       |FROM rk""".stripMargin
+
+  /** Heavy-changer report size. */
+  val HeavyChangeK = 50
+
+  /** Period-over-period heavy changers (the "what moved" triage behind
+    * every monitoring dashboard): the corpus midpoint (integer-mean of the
+    * min/max event epoch-micros) splits the stream into two halves; per
+    * user, event counts in each half and the signed change, ranked by
+    * absolute change with the user id as tie-break. All integer; the
+    * per-user counts are one map-side-partial aggregate and the top-k is
+    * the bucketed two-phase operator — no corpus-sized sort.
+    */
+  def eventsHeavyChange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val per = ev.crossJoin(broadcast(bounds)) // 1-row corpus-bounds scalar
+      .select(col("user_id"),
+        (col("us") < expr("(mn + mx) div 2")).as("early"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("early"), 0L).otherwise(1L)).as("cnt_b"))
+      .withColumn("delta", col("cnt_b") - col("cnt_a"))
+    Scale.topKPerGroup(per, Seq.empty,
+        Seq(abs(col("delta")).desc, col("user_id")),
+        k = HeavyChangeK, saltSrc = col("user_id"))
+      .select(col("rnk"), col("user_id"), col("cnt_a"), col("cnt_b"),
+        col("delta"))
+  }
+
+  private def heavyChangeOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+       |per AS (SELECT user_id,
+       |    CAST(count(*) FILTER (us < (mn + mx) // 2) AS BIGINT) AS cnt_a,
+       |    CAST(count(*) FILTER (us >= (mn + mx) // 2) AS BIGINT) AS cnt_b
+       |  FROM ev, b GROUP BY 1),
+       |rk AS (SELECT user_id, cnt_a, cnt_b, cnt_b - cnt_a AS delta,
+       |    row_number() OVER (ORDER BY abs(cnt_b - cnt_a) DESC, user_id) AS rnk
+       |  FROM per)
+       |SELECT CAST(rnk AS INT) AS rnk, user_id, cnt_a, cnt_b, delta
+       |FROM rk WHERE rnk <= $HeavyChangeK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_revenue_ewma" -> dailyRevenueEwma,
+    "customer_churn_hazard" -> customerChurnHazard,
+    "events_heavy_change" -> eventsHeavyChange,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "daily_revenue_ewma" -> ewmaOracleSql,
+    "customer_churn_hazard" -> hazardOracleSql,
+    "events_heavy_change" -> heavyChangeOracleSql,
+  )
+}

@@ -116,7 +116,43 @@ object Olap {
         col("opened"), col("closed"), col("backlog"))
   }
 
+  /** Skyline (Pareto-frontier) query over part — minimize p_retailprice,
+    * maximize p_size: a part survives iff no other part is at least as
+    * good on both axes and strictly better on one. The classic dominance
+    * operator, solved WITHOUT the quadratic NOT-EXISTS self-join: because
+    * one axis (p_size) is a bounded alphabet, dominance factors through
+    * the per-size price minima — p is dominated ⟺ some strictly-larger
+    * size has min-price ≤ p's price, OR p's own size has a strictly
+    * cheaper part. Both tests come from ONE map-side-partial agg to the
+    * |sizes|-row frame plus a running min over it (ordered size-desc),
+    * broadcast-joined back to part. Equal (size, price) ties all survive
+    * (no strict axis). OlapSpec pins this decomposition ≡ the brute
+    * pairwise-dominance definition.
+    */
+  def partSkyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val mn = p.groupBy(col("p_size")).agg(min(col("p_retailprice")).as("mn"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sz = mn.withColumn("mgt", min(col("mn")).over(w)) // bounded |sizes| frame
+    p.join(broadcast(sz), "p_size")
+      .filter(col("p_retailprice") === col("mn") &&
+        (col("mgt").isNull || col("mgt") > col("p_retailprice")))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
+  private val skylineOracle: String =
+    """WITH mn AS (SELECT p_size, min(p_retailprice) AS mn FROM part GROUP BY 1),
+      |sz AS (SELECT p_size, mn, min(mn) OVER (ORDER BY p_size DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt FROM mn)
+      |SELECT p.p_partkey, p.p_size, p.p_retailprice
+      |FROM part p JOIN sz USING (p_size)
+      |WHERE p.p_retailprice = sz.mn
+      |  AND (sz.mgt IS NULL OR sz.mgt > p.p_retailprice)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_skyline" -> partSkyline,
     "orders_backlog" -> ordersBacklog,
     "orders_pivot" -> ordersPivot,
     "orders_rollup" -> ordersRollup,
@@ -126,6 +162,7 @@ object Olap {
   )
 
   val oracles: Map[String, String] = Map(
+    "part_skyline" -> skylineOracle,
     "orders_backlog" ->
       """WITH op AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS opened
         |  FROM orders GROUP BY 1),

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Lifecycle, Olap}
+
+/** Brute-force cross-checks for the lifecycle/frontier operators: each
+  * optimized decomposition is re-derived driver-side from first principles
+  * (pairwise dominance for the skyline, BigInt weight folds for the EWMA,
+  * an explicit life table for the hazard, a full re-count for the heavy
+  * changers) and compared row for row.
+  */
+class LifecycleSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("part_skyline equals brute pairwise dominance") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val brute = parts.filter { case (_, s0, pr0) =>
+      !parts.exists { case (_, s1, pr1) =>
+        s1 >= s0 && pr1 <= pr0 && (s1 > s0 || pr1 < pr0)
+      }
+    }.map { case (k, s0, pr0) => (k, s0, pr0) }.toSet
+    val got = Olap.partSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("daily_revenue_ewma equals a BigInt weight fold over the daily series") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long").as("cents"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val cents = daily.map(_._2)
+    val expected = daily.indices.map { n =>
+      val ws = (0 until Lifecycle.EwmaTerms).map { k =>
+        val x = if (n - k >= 0) BigInt(cents(n - k)) else BigInt(0)
+        x * BigInt(1L << (Lifecycle.EwmaTerms - 1 - k))
+      }.sum
+      (daily(n)._1, cents(n), (ws / BigInt(1L << Lifecycle.EwmaTerms)).toLong)
+    }.toSet
+    val got = Lifecycle.dailyRevenueEwma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("ewma decays toward the level: constant series fixes near the value") {
+    // closed form: a constant series c has ewma = c·(2^30 − 1)/2^30,
+    // i.e. c − 1 in integer truncation for large-enough c — a sanity pin
+    // that the weight/shift algebra is the intended α = 1/2 smoother.
+    val c = 1000000L
+    val ws = (0 until Lifecycle.EwmaTerms)
+      .map(k => BigInt(c) * BigInt(1L << (Lifecycle.EwmaTerms - 1 - k))).sum
+    val ewma = (ws / BigInt(1L << Lifecycle.EwmaTerms)).toLong
+    assert(ewma == c - 1)
+  }
+
+  test("customer_churn_hazard equals an explicit driver-side life table") {
+    val per = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val m = per.map(_._2).max
+    val custs = per.map { case (f, l) =>
+      val tenure = java.time.temporal.ChronoUnit.DAYS.between(f, l)
+      val churned = java.time.temporal.ChronoUnit.DAYS.between(l, m) >
+        Lifecycle.ChurnHorizonDays
+      ((tenure / Lifecycle.HazardBucketDays).toInt, churned)
+    }
+    val buckets = custs.map(_._1).distinct.sorted
+    val expected = buckets.map { b =>
+      val atRisk = custs.count(_._1 >= b).toLong
+      val churned = custs.count(c => c._1 == b && c._2).toLong
+      val cens = custs.count(c => c._1 == b && !c._2).toLong
+      (b, atRisk, churned, cens, churned * 1000000L / atRisk)
+    }.toSet
+    val got = Lifecycle.customerChurnHazard(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // the life-table invariant: n_at_risk(b) = n_at_risk(next) + own
+    // bucket's events-and-censored (the suffix sum telescopes)
+    val byB = got.toSeq.sortBy(_._1)
+    byB.sliding(2).foreach {
+      case Seq((b0, r0, d0, c0, _), (_, r1, _, _, _)) =>
+        assert(r0 == r1 + d0 + c0, s"at-risk must telescope at bucket $b0")
+      case _ => ()
+    }
+  }
+
+  test("events_heavy_change equals a driver-side split re-count") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val per = ev.groupBy(_._1).map { case (u, xs) =>
+      val a = xs.count(_._2 < mid).toLong
+      val b = xs.count(_._2 >= mid).toLong
+      (u, a, b, b - a)
+    }.toSeq
+    val expected = per.sortBy { case (u, _, _, dl) => (-math.abs(dl), u) }
+      .take(Lifecycle.HeavyChangeK).zipWithIndex
+      .map { case ((u, a, b, dl), i) => (i + 1, u, a, b, dl) }.toSet
+    val got = Lifecycle.eventsHeavyChange(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  // ---------------------------------------------------------------- plans
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("skyline: one bounded-frame window + a broadcast join back; no cartesian") {
+    val p = plan(Olap.partSkyline(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), "size-frame join must broadcast")
+    assert(p.contains("partial_min"), "per-size minima must partial-agg map-side")
+  }
+
+  test("ewma: corpus collapses map-side; the lag window is on the daily frame") {
+    val p = plan(Lifecycle.dailyRevenueEwma(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), "daily cents must partial-agg map-side")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      "all 30 lags must fuse into one window pass")
+  }
+
+  test("hazard: only the 1-row corpus-max scalar is a nested-loop join") {
+    val p = plan(Lifecycle.customerChurnHazard(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "per-customer first/last must partial-agg map-side")
+  }
+
+  test("heavy change: only the 1-row bounds scalar is a nested-loop join") {
+    val p = plan(Lifecycle.eventsHeavyChange(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+}
