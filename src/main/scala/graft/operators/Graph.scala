@@ -224,6 +224,101 @@ object Graph {
       .select(col("rnk"), col("p").as("p_partkey"), col("n_tri"), col("total_tri"))
   }
 
+  val KcK = 2
+  val KcIters = 6
+
+  /** k-core extraction (Seidman 1983; the cohesion filter behind "dense
+    * subgraph" dashboards): synchronously peel nodes of induced degree
+    * < [[KcK]] from the repeat-co-purchase graph for [[KcIters]] rounds,
+    * then report each survivor with its induced degree. K = 2 — the
+    * CYCLE core: peeling the forest leaves exactly the cyclically
+    * co-purchased part rings (bundle structure), the only non-vacuous
+    * core this corpus has (the repeat graph THINS as SF grows — measured:
+    * its 3-core is empty and its max degree 6 at sf0.1 — while the
+    * unit-weight graph is near-complete, so every fixed K ≥ 3 degenerates
+    * one way or the other). Synchronous peeling is deterministic (no tie
+    * order exists — a round removes ALL sub-k nodes at once), and peeling
+    * is monotone, so a fixed horizon is a superset of the true core that
+    * GraphSpec pins AT the fixpoint for this corpus (one extra round
+    * removes nothing; measured rounds-to-fixpoint: 0/3/5 at
+    * sf0.001/0.01/0.1). Scale: per round, two equi-joins of the
+    * materialized edge relation against the shrinking alive set + one
+    * map-side-partial degree agg — the edge relation itself never
+    * rebuilds.
+    *
+    * Oracle: the same rounds unrolled, with the alive-set CTEs MATERIALIZED
+    * inline — each round references its predecessor 4× (two induced-edge
+    * joins, twice via the degree union), so DuckDB's default CTE inlining
+    * would re-derive the chain 4^rounds times; materialization (the same
+    * fix the iterative scaleOracles apply) keeps the oracle linear in
+    * rounds. Values are unaffected — it is an evaluation hint.
+    */
+  def partKcore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .transform(Scale.materialize)
+    val bs = basketGuarded(li)
+    val und = bs.as("a").join(bs.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("ew"))
+      .filter(col("ew") >= LpMinWeight)
+      .select(col("u"), col("v"))
+      .transform(Scale.materialize)
+    var alive = und.select(col("u").as("p"))
+      .union(und.select(col("v").as("p"))).distinct()
+      .transform(Scale.materialize)
+    def induced(a: DataFrame): DataFrame = und
+      .join(a.select(col("p").as("u")), "u")
+      .join(a.select(col("p").as("v")), "v")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("p")).union(e.select(col("v").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+    for (_ <- 1 to KcIters) {
+      alive = degrees(induced(alive))
+        .filter(col("dg") >= KcK).select(col("p"))
+        .transform(Scale.materialize)
+    }
+    degrees(induced(alive))
+      .select(col("p").as("p_partkey"), col("dg").as("core_deg"))
+  }
+
+  private def kcoreOracle: String = {
+    val rounds = (1 to KcIters).map { k =>
+      val prev = if (k == 1) "a0" else s"a${k - 1}"
+      s"""a$k AS MATERIALIZED (SELECT p FROM (
+         |  SELECT p, count(*) AS dg FROM (
+         |    SELECT e.u AS p FROM und e
+         |      JOIN $prev x ON e.u = x.p JOIN $prev y ON e.v = y.p
+         |    UNION ALL
+         |    SELECT e.v AS p FROM und e
+         |      JOIN $prev x ON e.u = x.p JOIN $prev y ON e.v = y.p)
+         |  GROUP BY 1) WHERE dg >= $KcK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |bs AS (SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      count(*) OVER (PARTITION BY l_orderkey) AS c FROM li)
+       |  WHERE c <= ${Analytics.MaxBasket}),
+       |und AS MATERIALIZED (SELECT u, v FROM (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS ew
+       |  FROM bs a JOIN bs b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2) w0 WHERE ew >= $LpMinWeight),
+       |a0 AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT u AS p FROM und UNION ALL SELECT v AS p FROM und)),
+       |$rounds
+       |SELECT p AS p_partkey, dg AS core_deg FROM (
+       |  SELECT p, count(*) AS dg FROM (
+       |    SELECT e.u AS p FROM und e
+       |      JOIN a$KcIters x ON e.u = x.p JOIN a$KcIters y ON e.v = y.p
+       |    UNION ALL
+       |    SELECT e.v AS p FROM und e
+       |      JOIN a$KcIters x ON e.u = x.p JOIN a$KcIters y ON e.v = y.p)
+       |  GROUP BY 1)""".stripMargin
+  }
+
   private val trianglesOracle: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |bs AS (SELECT l_orderkey, l_partkey FROM (
@@ -261,6 +356,7 @@ object Graph {
     "part_pagerank" -> partPagerank,
     "part_communities" -> partCommunities,
     "part_triangles" -> partTriangles,
+    "part_kcore" -> partKcore,
   )
 
   /** The identical fixed-point iterations unrolled as chained CTEs — every
@@ -338,6 +434,7 @@ object Graph {
     "part_pagerank" -> pagerankOracle,
     "part_communities" -> communitiesOracle,
     "part_triangles" -> trianglesOracle,
+    "part_kcore" -> kcoreOracle,
   )
 
   /** sf1+ attestation variants: the SAME unrolled-iteration SQL with every

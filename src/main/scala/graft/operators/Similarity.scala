@@ -119,6 +119,85 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ------------------------------------------------------------------ MMR
+  /** Candidate pool per query for MMR re-ranking (the standard two-stage
+    * retrieve-then-diversify shape: a cheap top-[[MmrPool]] retrieval
+    * feeds the quadratic-in-pool greedy selection, so the pairwise work is
+    * pool², never corpus²).
+    */
+  val MmrPool = 20
+
+  /** Diversified results returned per query. */
+  val MmrK = 5
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    * 1998, the retrieval-diversification standard): greedily select
+    * [[MmrK]] results from the brute top-[[MmrPool]] pool, each round
+    * taking the candidate maximizing rel(q,d) − max_{s∈S} sim(d,s) (the
+    * λ=1/2 MMR objective up to a positive scale, argmax-invariant; the
+    * empty-set max is 0). Exactness: rel/sim are the shared IEEE cosine,
+    * the score is ONE subtract of identically-computed doubles, ties break
+    * on vec_id — the oracle unrolls the same [[MmrK]] rounds. Scale: the
+    * pool is k-bounded per query (pairs = pool² per query, windows never
+    * exceed pool rows), so everything after retrieval is linear in
+    * #queries; retrieval itself is the audited brute/ANN path.
+    */
+  /** The retrieval + pool-pairwise stages of [[knnMmr]], pre-checkpoint —
+    * exposed so the plan spec can pin their shapes (the greedy rounds
+    * materialize, which truncates the final visible plan at RDD scans).
+    */
+  private[graft] def mmrPool(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val scored = broadcast(q).join(c)
+      .withColumn("rel", NativeVector.cosine(col("qv"), col("v")))
+    Scale.topKPerGroup(
+        scored.select(col("q_id"), col("vec_id"), col("rel")),
+        Seq("q_id"), Seq(col("rel").desc, col("vec_id")),
+        k = MmrPool, saltSrc = col("vec_id"))
+      .drop("rnk")
+      .join(c, "vec_id") // re-attach candidate vectors for pairwise sims
+      .select(col("q_id"), col("vec_id"), col("rel"), col("v"))
+  }
+
+  private[graft] def mmrPairs(pool: DataFrame): DataFrame =
+    pool.select(col("q_id"), col("vec_id").as("a"), col("v").as("va"))
+      .join(pool.select(col("q_id"), col("vec_id").as("b"), col("v").as("vb")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        NativeVector.cosine(col("va"), col("vb")).as("sim"))
+
+  def knnMmr(s: SparkSession, d: String): DataFrame = {
+    val pool = mmrPool(s, d).transform(Scale.materialize)
+    val pairs = mmrPairs(pool).transform(Scale.materialize)
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var sel: DataFrame = null
+    var rem = pool.select(col("q_id"), col("vec_id"), col("rel"))
+    for (r <- 1 to MmrK) {
+      val withMs =
+        if (sel == null) rem.withColumn("ms", lit(0.0))
+        else {
+          val mx = pairs
+            .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
+            .groupBy(col("q_id"), col("a"))
+            .agg(max(col("sim")).as("mx"))
+            .withColumnRenamed("a", "vec_id")
+          rem.join(mx, Seq("q_id", "vec_id"), "left_outer")
+            .withColumn("ms", coalesce(col("mx"), lit(0.0))).drop("mx")
+        }
+      val pick = withMs.withColumn("score", col("rel") - col("ms"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"), col("score"),
+          lit(r).as("rank"))
+        .transform(Scale.materialize)
+      sel = if (sel == null) pick else sel.unionByName(pick)
+      rem = rem.join(pick.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+    }
+    sel.select(col("q_id"), col("rank"), col("vec_id").as("nn_id"),
+      detRound(col("rel"), 6).as("rel"), detRound(col("score"), 6).as("mmr"))
+  }
+
   // ------------------------------------------------------------------ LSH
   /** Deterministic hyperplanes: component (table, bit, dim) from a
     * fixed-seed LCG in [-1, 1]. Literal arrays → pure Column math, broadcast
@@ -1500,6 +1579,7 @@ object Similarity {
     "dedup_semdedup" -> dedupSemdedup,
     "embed_sq8" -> embedSq8,
     "knn_brute_cosine" -> knnBrute,
+    "knn_mmr" -> knnMmr,
     "knn_matryoshka" -> knnMatryoshka,
     "knn_range" -> knnRange,
     "knn_filtered" -> knnFiltered,
@@ -1902,6 +1982,53 @@ object Similarity {
        |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** knn_mmr's oracle: the brute pool + pool-pairwise cosines, then the
+    * identical [[MmrK]] greedy rounds unrolled as CTEs — same score
+    * arithmetic (one subtract of shared-fold doubles, empty-set max = 0),
+    * same (score desc, vec_id) total order, anti-join removal per round.
+    */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""p$r AS (SELECT q_id, vec_id, rel, score, $r AS rank FROM (
+         |  SELECT t.q_id, t.vec_id, t.rel, t.rel - coalesce(m.mx, 0.0) AS score,
+         |    row_number() OVER (PARTITION BY t.q_id
+         |      ORDER BY t.rel - coalesce(m.mx, 0.0) DESC, t.vec_id) AS rn
+         |  FROM (SELECT p.* FROM pool p ANTI JOIN $prev s
+         |      ON p.q_id = s.q_id AND p.vec_id = s.vec_id) t
+         |  LEFT JOIN (SELECT pr.q_id, pr.a AS vec_id, max(pr.sim) AS mx
+         |    FROM pairs pr JOIN $prev s ON pr.q_id = s.q_id AND pr.b = s.vec_id
+         |    GROUP BY 1, 2) m ON m.q_id = t.q_id AND m.vec_id = t.vec_id)
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM $prev UNION ALL
+         |  SELECT q_id, vec_id, rel, score FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |sc AS (SELECT q_id, vec_id, ${cosineSql("qv", "v")} AS rel FROM q, c),
+       |pool AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (
+       |  SELECT q_id, vec_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn <= $MmrPool),
+       |poolv AS (SELECT p.q_id, p.vec_id, p.rel, c.v
+       |  FROM pool p JOIN c USING (vec_id)),
+       |pairs AS MATERIALIZED (SELECT x.q_id, x.vec_id AS a, y.vec_id AS b,
+       |    ${cosineSql("x.v", "y.v")} AS sim
+       |  FROM poolv x JOIN poolv y
+       |    ON x.q_id = y.q_id AND x.vec_id <> y.vec_id),
+       |p1 AS (SELECT q_id, vec_id, rel, rel AS score, 1 AS rank FROM (
+       |  SELECT q_id, vec_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+       |  FROM pool) WHERE rn = 1),
+       |sel1 AS (SELECT q_id, vec_id, rel, score FROM p1),
+       |$rounds,
+       |allp AS (SELECT * FROM p1 ${(2 to MmrK).map(r => s"UNION ALL SELECT * FROM p$r").mkString(" ")})
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS nn_id,
+       |  floor(rel*1e6)/1e6 AS rel, floor(score*1e6)/1e6 AS mmr
+       |FROM allp""".stripMargin
+  }
+
   /** knn_range's oracle: the brute scoring with the τ filter in place of
     * the rank cut.
     */
@@ -1972,6 +2099,7 @@ object Similarity {
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
+      "knn_mmr" -> mmrOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,
       "knn_range" -> rangeOracleSql,
       "knn_filtered" -> filteredOracleSql,

@@ -102,4 +102,41 @@ class GraphSpec extends AnyFunSuite {
     assert(out == expect)
     assert(total > 0, "graph has no triangles at this SF — statistic vacuous")
   }
+  test("part_kcore equals a brute peel run to its fixpoint") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = li.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted.toList)
+      .filter(_.size <= graft.operators.Analytics.MaxBasket)
+    val w = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    for (b <- byOrder; i <- b.indices; j <- i + 1 until b.size) {
+      val e = (b(i), b(j)); w(e) = w.getOrElse(e, 0L) + 1L
+    }
+    val edges = w.filter(_._2 >= Graph.LpMinWeight).keys.toSet
+    // brute peel until NOTHING changes (the true k-core), counting rounds
+    var alive = edges.flatMap(e => Seq(e._1, e._2))
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      for ((a, b) <- edges if alive(a) && alive(b); p0 <- Seq(a, b))
+        deg(p0) = deg.getOrElse(p0, 0L) + 1L
+      val next = alive.filter(p0 => deg.getOrElse(p0, 0L) >= Graph.KcK)
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next
+    }
+    assert(rounds <= Graph.KcIters,
+      s"fixed horizon ${Graph.KcIters} must reach the fixpoint (needs $rounds)")
+    val deg = new scala.collection.mutable.HashMap[Long, Long]()
+    for ((a, b) <- edges if alive(a) && alive(b); p0 <- Seq(a, b))
+      deg(p0) = deg.getOrElse(p0, 0L) + 1L
+    val expect = deg.toMap
+    val out = Graph.partKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expect)
+    assert(out.nonEmpty, "k-core empty at this SF - statistic vacuous")
+    assert(out.values.forall(_ >= Graph.KcK))
+  }
 }

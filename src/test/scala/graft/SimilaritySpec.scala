@@ -354,4 +354,62 @@ class SimilaritySpec extends AnyFunSuite {
     val means = Similarity.MatDims.map(byM)
     assert(means === means.sorted, s"mean recall not monotone: $byM")
   }
+  test("knn_mmr equals a driver-side greedy MMR over the brute pool") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // the exact sequential fold NativeVector/aggregate use (0.0 seed)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val queries = vecs.filter(_._1 < Similarity.NumQueries)
+    val corpus = vecs.filter(_._1 >= Similarity.NumQueries)
+    def fl6(x: Double): Double = math.floor(x * 1e6) / 1e6
+    val expect = queries.flatMap { case (qid, qv) =>
+      val pool = corpus.map { case (vid, v) => (vid, v, cos(qv, v)) }
+        .sortBy { case (vid, _, rel) => (-rel, vid) }.take(Similarity.MmrPool)
+      var sel = List.empty[(Long, Array[Double], Double, Double)]
+      var rem = pool.toList
+      (1 to Similarity.MmrK).map { r =>
+        val scoredRem = rem.map { case (vid, v, rel) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(v, s._2)).max
+          (vid, v, rel, rel - ms)
+        }
+        val pick = scoredRem.minBy { case (vid, _, _, sc) => (-sc, vid) }
+        sel = sel :+ ((pick._1, pick._2, pick._3, pick._4))
+        rem = rem.filterNot(_._1 == pick._1)
+        (qid, r, pick._1, fl6(pick._3), fl6(pick._4))
+      }
+    }.toSet
+    val out = Similarity.knnMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(out == expect)
+    // diversification must bite: some rank-2..5 pick differs from the
+    // plain relevance order (otherwise the operator is vacuous here)
+    val plainTop = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (vid, v) => (vid, cos(qv, v)) }
+        .sortBy { case (vid, rel) => (-rel, vid) }
+        .take(Similarity.MmrK).map(_._1).toList
+    }.toMap
+    val mmrOrder = out.toSeq.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(mmrOrder.exists { case (q, l) => plainTop(q) != l },
+      "MMR never re-ranked - diversification vacuous on this corpus")
+  }
+
+  test("knn_mmr plan: retrieval broadcasts the query set; pairs join is q_id-equi") {
+    // the greedy rounds materialize (checkpoint) so the final plan is RDD
+    // scans - pin the two stages that carry the scale story instead
+    val pool = Similarity.mmrPool(spark, sf)
+    val pp = pool.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"), pp)
+    val pr = Similarity.mmrPairs(pool).queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("SortMergeJoin"),
+      "pool pairwise sims must join on q_id, never nested-loop: " + pr)
+  }
 }
