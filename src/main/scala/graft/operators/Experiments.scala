@@ -716,7 +716,94 @@ object Experiments {
       |    ELSE CAST(0 AS BIGINT) END AS dev_ppm
       |FROM mx m""".stripMargin
 
+  /** Two-sided z critical value for the Mann-Whitney verdict (α = 0.05). */
+  val MwZCrit = 1.96
+
+  /** Exact Mann-Whitney U (Wilcoxon rank-sum) drift test per source vs the
+    * rest of the corpus, over document lengths — the rank-based complement
+    * of [[textLengthKs]] (KS sees shape anywhere; U sees stochastic
+    * dominance — "does this source run systematically longer?").
+    * Exactness: midranks over the bounded length-value frame are kept as
+    * DOUBLED integers (2·midrank = 2·cum_before + t + 1, always integral),
+    * so the rank sum, U statistic and tie-correction term ΣT = Σ(t³−t)
+    * are all exact DECIMAL(38,0)/HUGEINT; z = (U2 − n_s·n_r) /
+    * (2·σ) is assembled from correctly-rounded decimal→double casts,
+    * one sqrt and one division, identically parenthesized in the oracle —
+    * bit-identical cross-engine. Scale: one (source, length) partial agg +
+    * one length-value partial agg (both bounded corpus statistics), a
+    * cum-window over the value frame, a broadcast join — never a
+    * corpus-sized rank window. DECIMAL(38,0) holds σ²'s numerator to
+    * N ≈ 10^9 docs; beyond that the tie numerator needs a wider scale
+    * (documented ceiling, not a silent overflow — decimal overflow is an
+    * error, not truncation).
+    */
+  def statsMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+    val vals = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("t"))
+    val wv = Window.orderBy(col("n_chars")) // bounded length-value frame
+    val ranked = vals
+      .withColumn("cum", sum(col("t")).over(wv))
+      .select(col("n_chars"), col("t"),
+        (lit(2) * (col("cum") - col("t")) + col("t") + lit(1)).as("mr2"))
+    val perSv = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val ties = vals.agg(sum((col("t").cast("decimal(38,0)") * col("t") * col("t"))
+      - col("t").cast("decimal(38,0)")).as("sumt"))
+    val bySrc = perSv.join(broadcast(ranked), "n_chars")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"),
+        sum(col("c").cast("decimal(38,0)") * col("mr2")).as("r2"))
+    bySrc.crossJoin(broadcast(tot)) // 1-row corpus total
+      .crossJoin(broadcast(ties)) // 1-row tie term
+      .select(col("source"), col("n_s"), (col("n") - col("n_s")).as("n_r"),
+        (col("r2") - (col("n_s").cast("decimal(38,0)") * (col("n_s") + lit(1))))
+          .cast("long").as("u2"),
+        col("r2"), col("n"), col("sumt"))
+      .select(col("source"), col("n_s"), col("n_r"), col("u2"),
+        // z = (U2 − n_s·n_r) / (2·sqrt(σ²)); σ² as exact-rational num/den
+        ((col("u2") - col("n_s") * col("n_r")).cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n_s").cast("decimal(38,0)") * col("n_r") *
+              ((col("n").cast("decimal(38,0)") + lit(1)) * col("n") * (col("n") - lit(1))
+                - col("sumt"))).cast("double") /
+            (lit(12.0) * (col("n").cast("decimal(38,0)") * (col("n") - lit(1))).cast("double")))))
+          .as("z"))
+      .select(col("source"), col("n_s"), col("n_r"), col("u2"),
+        (floor(col("z") * 1e4) / 1e4).as("z4"),
+        (abs(col("z")) > lit(MwZCrit)).as("significant"))
+  }
+
+  private val mwOracleSql: String =
+    s"""WITH docs AS (SELECT source, n_chars FROM documents),
+       |vals AS (SELECT n_chars, count(*) AS t FROM docs GROUP BY 1),
+       |ranked AS (SELECT n_chars, t,
+       |    2 * (sum(t) OVER (ORDER BY n_chars) - t) + t + 1 AS mr2
+       |  FROM vals),
+       |persv AS (SELECT source, n_chars, count(*) AS c FROM docs GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n FROM docs),
+       |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT)) AS sumt
+       |  FROM vals),
+       |bysrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+       |    sum(CAST(c AS HUGEINT) * mr2) AS r2
+       |  FROM persv p JOIN ranked r USING (n_chars) GROUP BY 1),
+       |st AS (SELECT source, n_s, n - n_s AS n_r,
+       |    CAST(r2 - CAST(n_s AS HUGEINT) * (n_s + 1) AS BIGINT) AS u2,
+       |    n, sumt
+       |  FROM bysrc, tot, ties),
+       |z AS (SELECT source, n_s, n_r, u2,
+       |    CAST(u2 - n_s * n_r AS DOUBLE) /
+       |      (2.0 * sqrt(
+       |        CAST(CAST(n_s AS HUGEINT) * n_r *
+       |          ((CAST(n AS HUGEINT) + 1) * n * (n - 1) - sumt) AS DOUBLE) /
+       |        (12.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))) AS z
+       |  FROM st)
+       |SELECT source, n_s, n_r, u2, floor(z * 1e4) / 1e4 AS z4,
+       |  abs(z) > $MwZCrit AS significant
+       |FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_mann_whitney" -> statsMannWhitney,
     "events_ab_test" -> eventsAbTest,
     "events_ab_srm" -> eventsAbSrm,
     "events_cusum_shift" -> eventsCusumShift,
@@ -728,6 +815,7 @@ object Experiments {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_mann_whitney" -> mwOracleSql,
     "events_ab_test" -> abOracleSql,
     "events_ab_srm" -> srmOracleSql,
     "events_cusum_shift" -> cusumOracleSql,

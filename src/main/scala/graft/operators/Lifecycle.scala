@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -173,15 +173,114 @@ object Lifecycle {
        |SELECT CAST(rnk AS INT) AS rnk, user_id, cnt_a, cnt_b, delta
        |FROM rk WHERE rnk <= $HeavyChangeK""".stripMargin
 
+  /** Streak report size. */
+  val StreakTopK = 50
+
+  /** Longest consecutive-day activity streaks (the gaps-and-islands SQL
+    * pattern, the "7-day streak" engagement statistic): per user, distinct
+    * active days collapse to islands via the classic day − row_number
+    * constant — consecutive days share one island id, a gap starts a new
+    * one — then islands aggregate to (user, start, length) and the global
+    * top-[[StreakTopK]] rides the bucketed two-phase top-k. All
+    * date/integer arithmetic; the only windows are per-user (bounded by a
+    * user's distinct active days), the island agg is map-side partial.
+    * Ties: (length desc, user asc, start asc).
+    */
+  def eventsActiveStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val isl = days
+      .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start"), count(lit(1)).as("streak_days"))
+    Scale.topKPerGroup(isl.select(col("user_id"), col("start"), col("streak_days")),
+        Seq.empty, Seq(col("streak_days").desc, col("user_id"), col("start")),
+        k = StreakTopK, saltSrc = col("user_id"))
+      .select(col("rnk"), col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd").as("start_day"),
+        col("streak_days"))
+  }
+
+  private def streaksOracleSql: String =
+    s"""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |isl AS (SELECT user_id,
+       |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp,
+       |    day
+       |  FROM days),
+       |st AS (SELECT user_id, min(day) AS start, count(*) AS streak_days
+       |  FROM isl GROUP BY user_id, grp),
+       |rk AS (SELECT user_id, start, streak_days,
+       |    row_number() OVER (ORDER BY streak_days DESC, user_id, start) AS rnk
+       |  FROM st)
+       |SELECT CAST(rnk AS INT) AS rnk, user_id,
+       |  strftime(start, '%Y-%m-%d') AS start_day, streak_days
+       |FROM rk WHERE rnk <= $StreakTopK""".stripMargin
+
+  /** Inter-order gap histogram buckets (days): upper bounds of the fixed
+    * cadence bands; the last band is open.
+    */
+  val GapBounds = Seq(0L, 7L, 30L, 90L)
+
+  /** Purchase-cadence distribution: per customer, the day gaps between
+    * consecutive orders (ordered by date then key — total order), bucketed
+    * into fixed bands with counts and ppm shares. One per-customer lag
+    * window (bounded partitions) + one map-side-partial band agg; the
+    * share division is integer ppm against a 1-row total from a window
+    * over the bounded band frame.
+    */
+  def ordersOrderGapDist(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).as("gap"))
+    val band = GapBounds.foldRight(lit(s">${GapBounds.last}"): Column) {
+      (b, acc) => when(col("gap") <= b, lit(s"<=$b")).otherwise(acc)
+    }
+    val byBand = gaps.select(band.as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_gaps"))
+    val wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byBand
+      .withColumn("total", sum(col("n_gaps")).over(wt)) // bounded band frame
+      .select(col("band"), col("n_gaps"),
+        expr("CAST(CAST(CAST(n_gaps AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div total AS BIGINT)").as("share_ppm"))
+  }
+
+  private def gapDistOracleSql: String = {
+    val bandSql = GapBounds.reverse.foldLeft(s"'>${GapBounds.last}'") {
+      (acc, b) => s"CASE WHEN gap <= $b THEN '<=$b' ELSE $acc END"
+    }
+    s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_orderkey
+       |  FROM orders),
+       |g AS (SELECT date_diff('day',
+       |    lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+       |    day) AS gap FROM o),
+       |b AS (SELECT $bandSql AS band FROM g WHERE gap IS NOT NULL),
+       |bb AS (SELECT band, count(*) AS n_gaps FROM b GROUP BY 1),
+       |t AS (SELECT sum(n_gaps) AS total FROM bb)
+       |SELECT band, n_gaps,
+       |  CAST((CAST(n_gaps AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm
+       |FROM bb, t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_revenue_ewma" -> dailyRevenueEwma,
     "customer_churn_hazard" -> customerChurnHazard,
     "events_heavy_change" -> eventsHeavyChange,
+    "events_active_streaks" -> eventsActiveStreaks,
+    "orders_order_gap_dist" -> ordersOrderGapDist,
   )
 
   val oracles: Map[String, String] = Map(
     "daily_revenue_ewma" -> ewmaOracleSql,
     "customer_churn_hazard" -> hazardOracleSql,
     "events_heavy_change" -> heavyChangeOracleSql,
+    "events_active_streaks" -> streaksOracleSql,
+    "orders_order_gap_dist" -> gapDistOracleSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -977,7 +977,43 @@ object TextQueries {
     "text_containment" -> textContainment,
     "text_topterms" -> textTopterms,
     "text_zipf_fit" -> textZipfFit,
+    "text_heaps_law" -> textHeapsLaw,
   )
+
+  /** Heaps'-law vocabulary-growth curve (Herdan 1960 / Heaps 1978; the
+    * "how fast does the vocab still grow?" corpus-saturation audit next to
+    * [[textZipfFit]]): vocabulary size at power-of-two document prefixes
+    * of the corpus, in doc_id order. The cumulative-distinct question is
+    * inherently sequential — solved by factoring through each term's FIRST
+    * document: a term is in prefix 2^k iff bitlen(first_doc) ≤ k, so ONE
+    * vocab-frame aggregate groups terms by that bit-level, docs/token
+    * totals group the doc frame the same way, and the growth curve is a
+    * cum-sum window over the ≤ log₂(n)-row level frame. All integer; no
+    * per-prefix rescans, no corpus-sized window. Levels are doc_id
+    * bit-lengths (doc_ids are dense by generation; the statistic is
+    * well-defined for any ids — "prefix" then means ids below 2^k).
+    */
+  def textHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    def lvl(c: Column): Column =
+      when(c === 0, 0).otherwise(length(bin(c))).cast("int")
+    val dd = docs(s, d).select(col("doc_id"), col("n_tokens"))
+    val dl = dd.groupBy(lvl(col("doc_id")).as("lvl"))
+      .agg(count(lit(1)).as("d_docs"),
+        sum(col("n_tokens").cast("long")).as("d_tokens"))
+    val vocab = docs(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("f"))
+    val vl = vocab.groupBy(lvl(col("f")).as("lvl"))
+      .agg(count(lit(1)).as("d_vocab"))
+    val w = Window.orderBy(col("lvl")) // bounded level frame (≤ 64 rows)
+    dl.join(vl, Seq("lvl"), "left_outer") // vocab levels ⊆ doc levels
+      .select(col("lvl"), col("d_docs"), col("d_tokens"),
+        coalesce(col("d_vocab"), lit(0L)).as("d_vocab"))
+      .select(col("lvl"),
+        sum(col("d_docs")).over(w).as("n_docs"),
+        sum(col("d_tokens")).over(w).as("n_tokens"),
+        sum(col("d_vocab")).over(w).as("vocab"))
+  }
 
   // SQL mirrors: same normalization/tokenization, same marker lists, same
   // floor-based rounding.
@@ -1333,5 +1369,24 @@ object TextQueries {
          |  FROM m)
          |SELECT n_terms, slope, (syd - slope * sxd) / n_terms AS intercept
          |FROM s""".stripMargin,
+    "text_heaps_law" ->
+      s"""WITH dd AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+         |dl AS (SELECT CASE WHEN doc_id = 0 THEN 0
+         |      ELSE CAST(length(bin(doc_id)) AS INT) END AS lvl,
+         |    count(*) AS d_docs, CAST(sum(n_tokens) AS BIGINT) AS d_tokens
+         |  FROM dd GROUP BY 1),
+         |t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |vocab AS (SELECT w, min(doc_id) AS f FROM t GROUP BY 1),
+         |vl AS (SELECT CASE WHEN f = 0 THEN 0
+         |      ELSE CAST(length(bin(f)) AS INT) END AS lvl,
+         |    count(*) AS d_vocab
+         |  FROM vocab GROUP BY 1),
+         |g AS (SELECT dl.lvl, dl.d_docs, dl.d_tokens,
+         |    coalesce(vl.d_vocab, 0) AS d_vocab
+         |  FROM dl LEFT JOIN vl ON dl.lvl = vl.lvl)
+         |SELECT lvl, CAST(sum(d_docs) OVER cw AS BIGINT) AS n_docs,
+         |  CAST(sum(d_tokens) OVER cw AS BIGINT) AS n_tokens,
+         |  CAST(sum(d_vocab) OVER cw AS BIGINT) AS vocab
+         |FROM g WINDOW cw AS (ORDER BY lvl)""".stripMargin,
   )
 }

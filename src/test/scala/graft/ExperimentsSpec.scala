@@ -295,4 +295,43 @@ class ExperimentsSpec extends AnyFunSuite {
       assert(chi2 >= 0L)
     }
   }
+  test("mann-whitney U matches a driver-side midrank recomputation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    // global midranks over the pooled sample (doubled to stay integral)
+    val byVal = docs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val mr2 = byVal.map { case (v, t) =>
+      val m = 2 * cum + t + 1; cum += t; (v, m)
+    }.toMap
+    val sumT = byVal.map { case (_, t) => BigInt(t) * t * t - t }.sum
+    val expected = docs.groupBy(_._1).map { case (src0, xs) =>
+      val n1 = xs.size.toLong
+      val n2 = n - n1
+      val r2 = xs.map(x => BigInt(mr2(x._2))).sum
+      val u2 = (r2 - BigInt(n1) * (n1 + 1)).toLong
+      val num = BigInt(n1) * n2 * ((BigInt(n) + 1) * n * (n - 1) - sumT)
+      val sigma = math.sqrt(num.toDouble / (12.0 * (BigInt(n) * (n - 1)).toDouble))
+      val z = (u2 - n1 * n2).toDouble / (2.0 * sigma)
+      (src0, n1, n2, u2, math.floor(z * 1e4) / 1e4, math.abs(z) > Experiments.MwZCrit)
+    }.toSet
+    val got = Experiments.statsMannWhitney(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    assert(got == expected)
+    assert(expected.size > 1, "single source - test vacuous")
+  }
+
+  test("mann-whitney plan: value-frame windows only, no corpus-sized rank sort") {
+    val p = Experiments.statsMannWhitney(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // two 1-row scalars (total, tie term) are the only nested-loop joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("partial_count"), "value/source counts must partial-agg map-side")
+  }
 }

@@ -145,4 +145,77 @@ class LifecycleSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
+  test("events_active_streaks equals a driver-side islands recompute") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val streaks = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(java.time.LocalDate, Long)]
+      for (d <- sorted) {
+        if (runs.nonEmpty &&
+            runs.last._1.plusDays(runs.last._2) == d)
+          runs(runs.size - 1) = (runs.last._1, runs.last._2 + 1)
+        else runs += ((d, 1L))
+      }
+      runs.map { case (start, len) => (u, start.toString, len) }
+    }
+    val expected = streaks
+      .sortBy { case (u, st, len) => (-len, u, st) }
+      .take(Lifecycle.StreakTopK).zipWithIndex
+      .map { case ((u, st, len), i) => (i + 1, u, st, len) }.toSet
+    val got = Lifecycle.eventsActiveStreaks(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.exists(_._4 > 1), "no multi-day streak - statistic vacuous")
+  }
+
+  test("orders_order_gap_dist equals a driver-side gap recount") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { os =>
+      val sorted = os.sortBy(o => (o._2.toEpochDay, o._3)).toSeq
+      sorted.sliding(2).collect {
+        case Seq(a, b) => java.time.temporal.ChronoUnit.DAYS.between(a._2, b._2)
+      }
+    }.toSeq
+    def band(g: Long): String =
+      Lifecycle.GapBounds.find(g <= _).map(b => s"<=$b")
+        .getOrElse(s">${Lifecycle.GapBounds.last}")
+    val byBand = gaps.groupBy(band).view.mapValues(_.size.toLong).toMap
+    val total = gaps.size.toLong
+    val expected = byBand.map { case (b, n) =>
+      (b, n, n * 1000000L / total)
+    }.toSet
+    val got = Lifecycle.ordersOrderGapDist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(byBand.size >= 2, "single gap band - distribution vacuous")
+  }
+
+  test("text_heaps_law: vocab growth matches per-prefix brute distinct counts") {
+    val out = graft.operators.TextQueries.textHeapsLaw(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // brute: for each level, re-tokenize the prefix corpus and count
+    // distinct terms directly (the definition the factored plan avoids)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1).toSeq
+    for ((lvl, nDocs, nToks, vocab) <- out) {
+      val bound = if (lvl == 0) 1L else 1L << lvl
+      val prefix = docs.filter(_._1 < bound)
+      assert(nDocs == prefix.size.toLong, s"lvl $lvl docs")
+      assert(nToks == prefix.map(_._2).map(toks(_).size.toLong).sum, s"lvl $lvl tokens")
+      assert(vocab == prefix.flatMap(d => toks(d._2)).distinct.size.toLong, s"lvl $lvl vocab")
+    }
+    // growth must be strictly saturating in shape: vocab non-decreasing,
+    // and the last level covers the whole corpus
+    assert(out.last._2 == docs.length.toLong)
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq)
+  }
 }
