@@ -268,7 +268,127 @@ object Lifecycle {
        |FROM bb, t""".stripMargin
   }
 
+  /** Weekly growth accounting (the new/retained/resurrected/churned user
+    * decomposition every growth dashboard leads with): per observed week,
+    * active users classed by their own history — new (first active week),
+    * retained (also active the immediately-preceding week), resurrected
+    * (active before, but not last week); churn events are attributed to
+    * the week AFTER the last consecutive active week (active in w−7, not
+    * in w), so n_churned rows can extend one week past the last activity.
+    * The identity new + retained + resurrected = active holds per week,
+    * and Σnew = total users (every user is new exactly once) — both
+    * spec-pinned. Scale: one (user, week) distinct + per-user lag/lead
+    * windows (bounded by a user's distinct active weeks) + map-side-partial
+    * weekly counts; the week-frame join is a broadcast of a bounded
+    * calendar frame.
+    */
+  def eventsGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val t = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("nxt", lead(col("wk"), 1).over(w))
+    val cls = t.select(col("wk"),
+      when(col("prev").isNull, lit("new"))
+        .when(col("prev") === date_sub(col("wk"), 7), lit("retained"))
+        .otherwise(lit("resurrected")).as("cls"))
+    val act = cls.groupBy(col("wk"))
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churn = t
+      .filter(col("nxt").isNull || col("nxt") > date_add(col("wk"), 7))
+      .groupBy(date_add(col("wk"), 7).as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    val weeks = act.select(col("wk")).union(churn.select(col("wk"))).distinct()
+    weeks
+      .join(act, Seq("wk"), "left_outer")
+      .join(churn, Seq("wk"), "left_outer")
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  private def growthOracleSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |t AS (SELECT user_id, wk,
+      |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+      |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+      |  FROM uw),
+      |act AS (SELECT wk,
+      |    CAST(count(*) FILTER (prev IS NULL) AS BIGINT) AS n_new,
+      |    CAST(count(*) FILTER (prev = wk - 7) AS BIGINT) AS n_retained,
+      |    CAST(count(*) FILTER (prev IS NOT NULL AND prev <> wk - 7) AS BIGINT)
+      |      AS n_resurrected
+      |  FROM t GROUP BY 1),
+      |churn AS (SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM t WHERE nxt IS NULL OR nxt > wk + 7 GROUP BY 1),
+      |weeks AS (SELECT wk FROM act UNION SELECT wk FROM churn)
+      |SELECT strftime(w.wk, '%Y-%m-%d') AS week,
+      |  coalesce(a.n_new, 0) AS n_new,
+      |  coalesce(a.n_retained, 0) AS n_retained,
+      |  coalesce(a.n_resurrected, 0) AS n_resurrected,
+      |  coalesce(c.n_churned, 0) AS n_churned
+      |FROM weeks w LEFT JOIN act a ON a.wk = w.wk
+      |LEFT JOIN churn c ON c.wk = w.wk""".stripMargin
+
+  /** Gini concentration of per-user activity ("do 1% of users produce 90%
+    * of events?") — exact, via the same value-frame factoring customer_abc
+    * uses for Pareto cums: users never sort globally; the count-value
+    * frame (distinct per-user event counts, a bounded corpus statistic)
+    * carries how many users share each count, so the rank-weighted sum
+    * Σ i·x_i collapses to Σ_v v·(t_v·cum_before_v + t_v(t_v+1)/2) — all
+    * integer in DECIMAL(38,0)/HUGEINT, and Gini = (2Σi·x − (n+1)S) /
+    * (n·S) lands as ONE integer ppm division. Output is a single audit
+    * row.
+    */
+  def eventsGini(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val vals = perUser.groupBy(col("c")).agg(count(lit(1)).as("t"))
+    val wv = Window.orderBy(col("c")) // bounded count-value frame
+    val ranked = vals
+      .withColumn("cumu", sum(col("t")).over(wv))
+      .select(col("c"), col("t"), (col("cumu") - col("t")).as("before"))
+    // six2 = 2·Σ i·x_i kept DOUBLED so every intermediate stays integral:
+    // ranks cum_before+1..cum_before+t contribute t·(2·cum_before + t + 1)
+    ranked.agg(
+        sum(col("t")).as("n_users"),
+        sum(col("c").cast("decimal(38,0)") * col("t")).as("s"),
+        sum(col("c").cast("decimal(38,0)") *
+          (col("t") * (lit(2) * col("before") + col("t") + lit(1))))
+          .as("six2"))
+      .select(col("n_users"),
+        col("s").cast("long").as("n_events"),
+        expr("CAST(CAST((six2 - (n_users + 1) * s) * 1000000 " +
+          "AS DECIMAL(38,0)) div (CAST(n_users AS DECIMAL(38,0)) * s) " +
+          "AS BIGINT)").as("gini_ppm"))
+  }
+
+  private def giniOracleSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |vals AS (SELECT c, count(*) AS t FROM pu GROUP BY 1),
+      |ranked AS (SELECT c, t,
+      |    sum(t) OVER (ORDER BY c) - t AS before FROM vals),
+      |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n_users,
+      |    sum(CAST(c AS HUGEINT) * t) AS s,
+      |    sum(CAST(c AS HUGEINT) *
+      |      (t * (2 * before + t + 1))) AS six2
+      |  FROM ranked)
+      |SELECT n_users, CAST(s AS BIGINT) AS n_events,
+      |  CAST(((six2 - (n_users + 1) * s) * 1000000) //
+      |    (CAST(n_users AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_growth_accounting" -> eventsGrowthAccounting,
+    "events_gini" -> eventsGini,
     "daily_revenue_ewma" -> dailyRevenueEwma,
     "customer_churn_hazard" -> customerChurnHazard,
     "events_heavy_change" -> eventsHeavyChange,
@@ -277,6 +397,8 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_growth_accounting" -> growthOracleSql,
+    "events_gini" -> giniOracleSql,
     "daily_revenue_ewma" -> ewmaOracleSql,
     "customer_churn_hazard" -> hazardOracleSql,
     "events_heavy_change" -> heavyChangeOracleSql,

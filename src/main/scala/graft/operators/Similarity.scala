@@ -119,6 +119,58 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // --------------------------------------------------------- triplet eval
+  /** Anchor count for the embedding-space label-consistency eval. */
+  val TripletAnchors = 50
+
+  /** Triplet-margin evaluation of the embedding space against its labels
+    * (the metric-learning eval: "is each point closer to its own class
+    * than to any other?"): for each of the first [[TripletAnchors]]
+    * vectors, the best same-label cosine (excluding self) and best
+    * other-label cosine over the corpus, the margin between them, and
+    * whether the anchor is correctly label-separated (margin > 0).
+    * Exactness: two conditional MAXes of identically-computed doubles and
+    * one subtract — floored at 1e-6 for the report only, the correctness
+    * flag compares the raw doubles on both engines. Scale: the anchor set
+    * broadcasts and the corpus streams once, partition-local; the per-
+    * anchor state is two doubles (map-side-partial max), output is
+    * anchor-bounded.
+    */
+  def embedTripletEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val anchors = e.filter(col("vec_id") < TripletAnchors)
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("label").as("a_label"))
+    val c = e.filter(col("vec_id") >= TripletAnchors)
+    broadcast(anchors).join(c)
+      .withColumn("cos", NativeVector.cosine(col("av"), col("v")))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(when(col("label") === col("a_label"), col("cos"))).as("cs"),
+        max(when(col("label") =!= col("a_label"), col("cos"))).as("cd"))
+      .select(col("a_id"), col("a_label"),
+        detRound(col("cs"), 6).as("cos_same"),
+        detRound(col("cd"), 6).as("cos_diff"),
+        detRound(col("cs") - col("cd"), 6).as("margin"),
+        (col("cs") > col("cd")).as("separated"))
+  }
+
+  private def tripletOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS a_id, v AS av, label AS a_label FROM e
+       |  WHERE vec_id < $TripletAnchors),
+       |c AS (SELECT * FROM e WHERE vec_id >= $TripletAnchors),
+       |sc AS (SELECT a_id, a_label, label, ${cosineSql("av", "v")} AS cos
+       |  FROM a, c),
+       |g AS (SELECT a_id, a_label,
+       |    max(cos) FILTER (label = a_label) AS cs,
+       |    max(cos) FILTER (label <> a_label) AS cd
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT a_id, a_label, floor(cs*1e6)/1e6 AS cos_same,
+       |  floor(cd*1e6)/1e6 AS cos_diff, floor((cs - cd)*1e6)/1e6 AS margin,
+       |  cs > cd AS separated
+       |FROM g""".stripMargin
+
   // ------------------------------------------------------------------ MMR
   /** Candidate pool per query for MMR re-ranking (the standard two-stage
     * retrieve-then-diversify shape: a cheap top-[[MmrPool]] retrieval
@@ -1580,6 +1632,7 @@ object Similarity {
     "embed_sq8" -> embedSq8,
     "knn_brute_cosine" -> knnBrute,
     "knn_mmr" -> knnMmr,
+    "embed_triplet_eval" -> embedTripletEval,
     "knn_matryoshka" -> knnMatryoshka,
     "knn_range" -> knnRange,
     "knn_filtered" -> knnFiltered,
@@ -2100,6 +2153,7 @@ object Similarity {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
       "knn_mmr" -> mmrOracleSql,
+      "embed_triplet_eval" -> tripletOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,
       "knn_range" -> rangeOracleSql,
       "knn_filtered" -> filteredOracleSql,

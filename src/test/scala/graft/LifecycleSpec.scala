@@ -218,4 +218,56 @@ class LifecycleSpec extends AnyFunSuite {
     assert(out.last._2 == docs.length.toLong)
     assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq)
   }
+  test("events_growth_accounting equals a driver replay; identities hold") {
+    val uw = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = scala.collection.mutable.HashMap
+      .empty[java.time.LocalDate, Array[Long]] // new, ret, res, churn
+    def acc(wk: java.time.LocalDate) =
+      rows.getOrElseUpdate(wk, Array(0L, 0L, 0L, 0L))
+    for ((_, wks) <- byUser) {
+      for (i <- wks.indices) {
+        val a = acc(wks(i))
+        if (i == 0) a(0) += 1
+        else if (wks(i - 1) == wks(i).minusDays(7)) a(1) += 1
+        else a(2) += 1
+        val next = if (i + 1 < wks.size) Some(wks(i + 1)) else None
+        if (next.forall(_ != wks(i).plusDays(7))) acc(wks(i).plusDays(7))(3) += 1
+      }
+    }
+    val expected = rows.map { case (wk, a) =>
+      (wk.toString, a(0), a(1), a(2), a(3))
+    }.toSet
+    val got = Lifecycle.eventsGrowthAccounting(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    // identities: every user is new exactly once; churn totals match the
+    // users whose activity ended before the final observed week's close
+    assert(got.toSeq.map(_._2).sum == byUser.size.toLong)
+    assert(got.toSeq.map(_._5).sum == byUser.size.toLong,
+      "every user eventually churns past the corpus edge in this accounting")
+  }
+
+  test("events_gini equals a driver-side sorted-rank Gini") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = counts.length.toLong
+    val s = counts.map(BigInt(_)).sum
+    val six = counts.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expectedPpm = ((BigInt(2) * six - BigInt(n + 1) * s) * 1000000 /
+      (BigInt(n) * s)).toLong
+    val got = Lifecycle.eventsGini(spark, sf).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n)
+    assert(got(0).getLong(1) == s.toLong)
+    assert(got(0).getLong(2) == expectedPpm)
+    // ties share midpoint-free consecutive ranks in BOTH computations: the
+    // value-frame factoring assigns ranks cum_before+1..cum_before+t to a
+    // tied block, exactly the sorted order above, so equality is exact
+  }
 }
