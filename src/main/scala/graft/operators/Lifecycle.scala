@@ -386,7 +386,135 @@ object Lifecycle {
       |    (CAST(n_users AS HUGEINT) * s) AS BIGINT) AS gini_ppm
       |FROM agg""".stripMargin
 
+  /** Forecast backtest over the daily revenue series — the eval the
+    * smoothing family needs ("which forecaster would have been right?"):
+    * three one-step-ahead models — naive (yesterday), seasonal-naive
+    * (same weekday last week), and the integer EWMA level of
+    * [[dailyRevenueEwma]] lagged one day — each scored on the SAME eval
+    * days (every day where all three forecasts exist), reporting absolute
+    * and signed error totals in exact LONG cents plus MAE. The signed
+    * total is emitted UNDIVIDED: Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, so a negative mean would diverge cross-engine —
+    * the sum is the exact statistic, callers divide. Scale: the corpus
+    * collapses to the daily frame map-side; everything else is windows on
+    * |days| rows.
+    */
+  def dailyRevenueBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("day")) // bounded daily frame only
+    val wsum = (0 until EwmaTerms).map { k =>
+      coalesce(lag(col("cents"), k).over(w), lit(0L))
+        .cast("decimal(38,0)") * lit(1L << (EwmaTerms - 1 - k))
+    }.reduce(_ + _)
+    val f = daily
+      .withColumn("_bt_ws", wsum)
+      .withColumn("ewma", expr(s"CAST(_bt_ws div ${1L << EwmaTerms} AS BIGINT)"))
+      .drop("_bt_ws")
+      .withColumn("naive", lag(col("cents"), 1).over(w))
+      .withColumn("snaive", lag(col("cents"), 7).over(w))
+      .withColumn("fewma", lag(col("ewma"), 1).over(w))
+      .filter(col("naive").isNotNull && col("snaive").isNotNull &&
+        col("fewma").isNotNull)
+    f.select(col("cents"), explode(array(
+        struct(lit("naive").as("model"), col("naive").as("fc")),
+        struct(lit("seasonal_naive").as("model"), col("snaive").as("fc")),
+        struct(lit("ewma").as("model"), col("fewma").as("fc")))).as("m"))
+      .select(col("cents"), col("m.model").as("model"), col("m.fc").as("fc"))
+      .groupBy(col("model"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("fc"))).as("abs_err_cents"),
+        sum(col("cents") - col("fc")).as("signed_err_cents"))
+      .select(col("model"), col("n_days"), col("abs_err_cents"),
+        col("signed_err_cents"),
+        expr("abs_err_cents div n_days").as("mae_cents"))
+  }
+
+  private def backtestOracleSql: String = {
+    val terms = (0 until EwmaTerms).map { k =>
+      s"CAST(coalesce(lag(cents, $k) OVER (ORDER BY day), 0) AS HUGEINT)" +
+        s" * ${1L << (EwmaTerms - 1 - k)}"
+    }.mkString(" + ")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |sm AS (SELECT day, cents,
+       |    CAST(($terms) // ${1L << EwmaTerms} AS BIGINT) AS ewma
+       |  FROM daily),
+       |f AS (SELECT cents,
+       |    lag(cents, 1) OVER (ORDER BY day) AS naive,
+       |    lag(cents, 7) OVER (ORDER BY day) AS snaive,
+       |    lag(ewma, 1) OVER (ORDER BY day) AS fewma
+       |  FROM sm),
+       |e AS (SELECT * FROM f
+       |  WHERE naive IS NOT NULL AND snaive IS NOT NULL AND fewma IS NOT NULL),
+       |u AS (SELECT cents, 'naive' AS model, naive AS fc FROM e
+       |  UNION ALL SELECT cents, 'seasonal_naive', snaive FROM e
+       |  UNION ALL SELECT cents, 'ewma', fewma FROM e),
+       |g AS (SELECT model, count(*) AS n_days,
+       |    CAST(sum(abs(cents - fc)) AS BIGINT) AS abs_err_cents,
+       |    CAST(sum(cents - fc) AS BIGINT) AS signed_err_cents
+       |  FROM u GROUP BY 1)
+       |SELECT model, n_days, abs_err_cents, signed_err_cents,
+       |  abs_err_cents // n_days AS mae_cents
+       |FROM g""".stripMargin
+  }
+
+  /** Grouped least-squares: quantity-on-discount slope per part category
+    * (the "does discounting move volume?" mart regression) — the
+    * daily_revenue_trend DECIMAL-moment discipline applied per group:
+    * x = discount in integer percent, y = quantity in integer units,
+    * moments Σx/Σy/Σxy/Σx² per p_type in ONE map-side-partial
+    * DECIMAL(38,0) aggregate after the part join (broadcastable dim),
+    * slope/intercept from correctly-rounded decimal→double casts + one
+    * division each — bit-identical cross-engine; output bounded at
+    * |categories| rows.
+    */
+  def discountElasticity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_discount").cast("decimal(18,4)") * 100).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    val xy = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+    xy.select(col("p_type"),
+        col("n").cast("long").as("n_lines"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("n").cast("double").as("nd"))
+      .select(col("p_type"), col("n_lines"), col("slope"),
+        ((col("syd") - col("slope") * col("sxd")) / col("nd")).as("intercept"))
+  }
+
+  private def elasticityOracleSql: String =
+    """WITH li AS (SELECT l_partkey,
+      |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 100 AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |xy AS (SELECT p_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+      |  FROM li JOIN part ON p_partkey = l_partkey GROUP BY 1),
+      |s AS (SELECT p_type, CAST(n AS BIGINT) AS n_lines,
+      |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM xy)
+      |SELECT p_type, n_lines, slope, (syd - slope * sxd) / nd AS intercept
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_revenue_backtest" -> dailyRevenueBacktest,
+    "discount_elasticity" -> discountElasticity,
     "events_growth_accounting" -> eventsGrowthAccounting,
     "events_gini" -> eventsGini,
     "daily_revenue_ewma" -> dailyRevenueEwma,
@@ -397,6 +525,8 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "daily_revenue_backtest" -> backtestOracleSql,
+    "discount_elasticity" -> elasticityOracleSql,
     "events_growth_accounting" -> growthOracleSql,
     "events_gini" -> giniOracleSql,
     "daily_revenue_ewma" -> ewmaOracleSql,

@@ -270,4 +270,62 @@ class LifecycleSpec extends AnyFunSuite {
     // value-frame factoring assigns ranks cum_before+1..cum_before+t to a
     // tied block, exactly the sorted order above, so equality is exact
   }
+  test("daily_revenue_backtest equals a driver replay; ewma beats or ties thin air") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long").as("cents"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    def ewmaAt(n: Int): Long = {
+      val ws = (0 until Lifecycle.EwmaTerms).map { k =>
+        val x = if (n - k >= 0) BigInt(daily(n - k)) else BigInt(0)
+        x * BigInt(1L << (Lifecycle.EwmaTerms - 1 - k))
+      }.sum
+      (ws / BigInt(1L << Lifecycle.EwmaTerms)).toLong
+    }
+    val evalIdx = daily.indices.filter(_ >= 7) // all three forecasts defined
+    def scores(fc: Int => Long): (Long, Long, Long) = {
+      val errs = evalIdx.map(i => daily(i) - fc(i))
+      (errs.map(math.abs).sum, errs.sum, errs.map(math.abs).sum / evalIdx.size)
+    }
+    val expected = Map(
+      "naive" -> scores(i => daily(i - 1)),
+      "seasonal_naive" -> scores(i => daily(i - 7)),
+      "ewma" -> scores(i => ewmaAt(i - 1)))
+    val got = Lifecycle.dailyRevenueBacktest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(1)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((m, (ae, se, mae)) <- expected) {
+      assert(got(m)._4 == evalIdx.size.toLong, s"$m n_days")
+      assert(got(m)._1 == ae, s"$m abs err")
+      assert(got(m)._2 == se, s"$m signed err")
+      assert(got(m)._3 == mae, s"$m mae")
+    }
+  }
+
+  test("discount_elasticity equals a driver-side grouped regression") {
+    val parts = Tables.part(spark, sf).select(col("p_partkey"), col("p_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        (col("l_discount").cast("decimal(18,4)") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (parts(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val expected = li.groupBy(_._1).map { case (cat, xs) =>
+      val n = BigInt(xs.size)
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sy = xs.map(x => BigInt(x._3)).sum
+      val sxy = xs.map(x => BigInt(x._2) * x._3).sum
+      val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      (cat, xs.size.toLong, slope, intercept)
+    }.toSet
+    val got = Lifecycle.discountElasticity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.size > 1, "single category - grouped regression vacuous")
+  }
 }
