@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Mart-economics operators: experiment power sizing, cohort LTV curves,
+  * market-concentration (HHI), and the Laspeyres/Paasche price index.
+  * Family discipline: money in exact cents (DECIMAL(18,4)·100 → BIGINT),
+  * statistics as integer/DECIMAL cross-multiplications with floor-ppm
+  * divisions in the final (or per-part, where both engines state the same
+  * floor) projection, map-side-partial aggregates before every shuffle,
+  * and windows only over bounded frames (cohort ages, brands).
+  */
+object Econ {
+
+  /** (z_{0.975} + z_{0.8})² in ppm — the 95%-confidence / 80%-power
+    * constant of the two-sample size formula, driver-computed once and
+    * embedded as a LITERAL in both engines (the generated-literal
+    * contract: no cross-engine erf).
+    */
+  val Z2Ppm: Long = math.floor(math.pow(1.959964 + 0.841621, 2) * 1e6).toLong
+
+  /** Relative minimum detectable effect the sizing targets: 5% of the
+    * metric mean (δ = mean/20).
+    */
+  val MdeInvRel = 20L
+
+  /** A/B experiment power sizing per event type: the required per-arm
+    * sample size to detect a 5% relative lift in the value metric at 95%
+    * confidence / 80% power — n = (z_α/2+z_β)²·2σ²/δ² — computed entirely
+    * in integers from exact cents moments: with N, S=Σcents, Q=Σcents²,
+    * sample variance = (N·Q−S²)/(N(N−1)) and δ = S/(20N), so
+    * n = Z2·800·(N·Q−S²)·N / ((N−1)·S²), one floor division with the Z
+    * constant in ppm ([[Z2Ppm]]). One map-side-partial agg per type; the
+    * division runs on the bounded type frame. DECIMAL(38,0) headroom holds
+    * to ~10⁷ events/type at this value scale (≈10³⁴ peak); past that the
+    * same formula runs on down-shifted cents — the statistic, not the
+    * plan, changes.
+    */
+  def eventsAbPower(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        sum(expr("cents * cents")).as("sumsq"))
+      .select(col("event_type"), col("n_events"), col("sum_cents"),
+        col("sumsq").as("sumsq_cents"),
+        expr(s"CAST(CAST($Z2Ppm AS DECIMAL(38,0)) * 800 * " +
+          "(CAST(n_events AS DECIMAL(38,0)) * sumsq - " +
+          "CAST(sum_cents AS DECIMAL(38,0)) * sum_cents) " +
+          "* n_events div ((n_events - 1) * CAST(sum_cents AS DECIMAL(38,0)) " +
+          "* sum_cents * 1000000) AS BIGINT)").as("n_per_arm"))
+  }
+
+  private def abPowerOracleSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |m AS (SELECT event_type, count(*) AS n_events,
+       |    sum(cents) AS sum_cents,
+       |    sum(cents * cents) AS sumsq FROM e GROUP BY 1)
+       |SELECT event_type, n_events, CAST(sum_cents AS BIGINT) AS sum_cents,
+       |  CAST(sumsq AS BIGINT) AS sumsq_cents,
+       |  CAST(CAST($Z2Ppm AS HUGEINT) * 800
+       |    * (n_events * sumsq - CAST(sum_cents AS HUGEINT) * sum_cents)
+       |    * n_events
+       |    // ((n_events - 1) * CAST(sum_cents AS HUGEINT) * sum_cents
+       |      * 1000000) AS BIGINT) AS n_per_arm
+       |FROM m""".stripMargin
+
+  /** Cohort LTV curve over the order history: customers cohorted by
+    * first-order year, revenue accumulated by account age (order year −
+    * cohort year) — the (cohort, age) triangle a growth mart publishes,
+    * with cumulative revenue and LTV-per-cohort-member in exact cents.
+    * One per-customer min-year agg (map-side partial), one key-shuffle
+    * join back, one (cohort, age) rollup; the cumulative window runs on
+    * the bounded triangle (years × ages), and the LTV division is the
+    * final projection.
+    */
+  def cohortLtvCurve(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+      year(col("o_orderdate")).as("yr"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)")
+        .as("cents"))
+    val first = o.groupBy(col("custkey")).agg(min(col("yr")).as("cohort_year"))
+    val sizes = first.groupBy(col("cohort_year"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = o.join(first, "custkey")
+      .groupBy(col("cohort_year"), (col("yr") - col("cohort_year")).as("age"))
+      .agg(countDistinct(col("custkey")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_year")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), "cohort_year")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w)) // bounded triangle
+      .select(col("cohort_year"), col("age"), col("n_cohort"), col("n_active"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("CAST(cum_rev_cents div n_cohort AS BIGINT)").as("ltv_cents"))
+  }
+
+  private def cohortLtvOracleSql: String =
+    """WITH o AS (SELECT o_custkey AS custkey, year(o_orderdate) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT custkey, min(yr) AS cohort_year FROM o GROUP BY 1),
+      |sz AS (SELECT cohort_year, count(*) AS n_cohort FROM f GROUP BY 1),
+      |cells AS (SELECT f.cohort_year, o.yr - f.cohort_year AS age,
+      |    count(DISTINCT o.custkey) AS n_active, sum(cents) AS rev_cents
+      |  FROM o JOIN f USING (custkey) GROUP BY 1, 2),
+      |c AS (SELECT cohort_year, age, n_active, rev_cents,
+      |    sum(rev_cents) OVER (PARTITION BY cohort_year ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS cum_rev_cents FROM cells)
+      |SELECT c.cohort_year, CAST(age AS INT) AS age,
+      |  CAST(n_cohort AS BIGINT) AS n_cohort,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(rev_cents AS BIGINT) AS rev_cents,
+      |  CAST(cum_rev_cents AS BIGINT) AS cum_rev_cents,
+      |  CAST(cum_rev_cents // n_cohort AS BIGINT) AS ltv_cents
+      |FROM c JOIN sz USING (cohort_year)""".stripMargin
+
+  /** Supplier market concentration per part brand — the Herfindahl–
+    * Hirschman index in ppm (Σ shareᵢ², 10⁶ = monopoly) plus the top
+    * supplier's share: HHI = Σ revᵢ²·10⁶ / (Σrev)², all integer cents so
+    * the index is exact. One dim join (partkey → brand), one
+    * (brand, supplier) map-side-partial agg, then a brand rollup; both
+    * divisions land on the bounded brand frame.
+    */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)")
+          .as("cents"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("rev"))
+    rev.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("rev_cents"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).cast("decimal(38,0)")
+          .as("sq"),
+        max(col("rev")).as("top_rev"))
+      .select(col("p_brand"), col("n_suppliers"), col("rev_cents"),
+        expr("CAST(CAST(sq * 1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(rev_cents AS DECIMAL(38,0)) * rev_cents) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("CAST(CAST(CAST(top_rev AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div rev_cents AS BIGINT)").as("top_share_ppm"))
+  }
+
+  private def hhiOracleSql: String =
+    """WITH r AS (SELECT p_brand, l_suppkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+      |      AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+      |b AS (SELECT p_brand, count(*) AS n_suppliers, sum(rev) AS rev_cents,
+      |    sum(CAST(rev AS HUGEINT) * rev) AS sq, max(rev) AS top_rev
+      |  FROM r GROUP BY 1)
+      |SELECT p_brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |  CAST(rev_cents AS BIGINT) AS rev_cents,
+      |  CAST(sq * 1000000 // (CAST(rev_cents AS HUGEINT) * rev_cents)
+      |    AS BIGINT) AS hhi_ppm,
+      |  CAST(CAST(top_rev AS HUGEINT) * 1000000 // rev_cents AS BIGINT)
+      |    AS top_share_ppm
+      |FROM b""".stripMargin
+
+  /** Laspeyres and Paasche price indices per brand between the first and
+    * second half of the ship history (split at the integer midpoint ship
+    * day, a broadcast 1-row scalar): per part, unit values come from the
+    * exact cents/quantity totals of each half, and the cross terms
+    * (current price × base quantity, base price × current quantity) are
+    * per-part FLOOR divisions — stated identically in both engines, so the
+    * brand totals agree bit-for-bit. Laspeyres_ppm = Σ⌊ep1·q0/q1⌋·10⁶/Σep0,
+    * Paasche_ppm = Σep1·10⁶/Σ⌊ep0·q1/q0⌋, over parts traded in BOTH
+    * halves. One lineitem scan with conditional sums (shuffle on partkey),
+    * one dim join for the brand, a bounded brand rollup.
+    */
+  def partPriceIndex(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)")
+        .as("cents"),
+      unix_date(to_date(col("l_shipdate"))).as("dy"))
+    val mid = li.agg(expr("(min(dy) + max(dy)) div 2").as("mid"))
+    val pp = li.crossJoin(broadcast(mid)) // 1-row corpus-bounds scalar
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("dy") <= col("mid"), col("cents")).otherwise(0L)).as("ep0"),
+        sum(when(col("dy") <= col("mid"), col("qty")).otherwise(0L)).as("q0"),
+        sum(when(col("dy") > col("mid"), col("cents")).otherwise(0L)).as("ep1"),
+        sum(when(col("dy") > col("mid"), col("qty")).otherwise(0L)).as("q1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+      .select(col("l_partkey"), col("ep0"), col("ep1"),
+        expr("CAST(CAST(ep1 AS DECIMAL(38,0)) * q0 div q1 AS BIGINT)")
+          .as("las_num"),
+        expr("CAST(CAST(ep0 AS DECIMAL(38,0)) * q1 div q0 AS BIGINT)")
+          .as("pas_den"))
+    pp.join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("ep0")).as("base_cents"), sum(col("ep1")).as("cur_cents"),
+        sum(col("las_num")).as("ln"), sum(col("pas_den")).as("pd"))
+      .select(col("p_brand"), col("n_parts"), col("base_cents"), col("cur_cents"),
+        expr("CAST(CAST(CAST(ln AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) " +
+          "div base_cents AS BIGINT)").as("laspeyres_ppm"),
+        expr("CAST(CAST(CAST(cur_cents AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div pd AS BIGINT)").as("paasche_ppm"))
+  }
+
+  private def priceIndexOracleSql: String =
+    """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+      |    CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS dy FROM lineitem),
+      |b AS (SELECT (min(dy) + max(dy)) // 2 AS mid FROM li),
+      |pp AS (SELECT l_partkey,
+      |    sum(CASE WHEN dy <= mid THEN cents ELSE 0 END) AS ep0,
+      |    sum(CASE WHEN dy <= mid THEN qty ELSE 0 END) AS q0,
+      |    sum(CASE WHEN dy > mid THEN cents ELSE 0 END) AS ep1,
+      |    sum(CASE WHEN dy > mid THEN qty ELSE 0 END) AS q1
+      |  FROM li, b GROUP BY 1),
+      |m AS (SELECT l_partkey, ep0, ep1,
+      |    CAST(CAST(ep1 AS HUGEINT) * q0 // q1 AS BIGINT) AS las_num,
+      |    CAST(CAST(ep0 AS HUGEINT) * q1 // q0 AS BIGINT) AS pas_den
+      |  FROM pp WHERE q0 > 0 AND q1 > 0),
+      |g AS (SELECT p_brand, count(*) AS n_parts, sum(ep0) AS base_cents,
+      |    sum(ep1) AS cur_cents, sum(las_num) AS ln, sum(pas_den) AS pd
+      |  FROM m JOIN part ON l_partkey = p_partkey GROUP BY 1)
+      |SELECT p_brand, CAST(n_parts AS BIGINT) AS n_parts,
+      |  CAST(base_cents AS BIGINT) AS base_cents,
+      |  CAST(cur_cents AS BIGINT) AS cur_cents,
+      |  CAST(CAST(ln AS HUGEINT) * 1000000 // base_cents AS BIGINT)
+      |    AS laspeyres_ppm,
+      |  CAST(CAST(cur_cents AS HUGEINT) * 1000000 // pd AS BIGINT)
+      |    AS paasche_ppm
+      |FROM g""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_power" -> eventsAbPower,
+    "cohort_ltv_curve" -> cohortLtvCurve,
+    "supplier_hhi" -> supplierHhi,
+    "part_price_index" -> partPriceIndex,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_ab_power" -> abPowerOracleSql,
+    "cohort_ltv_curve" -> cohortLtvOracleSql,
+    "supplier_hhi" -> hhiOracleSql,
+    "part_price_index" -> priceIndexOracleSql,
+  )
+}

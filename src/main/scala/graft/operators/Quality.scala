@@ -157,6 +157,15 @@ object Quality {
       .groupBy(col("user_id"), col("dc"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(off AS INT)))")
         .as("mask"))
+    retentionRollup(masks)
+  }
+
+  /** Lag-k popcount rollup over a (mask, dc) register frame — shared
+    * VERBATIM by the batch audit above and the streaming twin
+    * ([[graft.streaming.StreamRetention]]), so stream ≡ batch is the same
+    * plan on the same registers, not two restatements.
+    */
+  private[graft] def retentionRollup(masks: DataFrame): DataFrame =
     masks
       .select(col("mask"), col("dc"),
         explode(array((1 to RetentionLags).map(k => lit(k.toLong)): _*)).as("k"))
@@ -171,7 +180,6 @@ object Quality {
         expr("CAST(CAST(CAST(n_returned AS DECIMAL(38,0)) * 1000000 " +
           "AS DECIMAL(38,0)) div nullif(n_base, 0) AS BIGINT)")
           .as("retention_ppm"))
-  }
 
   private def bitmapRetentionOracleSql: String =
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day

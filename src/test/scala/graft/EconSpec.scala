@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Econ
+
+/** Driver-side brute-force verification of the mart-economics family at
+  * sf0.001 — BigInt recomputation of every statistic from raw rows.
+  */
+class EconSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def cents(x: Double): Long =
+    (BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  test("events_ab_power equals the BigInt sizing formula") {
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), cents(r.getDouble(1))))
+    val got = Econ.eventsAbPower(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val n = rows.length.toLong
+      val sSum = rows.map(r => BigInt(r._2)).sum
+      val q = rows.map(r => BigInt(r._2) * r._2).sum
+      val nReq = (BigInt(Econ.Z2Ppm) * 800 * (n * q - sSum * sSum) * n /
+        ((n - 1) * sSum * sSum * 1000000)).toLong
+      assert(got(t) == ((n, sSum.toLong, q.toLong, nReq)), t)
+    }
+    // the sizing is non-degenerate: every type needs a real sample
+    assert(got.values.forall(_._4 > 0))
+  }
+
+  test("cohort_ltv_curve equals brute cohort accumulation") {
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), cents(r.getDouble(2))))
+    val first = ord.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = ord.groupBy(o => (first(o._1), o._2 - first(o._1)))
+    val got = Econ.cohortLtvCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == cells.keySet)
+    cells.foreach { case (key @ (cy, age), rows) =>
+      val rev = rows.map(r => BigInt(r._3)).sum
+      val cum = cells.filter { case ((c, a), _) => c == cy && a <= age }
+        .values.flatten.map(r => BigInt(r._3)).sum
+      val (nc, na, gr, gc, ltv) = got(key)
+      assert(nc == sizes(cy), key)
+      assert(na == rows.map(_._1).distinct.length.toLong, key)
+      assert(gr == rev.toLong, key)
+      assert(gc == cum.toLong, key)
+      assert(ltv == (cum / sizes(cy)).toLong, key)
+    }
+  }
+
+  test("supplier_hhi equals brute share-of-squares") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), cents(r.getDouble(2))))
+    val brand = Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = Econ.supplierHhi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    li.groupBy(r => brand(r._1)).foreach { case (b, rows) =>
+      val bySupp = rows.groupBy(_._2).view
+        .mapValues(_.map(r => BigInt(r._3)).sum).toMap
+      val tot = bySupp.values.sum
+      val hhi = (bySupp.values.map(v => v * v).sum * 1000000 / (tot * tot)).toLong
+      val top = (bySupp.values.max * 1000000 / tot).toLong
+      assert(got(b) == ((bySupp.size.toLong, tot.toLong, hhi, top)), b)
+    }
+  }
+
+  test("part_price_index equals brute per-part floor cross terms") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        unix_date(to_date(col("l_shipdate"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong,
+        cents(r.getDouble(2)), r.getInt(3).toLong))
+    val brand = Tables.part(spark, sf).select(col("p_partkey"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val mid = (li.map(_._4).min + li.map(_._4).max) / 2
+    val perPart = li.groupBy(_._1).view.mapValues { rows =>
+      val (h1, h2) = rows.partition(_._4 <= mid)
+      (h1.map(r => BigInt(r._3)).sum, h1.map(_._2).sum,
+        h2.map(r => BigInt(r._3)).sum, h2.map(_._2).sum)
+    }.toMap.filter { case (_, (_, q0, _, q1)) => q0 > 0 && q1 > 0 }
+    val got = Econ.partPriceIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    perPart.keys.groupBy(brand).foreach { case (b, parts) =>
+      val ms = parts.toSeq.map(perPart)
+      val base = ms.map(_._1).sum; val cur = ms.map(_._3).sum
+      val ln = ms.map { case (_, q0, ep1, q1) => ep1 * q0 / q1 }.sum
+      val pd = ms.map { case (ep0, q0, _, q1) => ep0 * q1 / q0 }.sum
+      val las = (ln * 1000000 / base).toLong
+      val pas = (cur * 1000000 / pd).toLong
+      assert(got(b) == ((parts.size.toLong, base.toLong, cur.toLong, las, pas)), b)
+    }
+  }
+
+  test("plan pins: no cartesian products beyond 1-row broadcast scalars") {
+    Seq(Econ.eventsAbPower(spark, sf), Econ.cohortLtvCurve(spark, sf),
+      Econ.supplierHhi(spark, sf), Econ.partPriceIndex(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+}
