@@ -239,11 +239,191 @@ object Econ {
       |    AS paasche_ppm
       |FROM g""".stripMargin
 
+  /** XYZ demand-variability thresholds on CV² in ppm: X ≤ 0.25 (CV ≤ 0.5),
+    * Y ≤ 1.0 (CV ≤ 1.0), Z above — the standard bands.
+    */
+  val XyzXMaxPpm = 250000L
+  val XyzYMaxPpm = 1000000L
+
+  /** XYZ demand-variability classification per part (the companion to ABC
+    * revenue classes): CV² of weekly shipped quantity over the part's
+    * ACTIVE weeks — CV²·10⁶ = (n·Σq²−(Σq)²)·10⁶/(Σq)², all integer, one
+    * floor division per part. Active weeks, not the zero-inclusive
+    * calendar grid: sparse synthetic demand makes the grid form assign Z
+    * to everything (measured), while given-active variability separates
+    * X from Y — and this corpus's uniform quantities never reach Z, which
+    * the audit duly reports. One (part, week) map-side-partial agg, one
+    * part rollup; parts with a single active week carry no variability
+    * signal and are excluded by contract.
+    */
+  def partXyzClass(s: SparkSession, d: String): DataFrame = {
+    val pw = Tables.lineitem(s, d)
+      .select(col("l_partkey"), expr("CAST(l_quantity AS BIGINT)").as("qty"),
+        expr("CAST(unix_date(to_date(l_shipdate)) AS BIGINT) div 7").as("wk"))
+      .groupBy(col("l_partkey"), col("wk")).agg(sum(col("qty")).as("q"))
+    pw.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_weeks_active"), sum(col("q")).as("qty_total"),
+        sum(col("q") * col("q")).as("qq"))
+      .filter(col("n_weeks_active") > 1)
+      .select(col("l_partkey"), col("n_weeks_active"), col("qty_total"),
+        expr("CAST(CAST((n_weeks_active * qq - CAST(qty_total AS DECIMAL(38,0)) " +
+          "* qty_total) * 1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(qty_total AS DECIMAL(38,0)) * qty_total) AS BIGINT)")
+          .as("cv2_ppm"))
+      .withColumn("xyz_class",
+        when(col("cv2_ppm") <= XyzXMaxPpm, lit("X"))
+          .when(col("cv2_ppm") <= XyzYMaxPpm, lit("Y"))
+          .otherwise(lit("Z")))
+  }
+
+  private def xyzOracleSql: String =
+    s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+       |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS wk
+       |  FROM lineitem),
+       |pw AS (SELECT l_partkey, wk, sum(qty) AS q FROM li GROUP BY 1, 2),
+       |m AS (SELECT l_partkey, count(*) AS n, sum(q) AS qt,
+       |    sum(q * q) AS qq FROM pw GROUP BY 1),
+       |cv AS (SELECT l_partkey, n, qt,
+       |    CAST((n * CAST(qq AS HUGEINT) - CAST(qt AS HUGEINT) * qt) * 1000000
+       |      // (CAST(qt AS HUGEINT) * qt) AS BIGINT) AS cv2_ppm
+       |  FROM m WHERE n > 1)
+       |SELECT l_partkey, CAST(n AS BIGINT) AS n_weeks_active,
+       |  CAST(qt AS BIGINT) AS qty_total, cv2_ppm,
+       |  CASE WHEN cv2_ppm <= $XyzXMaxPpm THEN 'X'
+       |       WHEN cv2_ppm <= $XyzYMaxPpm THEN 'Y' ELSE 'Z' END AS xyz_class
+       |FROM cv""".stripMargin
+
+  /** Bullwhip indicator: the variance-amplification ratio between the
+    * demand signal (daily order revenue) and the fulfilment signal (daily
+    * shipped revenue) — >10⁶ ppm means order-side variance exceeds
+    * ship-side, the classic supply-chain whip. Both variances via the
+    * zero-inclusive day-grid moment identity (T·Σv²−(Σv)², grid widths
+    * from 1-row bounds — silent days are free), the ratio one
+    * DECIMAL(38)/HUGEINT division: (To·Σo²−(Σo)²)·Ts²·10⁶ /
+    * ((Ts·Σs²−(Σs)²)·To²). Two scans, two map-side-partial day aggs, two
+    * 1-row moment frames. Headroom ~10³⁶ at sf1-scale daily cents,
+    * documented; past that the same identity runs on daily dollars.
+    */
+  def ordersBullwhip(s: SparkSession, d: String): DataFrame = {
+    def dayMoments(df: DataFrame): DataFrame =
+      df.groupBy(col("dy")).agg(sum(col("cents")).as("v"))
+        .agg((max(col("dy")) - min(col("dy")) + 1).as("t"),
+          sum(col("v")).as("sv"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * v")).cast("decimal(38,0)").as("svv"))
+    val om = dayMoments(Tables.orders(s, d).select(
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("dy"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents")))
+    val sm = dayMoments(Tables.lineitem(s, d).select(
+      unix_date(to_date(col("l_shipdate"))).cast("long").as("dy"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents")))
+    om.select(col("t").as("tor"), col("sv").as("so"), col("svv").as("soo"))
+      .crossJoin(broadcast(
+        sm.select(col("t").as("tsh"), col("sv").as("ss"), col("svv").as("sss"))))
+      .select(col("tor").as("t_orders"), col("tsh").as("t_ships"),
+        expr("CAST(CAST((tor * soo - CAST(so AS DECIMAL(38,0)) * so) * tsh * tsh " +
+          "* 1000000 AS DECIMAL(38,0)) div " +
+          "CAST((tsh * sss - CAST(ss AS DECIMAL(38,0)) * ss) * tor * tor " +
+          "AS DECIMAL(38,0)) AS BIGINT)").as("bullwhip_ppm"))
+  }
+
+  private def bullwhipOracleSql: String =
+    """WITH o AS (SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dy,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |s AS (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS dy,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |od AS (SELECT dy, sum(cents) AS v FROM o GROUP BY 1),
+      |sd AS (SELECT dy, sum(cents) AS v FROM s GROUP BY 1),
+      |om AS (SELECT max(dy) - min(dy) + 1 AS t, sum(v) AS sv,
+      |    sum(CAST(v AS HUGEINT) * v) AS svv FROM od),
+      |sm AS (SELECT max(dy) - min(dy) + 1 AS t, sum(v) AS sv,
+      |    sum(CAST(v AS HUGEINT) * v) AS svv FROM sd)
+      |SELECT CAST(om.t AS BIGINT) AS t_orders, CAST(sm.t AS BIGINT) AS t_ships,
+      |  CAST((om.t * om.svv - CAST(om.sv AS HUGEINT) * om.sv) * sm.t * sm.t
+      |    * 1000000
+      |    // ((sm.t * sm.svv - CAST(sm.sv AS HUGEINT) * sm.sv) * om.t * om.t)
+      |    AS BIGINT) AS bullwhip_ppm
+      |FROM om, sm""".stripMargin
+
+  /** Empirical-Bayes shrinkage of per-part return rates (beta-binomial,
+    * method-of-moments prior): shrunk = (x + κ·m)/(n + κ) with the prior
+    * strength κ = m(1−m)/v_true − 1 and v_true the observed between-part
+    * rate variance minus the binomial sampling floor m(1−m)/n̄ — all in
+    * exact ppm integers (per-part raw rates floor-quantized to ppm, the
+    * moment algebra on the quantized values so both engines state the
+    * same numbers; v_true floored at 1, κ at 0). On this corpus κ ≫ n̄:
+    * the audit correctly discovers that the per-part spread is almost
+    * entirely binomial noise around the uniform 1/3 truth and shrinks
+    * hard — that finding IS the output. One part agg + one 1-row moment
+    * frame broadcast back; no collect.
+    */
+  def partReturnShrinkage(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+    val r = p.withColumn("raw_ppm",
+      expr("CAST(CAST(CAST(x AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) " +
+        "div n AS BIGINT)"))
+      .transform(Scale.materialize) // moments + projection both consume
+    val g = r.agg(count(lit(1)).as("np"), sum(col("n")).as("tn"),
+        sum(col("x")).as("tx"), sum(col("raw_ppm")).as("sr"),
+        sum(expr("CAST(raw_ppm AS DECIMAL(38,0)) * raw_ppm"))
+          .cast("decimal(38,0)").as("srr"))
+      .select(col("np"), col("tn"),
+        expr("CAST(CAST(CAST(tx AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div tn AS BIGINT)").as("m_ppm"),
+        expr("CAST(CAST(np * srr - CAST(sr AS DECIMAL(38,0)) * sr " +
+          "AS DECIMAL(38,0)) div (np * (np - 1)) AS BIGINT)").as("v_obs"),
+        expr("CAST(tn div np AS BIGINT)").as("nbar"))
+      .select(
+        expr("greatest(v_obs - m_ppm * (1000000 - m_ppm) div nbar, 1)")
+          .as("v_true"),
+        expr("greatest(m_ppm * (1000000 - m_ppm) div " +
+          "greatest(v_obs - m_ppm * (1000000 - m_ppm) div nbar, 1) - 1, 0)")
+          .as("kappa"),
+        col("m_ppm"))
+    r.crossJoin(broadcast(g)) // 1-row prior scalar
+      .select(col("l_partkey"), col("n").as("n_items"), col("x").as("n_returns"),
+        col("raw_ppm"),
+        expr("CAST((CAST(x AS DECIMAL(38,0)) * 1000000 + " +
+          "CAST(kappa AS DECIMAL(38,0)) * m_ppm) div (n + kappa) AS BIGINT)")
+          .as("shrunk_ppm"),
+        col("kappa"), col("m_ppm"))
+  }
+
+  private def shrinkageOracleSql: String =
+    """WITH p AS (SELECT l_partkey, count(*) AS n,
+      |    count(*) FILTER (l_returnflag = 'R') AS x FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_partkey, n, x,
+      |    CAST(CAST(x AS HUGEINT) * 1000000 // n AS BIGINT) AS raw_ppm FROM p),
+      |g0 AS (SELECT count(*) AS np, sum(n) AS tn, sum(x) AS tx,
+      |    sum(raw_ppm) AS sr, sum(CAST(raw_ppm AS HUGEINT) * raw_ppm) AS srr
+      |  FROM r),
+      |mo AS (SELECT np,
+      |    CAST(CAST(tx AS HUGEINT) * 1000000 // tn AS BIGINT) AS m_ppm,
+      |    CAST((np * srr - CAST(sr AS HUGEINT) * sr) // (np * (np - 1))
+      |      AS BIGINT) AS v_obs,
+      |    CAST(tn // np AS BIGINT) AS nbar FROM g0),
+      |ka AS (SELECT m_ppm,
+      |    greatest(m_ppm * (1000000 - m_ppm)
+      |      // greatest(v_obs - m_ppm * (1000000 - m_ppm) // nbar, 1) - 1, 0)
+      |      AS kappa FROM mo)
+      |SELECT l_partkey, CAST(n AS BIGINT) AS n_items,
+      |  CAST(x AS BIGINT) AS n_returns, raw_ppm,
+      |  CAST((CAST(x AS HUGEINT) * 1000000 + CAST(kappa AS HUGEINT) * m_ppm)
+      |    // (n + kappa) AS BIGINT) AS shrunk_ppm,
+      |  CAST(kappa AS BIGINT) AS kappa, m_ppm
+      |FROM r, ka""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_power" -> eventsAbPower,
     "cohort_ltv_curve" -> cohortLtvCurve,
     "supplier_hhi" -> supplierHhi,
     "part_price_index" -> partPriceIndex,
+    "part_xyz_class" -> partXyzClass,
+    "orders_bullwhip" -> ordersBullwhip,
+    "part_return_shrinkage" -> partReturnShrinkage,
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,5 +431,8 @@ object Econ {
     "cohort_ltv_curve" -> cohortLtvOracleSql,
     "supplier_hhi" -> hhiOracleSql,
     "part_price_index" -> priceIndexOracleSql,
+    "part_xyz_class" -> xyzOracleSql,
+    "orders_bullwhip" -> bullwhipOracleSql,
+    "part_return_shrinkage" -> shrinkageOracleSql,
   )
 }

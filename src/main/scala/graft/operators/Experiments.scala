@@ -802,7 +802,102 @@ object Experiments {
        |  abs(z) > $MwZCrit AS significant
        |FROM z""".stripMargin
 
+  /** CUPED (controlled-experiment-using-pre-experiment-data) variance
+    * reduction: the industry-standard adjustment that regresses each
+    * user's experiment-period metric on their pre-period metric and
+    * reports arm means with the predictable component removed. Periods
+    * split at the corpus midpoint day (broadcast scalar), arms by the
+    * portable deterministic hash. ALL integer: per-user pre/post cents
+    * totals, pooled moments in DECIMAL(38)/HUGEINT, θ_ppm =
+    * (N·Σxy−ΣxΣy)·10⁶ / (N·Σx²−(Σx)²) as ONE trunc division (both
+    * engines truncate toward zero — the adjustment term goes negative),
+    * adjusted arm mean (in cents-ppm) = Σy_a·10⁶/n_a −
+    * θ_ppm·(Σx_a·N−Σx·n_a)/(n_a·N), and the variance-reduction factor
+    * ρ² reported as the product of two milli-quantized correlations
+    * (A·10³/B)·(A·10³/C) — stated identically in both engines because
+    * A²·10⁶ would overflow DECIMAL(38) at scale. One user agg, one 1-row
+    * pooled-moment frame broadcast onto the bounded arm frame.
+    */
+  def eventsAbCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val ua = ev.crossJoin(broadcast(mid)) // 1-row corpus-bounds scalar
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") > col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .select((hexH(concat(lit("cuped:"), col("user_id"))) % 2).cast("int")
+        .as("arm"), col("x"), col("y"))
+      .transform(Scale.materialize) // pooled + per-arm aggs both consume
+    val pooled = ua.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast("decimal(38,0)").as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").as("syy"))
+      .select(col("n"), col("sx"),
+        expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("a_num"),
+        expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("b_den"),
+        expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("c_den"))
+      .select(col("n"), col("sx"),
+        expr("CAST(a_num * 1000000 div b_den AS BIGINT)").as("theta_ppm"),
+        expr("CAST((a_num * 1000 div b_den) * (a_num * 1000 div c_den) " +
+          "AS BIGINT)").as("rho2_ppm"))
+    ua.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_pre_cents"),
+        sum(col("y")).as("sum_post_cents"))
+      .crossJoin(broadcast(pooled)) // 1-row pooled-moment scalar
+      .select(col("arm"), col("n_users"), col("sum_pre_cents"),
+        col("sum_post_cents"),
+        expr("CAST(CAST(CAST(sum_post_cents AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div n_users AS BIGINT)").as("mean_post_ppm"),
+        expr("CAST(CAST(CAST(sum_post_cents AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div n_users " +
+          "- CAST(theta_ppm AS DECIMAL(38,0)) * " +
+          "(CAST(sum_pre_cents AS DECIMAL(38,0)) * n " +
+          "- CAST(sx AS DECIMAL(38,0)) * n_users) div " +
+          "(CAST(n_users AS DECIMAL(38,0)) * n) AS BIGINT)").as("adj_mean_ppm"),
+        col("theta_ppm"), col("rho2_ppm"))
+  }
+
+  private val cupedOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM ev),
+       |u AS (SELECT user_id,
+       |    sum(CASE WHEN day <= mid THEN cents ELSE 0 END) AS x,
+       |    sum(CASE WHEN day > mid THEN cents ELSE 0 END) AS y
+       |  FROM ev, b GROUP BY 1),
+       |ua AS (SELECT CAST(${hexHSql("'cuped:' || user_id")} % 2 AS INT) AS arm,
+       |    x, y FROM u),
+       |p AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy FROM ua),
+       |t AS (SELECT n, sx,
+       |    (n * sxy - CAST(sx AS HUGEINT) * sy) AS a_num,
+       |    (n * sxx - CAST(sx AS HUGEINT) * sx) AS b_den,
+       |    (n * syy - CAST(sy AS HUGEINT) * sy) AS c_den FROM p),
+       |th AS (SELECT n, sx,
+       |    CAST(a_num * 1000000 // b_den AS BIGINT) AS theta_ppm,
+       |    CAST((a_num * 1000 // b_den) * (a_num * 1000 // c_den) AS BIGINT)
+       |      AS rho2_ppm FROM t),
+       |arm AS (SELECT arm, count(*) AS n_users, sum(x) AS sum_pre,
+       |    sum(y) AS sum_post FROM ua GROUP BY 1)
+       |SELECT arm, n_users, CAST(sum_pre AS BIGINT) AS sum_pre_cents,
+       |  CAST(sum_post AS BIGINT) AS sum_post_cents,
+       |  CAST(CAST(sum_post AS HUGEINT) * 1000000 // n_users AS BIGINT)
+       |    AS mean_post_ppm,
+       |  CAST(CAST(sum_post AS HUGEINT) * 1000000 // n_users
+       |    - theta_ppm * (CAST(sum_pre AS HUGEINT) * n
+       |      - CAST(sx AS HUGEINT) * n_users)
+       |      // (CAST(n_users AS HUGEINT) * n) AS BIGINT) AS adj_mean_ppm,
+       |  theta_ppm, rho2_ppm
+       |FROM arm, th""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_cuped" -> eventsAbCuped,
     "stats_mann_whitney" -> statsMannWhitney,
     "events_ab_test" -> eventsAbTest,
     "events_ab_srm" -> eventsAbSrm,
@@ -815,6 +910,7 @@ object Experiments {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_ab_cuped" -> cupedOracleSql,
     "stats_mann_whitney" -> mwOracleSql,
     "events_ab_test" -> abOracleSql,
     "events_ab_srm" -> srmOracleSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -352,11 +353,78 @@ object Graph {
        |SELECT CAST(rnk AS INT) AS rnk, p AS p_partkey, n_tri, total_tri
        |FROM rk, tt WHERE rnk <= $TriTopK""".stripMargin
 
+  /** Power-iteration rounds for the stationary distribution. */
+  val MarkovIters = 6
+
+  /** Stationary distribution of the event-type Markov chain (the long-run
+    * occupancy the per-user transition matrix implies — the steady-state
+    * companion to events_transitions' raw bigrams and
+    * events_attribution_markov's absorbing chain): [[MarkovIters]] power-
+    * iteration rounds in exact ppm integers, π'(j) = Σᵢ ⌊π(i)·C(i,j)/R(i)⌋
+    * with per-term truncation stated identically in both engines (term
+    * order cannot matter: each term is floored separately, then summed).
+    * State space = types observed as a transition SOURCE, targets
+    * restricted to it. The chain matrix is bounded (|types|² cells), so
+    * every iteration is a broadcast join on a bounded frame — the ONLY
+    * corpus-sized work is the one per-user lag window producing the
+    * transition counts.
+    */
+  def eventsMarkovStationary(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .transform(Scale.materialize)
+    val st = tr.groupBy(col("i")).agg(sum(col("c")).as("r"))
+      .transform(Scale.materialize)
+    val tm = tr.join(st, "i")
+      .join(st.select(col("i").as("j")), "j") // targets inside the state space
+      .select(col("i"), col("j"), col("c"), col("r"))
+    val ns = st.agg(count(lit(1)).as("ns"))
+    var pi = st.select(col("i").as("t")).crossJoin(broadcast(ns)) // 1-row scalar
+      .select(col("t"), expr("CAST(1000000 div ns AS BIGINT)").as("ppm"))
+    for (_ <- 1 to MarkovIters)
+      pi = tm.join(broadcast(pi), tm("i") === pi("t"))
+        .groupBy(col("j"))
+        .agg(sum(expr("ppm * c div r")).as("ppm"))
+        .select(col("j").as("t"), col("ppm"))
+    pi.join(st.select(col("i").as("t"), col("r").as("n_out")), "t")
+      .select(col("t").as("event_type"), col("ppm").as("stationary_ppm"),
+        col("n_out"))
+  }
+
+  private def markovStationaryOracle: String = {
+    val iters = (1 to MarkovIters).map { k =>
+      val prev = if (k == 1) "p0" else s"p${k - 1}"
+      s"""p$k AS (SELECT j AS t,
+         |    CAST(sum(ppm * c // r) AS BIGINT) AS ppm
+         |  FROM $prev JOIN tm ON t = tm.i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (SELECT prev_type AS i, event_type AS j, count(*) AS c
+       |  FROM (SELECT event_type, lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |    FROM events)
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |st AS (SELECT i, sum(c) AS r FROM tr GROUP BY 1),
+       |tm AS (SELECT tr.i, tr.j, tr.c, st.r FROM tr
+       |  JOIN st USING (i) JOIN st s2 ON tr.j = s2.i),
+       |ns AS (SELECT count(*) AS n FROM st),
+       |p0 AS (SELECT i AS t, CAST(1000000 // n AS BIGINT) AS ppm FROM st, ns),
+       |$iters
+       |SELECT t AS event_type, ppm AS stationary_ppm,
+       |  CAST(r AS BIGINT) AS n_out
+       |FROM p$MarkovIters JOIN st ON t = st.i""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "part_pagerank" -> partPagerank,
     "part_communities" -> partCommunities,
     "part_triangles" -> partTriangles,
     "part_kcore" -> partKcore,
+    "events_markov_stationary" -> eventsMarkovStationary,
   )
 
   /** The identical fixed-point iterations unrolled as chained CTEs — every
@@ -435,6 +503,7 @@ object Graph {
     "part_communities" -> communitiesOracle,
     "part_triangles" -> trianglesOracle,
     "part_kcore" -> kcoreOracle,
+    "events_markov_stationary" -> markovStationaryOracle,
   )
 
   /** sf1+ attestation variants: the SAME unrolled-iteration SQL with every

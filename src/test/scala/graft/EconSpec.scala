@@ -109,4 +109,78 @@ class EconSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), plan)
     }
   }
+
+  test("part_xyz_class equals brute weekly CV^2 over active weeks") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"),
+        unix_date(to_date(col("l_shipdate"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong, r.getInt(2) / 7))
+    val got = operators.Econ.partXyzClass(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val want = li.groupBy(_._1).flatMap { case (pk, rows) =>
+      val weekly = rows.groupBy(_._3).values.map(_.map(_._2).sum.toLong).toSeq
+      if (weekly.size <= 1) None
+      else {
+        val n = weekly.size.toLong
+        val qt = weekly.sum
+        val qq = weekly.map(q => BigInt(q) * q).sum
+        val cv2 = ((n * qq - BigInt(qt) * qt) * 1000000 / (BigInt(qt) * qt)).toLong
+        val cls = if (cv2 <= operators.Econ.XyzXMaxPpm) "X"
+        else if (cv2 <= operators.Econ.XyzYMaxPpm) "Y" else "Z"
+        Some(pk -> ((n, qt, cv2, cls)))
+      }
+    }
+    assert(got == want)
+    // the active-week form is non-degenerate: at least two classes occur
+    assert(want.values.map(_._4).toSet.size >= 2)
+  }
+
+  test("orders_bullwhip equals brute grid moments") {
+    val o = Tables.orders(spark, sf)
+      .select(unix_date(to_date(col("o_orderdate"))), col("o_totalprice"))
+      .collect().map(r => (r.getInt(0).toLong, cents(r.getDouble(1))))
+    val l = Tables.lineitem(spark, sf)
+      .select(unix_date(to_date(col("l_shipdate"))), col("l_extendedprice"))
+      .collect().map(r => (r.getInt(0).toLong, cents(r.getDouble(1))))
+    def mom(rows: Array[(Long, Long)]): (Long, BigInt, BigInt) = {
+      val daily = rows.groupBy(_._1).view.mapValues(_.map(r => BigInt(r._2)).sum)
+      val t = rows.map(_._1).max - rows.map(_._1).min + 1
+      (t, daily.values.sum, daily.values.map(v => v * v).sum)
+    }
+    val (to, so, soo) = mom(o); val (ts, ss, sss) = mom(l)
+    val want = ((to * soo - so * so) * ts * ts * 1000000 /
+      ((ts * sss - ss * ss) * to * to)).toLong
+    val row = operators.Econ.ordersBullwhip(spark, sf).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((to, ts, want)))
+  }
+
+  test("part_return_shrinkage equals brute MoM beta-binomial") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val per = li.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(_._2 == "R").toLong) }.toMap
+    val raw = per.view.mapValues { case (n, x) =>
+      (n, x, (BigInt(x) * 1000000 / n).toLong) }.toMap
+    val np = raw.size.toLong
+    val tn = raw.values.map(_._1).sum; val tx = raw.values.map(_._2).sum
+    val sr = raw.values.map(r => BigInt(r._3)).sum
+    val srr = raw.values.map(r => BigInt(r._3) * r._3).sum
+    val m = (BigInt(tx) * 1000000 / tn).toLong
+    val vObs = ((np * srr - sr * sr) / (np * (np - 1))).toLong
+    val nbar = tn / np
+    val vTrue = math.max(vObs - m * (1000000 - m) / nbar, 1L)
+    val kappa = math.max(m * (1000000 - m) / vTrue - 1, 0L)
+    val got = operators.Econ.partReturnShrinkage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (pk, (n, x, rp)) =>
+      val shrunk = ((BigInt(x) * 1000000 + BigInt(kappa) * m) / (n + kappa)).toLong
+      assert(got(pk) == ((n, x, rp, shrunk, kappa, m)), pk)
+    }
+    // this corpus: spread is binomial noise, so the prior dominates
+    assert(kappa > nbar)
+  }
 }

@@ -334,4 +334,46 @@ class ExperimentsSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
     assert(p.contains("partial_count"), "value/source counts must partial-agg map-side")
   }
+
+  test("events_ab_cuped equals BigInt CUPED algebra (trunc-div on negatives)") {
+    import graft.functions.PortableHash
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.filter(_._2 <= mid).map(_._3).sum
+      val y = rows.filter(_._2 > mid).map(_._3).sum
+      // portable md5-based arm must match the plan's assignment
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cuped:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 2, BigInt(x), BigInt(y))
+    }.toSeq
+    val n = users.size
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val aNum = n * sxy - sx * sy
+    val bDen = n * sxx - sx * sx; val cDen = n * syy - sy * sy
+    val theta = (aNum * 1000000 / bDen).toLong
+    val rho2 = ((aNum * 1000 / bDen) * (aNum * 1000 / cDen)).toLong
+    val got = Experiments.eventsAbCuped(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    Seq(0L, 1L).foreach { arm =>
+      val as = users.filter(_._1 == arm)
+      val na = as.size
+      val sxa = as.map(_._2).sum; val sya = as.map(_._3).sum
+      val meanPost = (sya * 1000000 / na).toLong
+      val adj = (sya * 1000000 / na -
+        BigInt(theta) * (sxa * n - sx * na) / (BigInt(na) * n)).toLong
+      assert(got(arm.toInt) == ((na.toLong, sxa.toLong, sya.toLong, meanPost,
+        adj, theta, rho2)), s"arm=$arm")
+    }
+  }
 }

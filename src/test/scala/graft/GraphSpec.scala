@@ -139,4 +139,35 @@ class GraphSpec extends AnyFunSuite {
     assert(out.nonEmpty, "k-core empty at this SF - statistic vacuous")
     assert(out.values.forall(_ >= Graph.KcK))
   }
+
+  test("events_markov_stationary equals brute ppm power iteration") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      s.zip(s.drop(1))
+    }.toSeq
+    val rTot = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val states = rTot.keySet
+    val tm = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case ((i, j), _) => states(i) && states(j) }
+    val targets = tm.keys.map(_._2).toSet
+    var pi: Map[String, Long] = states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to Graph.MarkovIters)
+      pi = targets.map { j =>
+        j -> states.toSeq.flatMap(i =>
+          tm.get((i, j)).map(cc => pi.getOrElse(i, 0L) * cc / rTot(i))).sum
+      }.toMap
+    val got = Graph.eventsMarkovStationary(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == targets)
+    targets.foreach { t =>
+      assert(got(t) == ((pi(t), rTot(t))), t)
+    }
+    // mass is conserved up to per-term floors
+    assert(math.abs(pi.values.sum - 1000000L) < 1000)
+  }
 }
