@@ -896,8 +896,77 @@ object Experiments {
        |  theta_ppm, rho2_ppm
        |FROM arm, th""".stripMargin
 
+  /** Position-based (U-shaped) multi-touch attribution — the rules-based
+    * complement to events_attribution_markov's model-based credit: user
+    * journeys are segmented at purchase boundaries (journey index = count
+    * of PRECEDING purchases, a per-user running window), and each
+    * CONVERTED journey's non-purchase touches earn ppm credit by position
+    * — 40/40/20 first/last/middles, with the degenerate forms pinned
+    * (m=1 → 10⁶, m=2 → 500k each) and the middle share an integer floor
+    * division (200000 div (m−2); the ≤(m−3)-ppm dust per journey is
+    * dropped by contract, stated identically in both engines). All
+    * windows are per-user (bounded partitions); one (user, journey)
+    * semi-join against the converted-journey frame; the rollup is
+    * map-side-partial by type.
+    */
+  def eventsAttributionPosition(s: SparkSession, d: String): DataFrame = {
+    val byU = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("journey",
+        count(when(col("event_type") === "purchase", 1)).over(byU))
+    val conv = j.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey")).distinct()
+    val byJ = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("us"), col("event_id"))
+    val byJAll = Window.partitionBy(col("user_id"), col("journey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.filter(col("event_type") =!= "purchase")
+      .join(conv, Seq("user_id", "journey"), "left_semi")
+      .withColumn("pos", row_number().over(byJ))
+      .withColumn("m", count(lit(1)).over(byJAll))
+      .select(col("event_type"),
+        when(col("m") === 1, 1000000L)
+          .when(col("m") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("m"), 400000L)
+          .otherwise(expr("CAST(200000 div (m - 2) AS BIGINT)")).as("credit"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_ppm"))
+  }
+
+  private val positionOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |j AS (SELECT user_id, event_type, us, event_id,
+      |    count(*) FILTER (event_type = 'purchase') OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS journey
+      |  FROM ev),
+      |t AS (SELECT user_id, journey, event_type, us, event_id FROM j
+      |  WHERE event_type <> 'purchase'),
+      |conv AS (SELECT DISTINCT user_id, journey FROM j
+      |  WHERE event_type = 'purchase'),
+      |jt AS (SELECT t.user_id, t.journey, t.event_type,
+      |    row_number() OVER (PARTITION BY t.user_id, t.journey
+      |      ORDER BY t.us, t.event_id) AS pos,
+      |    count(*) OVER (PARTITION BY t.user_id, t.journey) AS m
+      |  FROM t JOIN conv USING (user_id, journey)),
+      |cr AS (SELECT event_type,
+      |    CASE WHEN m = 1 THEN 1000000
+      |         WHEN m = 2 THEN 500000
+      |         WHEN pos = 1 OR pos = m THEN 400000
+      |         ELSE 200000 // (m - 2) END AS credit
+      |  FROM jt)
+      |SELECT event_type, count(*) AS n_touches,
+      |  CAST(sum(credit) AS BIGINT) AS credit_ppm
+      |FROM cr GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ab_cuped" -> eventsAbCuped,
+    "events_attribution_position" -> eventsAttributionPosition,
     "stats_mann_whitney" -> statsMannWhitney,
     "events_ab_test" -> eventsAbTest,
     "events_ab_srm" -> eventsAbSrm,
@@ -911,6 +980,7 @@ object Experiments {
 
   val oracles: Map[String, String] = Map(
     "events_ab_cuped" -> cupedOracleSql,
+    "events_attribution_position" -> positionOracleSql,
     "stats_mann_whitney" -> mwOracleSql,
     "events_ab_test" -> abOracleSql,
     "events_ab_srm" -> srmOracleSql,

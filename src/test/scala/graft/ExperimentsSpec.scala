@@ -376,4 +376,36 @@ class ExperimentsSpec extends AnyFunSuite {
         adj, theta, rho2)), s"arm=$arm")
     }
   }
+
+  test("events_attribution_position equals brute U-shaped journey credit") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val want = collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(r => (r._3, r._4)).toSeq
+      var journey = Vector.empty[String]
+      s.foreach { r =>
+        if (r._2 == "purchase") {
+          val m = journey.size
+          journey.zipWithIndex.foreach { case (t, idx) =>
+            val credit =
+              if (m == 1) 1000000L
+              else if (m == 2) 500000L
+              else if (idx == 0 || idx == m - 1) 400000L
+              else 200000L / (m - 2)
+            val (n, c) = want(t); want(t) = (n + 1, c + credit)
+          }
+          journey = Vector.empty
+        } else journey :+= r._2
+      }
+    }
+    val got = Experiments.eventsAttributionPosition(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want.toMap)
+    assert(want.nonEmpty && want.values.map(_._2).sum > 0)
+  }
 }
