@@ -298,11 +298,13 @@ object Econ {
     * shipped revenue) — >10⁶ ppm means order-side variance exceeds
     * ship-side, the classic supply-chain whip. Both variances via the
     * zero-inclusive day-grid moment identity (T·Σv²−(Σv)², grid widths
-    * from 1-row bounds — silent days are free), the ratio one
-    * DECIMAL(38)/HUGEINT division: (To·Σo²−(Σo)²)·Ts²·10⁶ /
-    * ((Ts·Σs²−(Σs)²)·To²). Two scans, two map-side-partial day aggs, two
-    * 1-row moment frames. Headroom ~10³⁶ at sf1-scale daily cents,
-    * documented; past that the same identity runs on daily dollars.
+    * from 1-row bounds — silent days are free), each side FLOORED to an
+    * integer cents² variance first (vₒ = (To·Σo²−(Σo)²) div To², vₛ
+    * likewise — the single cross-multiplied ratio was measured to
+    * overflow DECIMAL(38) at sf1 daily-cents scale, and the per-side
+    * floor loses ≲10⁻¹⁴ relative at any corpus where the ratio is
+    * meaningful), then ONE ppm division vₒ·10⁶/vₛ. Two scans, two
+    * map-side-partial day aggs, two 1-row moment frames.
     */
   def ordersBullwhip(s: SparkSession, d: String): DataFrame = {
     def dayMoments(df: DataFrame): DataFrame =
@@ -320,9 +322,9 @@ object Econ {
       .crossJoin(broadcast(
         sm.select(col("t").as("tsh"), col("sv").as("ss"), col("svv").as("sss"))))
       .select(col("tor").as("t_orders"), col("tsh").as("t_ships"),
-        expr("CAST(CAST((tor * soo - CAST(so AS DECIMAL(38,0)) * so) * tsh * tsh " +
-          "* 1000000 AS DECIMAL(38,0)) div " +
-          "CAST((tsh * sss - CAST(ss AS DECIMAL(38,0)) * ss) * tor * tor " +
+        expr("CAST(CAST(CAST((tor * soo - CAST(so AS DECIMAL(38,0)) * so) " +
+          "div (tor * tor) AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div " +
+          "CAST((tsh * sss - CAST(ss AS DECIMAL(38,0)) * ss) div (tsh * tsh) " +
           "AS DECIMAL(38,0)) AS BIGINT)").as("bullwhip_ppm"))
   }
 
@@ -340,9 +342,10 @@ object Econ {
       |sm AS (SELECT max(dy) - min(dy) + 1 AS t, sum(v) AS sv,
       |    sum(CAST(v AS HUGEINT) * v) AS svv FROM sd)
       |SELECT CAST(om.t AS BIGINT) AS t_orders, CAST(sm.t AS BIGINT) AS t_ships,
-      |  CAST((om.t * om.svv - CAST(om.sv AS HUGEINT) * om.sv) * sm.t * sm.t
-      |    * 1000000
-      |    // ((sm.t * sm.svv - CAST(sm.sv AS HUGEINT) * sm.sv) * om.t * om.t)
+      |  CAST(((om.t * om.svv - CAST(om.sv AS HUGEINT) * om.sv)
+      |      // (CAST(om.t AS HUGEINT) * om.t)) * 1000000
+      |    // ((sm.t * sm.svv - CAST(sm.sv AS HUGEINT) * sm.sv)
+      |      // (CAST(sm.t AS HUGEINT) * sm.t))
       |    AS BIGINT) AS bullwhip_ppm
       |FROM om, sm""".stripMargin
 

@@ -26,8 +26,11 @@ object StreamQueries {
       build: DataFrame => DataFrame): DataFrame = {
     val schema = s.read.parquet(srcFile).schema
     val inDir = Files.createTempDirectory(s"graft_${prefix}_in")
+    // absolute target: a relative srcFile (e.g. `testdata-sf1/...`) would
+    // resolve against the /tmp symlink dir and dangle — the file stream
+    // then silently reads nothing
     Files.createSymbolicLink(inDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(srcFile))
+      java.nio.file.Paths.get(srcFile).toAbsolutePath)
     val chkDir = Files.createTempDirectory(s"graft_${prefix}_chk")
     val sinkName =
       s"graft_${prefix}_" + java.util.UUID.randomUUID.toString.replace("-", "")

@@ -149,8 +149,9 @@ class EconSpec extends AnyFunSuite {
       (t, daily.values.sum, daily.values.map(v => v * v).sum)
     }
     val (to, so, soo) = mom(o); val (ts, ss, sss) = mom(l)
-    val want = ((to * soo - so * so) * ts * ts * 1000000 /
-      ((ts * sss - ss * ss) * to * to)).toLong
+    val vo = (to * soo - so * so) / (BigInt(to) * to)
+    val vs = (ts * sss - ss * ss) / (BigInt(ts) * ts)
+    val want = (vo * 1000000 / vs).toLong
     val row = operators.Econ.ordersBullwhip(spark, sf).head()
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((to, ts, want)))
   }
