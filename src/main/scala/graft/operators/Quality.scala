@@ -294,9 +294,15 @@ object Quality {
     * that case, so both engines emit the same rows.
     */
   def supplierSetCover(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.lineitem(s, d)
+    // DURABLE (parquet) checkpoint for the edge frame, not localCheckpoint:
+    // local-checkpointed blocks are unevictable, and pinning an SF-scaled
+    // edge relation for all K rounds starves execution memory (measured:
+    // SparkOutOfMemory in the late rounds at 100× the gate SF). The loop
+    // re-reads edges K times; a columnar re-read scales, a pinned block
+    // cache does not.
+    val edges = Dedup.durable(Tables.lineitem(s, d)
       .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
-      .distinct().transform(Scale.materialize)
+      .distinct())
     var covered = Scale.materialize(edges.select(col("partkey")).limit(0))
     var chosen = Vector.empty[(Int, Long, Long, Long)]
     var done = false
@@ -311,8 +317,10 @@ object Quality {
         val (sk, nNew) = (best(0).getLong(0), best(0).getLong(1))
         chosen = chosen :+
           ((r, sk, nNew, chosen.lastOption.map(_._4).getOrElse(0L) + nNew))
+        val prev = covered
         covered = Scale.materialize(covered.unionByName(
           edges.filter(col("suppkey") === sk).select(col("partkey"))).distinct())
+        prev.unpersist() // superseded round state must not accumulate
       }
     }
     import s.implicits._
