@@ -32,6 +32,14 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.TextQueries.textQualityModel(spark, sf).count()
     // text_bm25's idf/avgdl stats follow the same generated-oracle contract
     graft.operators.Search.textBm25(spark, sf).count()
+    // order-independence: the centroid-family oracles are emitted only when
+    // EXACTLY ONE dir has trained (the Verify contract — one sf per run).
+    // Suites run in parallel in this JVM, and SimilaritySpec's sf0.01
+    // NN-descent training can interleave with this test no matter how it
+    // cleans up after itself — so retain only our dir before reading the
+    // oracle map.
+    graft.operators.Similarity.centroidCache.keySet
+      .retainAll(java.util.Collections.singleton(sf))
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
