@@ -419,7 +419,68 @@ object Econ {
       |  CAST(kappa AS BIGINT) AS kappa, m_ppm
       |FROM r, ka""".stripMargin
 
+  /** The ABC × XYZ planning matrix (the classic inventory-policy grid:
+    * value class × demand-variability class): part revenue classes by the
+    * customer_abc cum-share algebra (value-frame prefix sum = RANGE-window
+    * tie semantics, integer cross-multiplied 80/95% thresholds) joined to
+    * [[partXyzClass]]'s CV² classes, rolled up to the ≤9-cell grid with
+    * part counts and exact revenue cents. Parts without a variability
+    * signal (a single active week) are excluded by the XYZ contract, so
+    * the matrix covers exactly the classifiable population. One revenue
+    * agg + the XYZ pass + a key join + a bounded rollup.
+    */
+  def partAbcXyz(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg((round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2) * 100)
+        .cast("long").as("rc"))
+      .transform(Scale.materialize)
+    val byVal = rev.groupBy(col("rc")).agg(sum(col("rc")).as("vsum"))
+    val cumAsc = Scale.prefixSum(byVal, "rc", "vsum")
+    val total = rev.agg(sum(col("rc")).as("total"))
+    val abc = rev.join(cumAsc, "rc").join(broadcast(total))
+      .withColumn("cumge", col("total") - col("cum") + col("vsum"))
+      .select(col("l_partkey"), col("rc"),
+        when(col("cumge") * 5 <= col("total") * 4, lit("A"))
+          .when(col("cumge") * 20 <= col("total") * 19, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+    abc.join(partXyzClass(s, d).select(col("l_partkey"), col("xyz_class")),
+        "l_partkey")
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("rev_cents"))
+  }
+
+  private def abcXyzOracleSql: String =
+    s"""WITH rev AS (SELECT l_partkey,
+       |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) * 100
+       |      AS BIGINT) AS rc
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT sum(rc) AS total FROM rev),
+       |w AS (SELECT l_partkey, rc,
+       |    sum(rc) OVER (ORDER BY rc DESC) AS cumge FROM rev),
+       |abc AS (SELECT l_partkey, rc,
+       |    CASE WHEN cumge * 5 <= total * 4 THEN 'A'
+       |         WHEN cumge * 20 <= total * 19 THEN 'B' ELSE 'C' END
+       |      AS abc_class
+       |  FROM w, t),
+       |li2 AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+       |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS wk
+       |  FROM lineitem),
+       |pw AS (SELECT l_partkey, wk, sum(qty) AS q FROM li2 GROUP BY 1, 2),
+       |m AS (SELECT l_partkey, count(*) AS n, sum(q) AS qt,
+       |    sum(q * q) AS qq FROM pw GROUP BY 1),
+       |xyz AS (SELECT l_partkey,
+       |    CASE WHEN cv2 <= $XyzXMaxPpm THEN 'X'
+       |         WHEN cv2 <= $XyzYMaxPpm THEN 'Y' ELSE 'Z' END AS xyz_class
+       |  FROM (SELECT l_partkey,
+       |      CAST((n * CAST(qq AS HUGEINT) - CAST(qt AS HUGEINT) * qt)
+       |        * 1000000 // (CAST(qt AS HUGEINT) * qt) AS BIGINT) AS cv2
+       |    FROM m WHERE n > 1))
+       |SELECT abc_class, xyz_class, count(*) AS n_parts,
+       |  CAST(sum(rc) AS BIGINT) AS rev_cents
+       |FROM abc JOIN xyz USING (l_partkey) GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_abc_xyz" -> partAbcXyz,
     "events_ab_power" -> eventsAbPower,
     "cohort_ltv_curve" -> cohortLtvCurve,
     "supplier_hhi" -> supplierHhi,
@@ -430,6 +491,7 @@ object Econ {
   )
 
   val oracles: Map[String, String] = Map(
+    "part_abc_xyz" -> abcXyzOracleSql,
     "events_ab_power" -> abPowerOracleSql,
     "cohort_ltv_curve" -> cohortLtvOracleSql,
     "supplier_hhi" -> hhiOracleSql,

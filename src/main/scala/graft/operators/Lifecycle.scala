@@ -512,7 +512,59 @@ object Lifecycle {
       |SELECT p_type, n_lines, slope, (syd - slope * sxd) / nd AS intercept
       |FROM s""".stripMargin
 
+  /** Conversion-latency banding: per user, the gap between their FIRST
+    * `view` and FIRST `purchase` (first-touch to first-conversion — the
+    * deterministic, window-free definition: two conditional mins in ONE
+    * map-side-partial user agg), banded into the operational buckets
+    * (<1h, <1d, <7d, ≥7d) with the converter share in floor-ppm. Users
+    * whose first purchase precedes their first view (paths that start
+    * with a purchase) are excluded by contract — the latency of a
+    * conversion that predates first touch is not defined. One user agg +
+    * a 4-row band rollup; the division lives on the bounded band frame.
+    */
+  def eventsConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("t1"))
+      .filter(col("t0").isNotNull && col("t1").isNotNull && col("t1") >= col("t0"))
+      .select(expr("(t1 - t0) div 3600000000").as("hrs"))
+    val bands = f.select(
+        when(col("hrs") < 1, "0_lt1h").when(col("hrs") < 24, "1_lt1d")
+          .when(col("hrs") < 168, "2_lt7d").otherwise(lit("3_ge7d")).as("band"),
+        col("hrs"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), min(col("hrs")).as("min_hours"),
+        max(col("hrs")).as("max_hours"))
+    val wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bands.withColumn("total", sum(col("n_users")).over(wt)) // bounded band frame
+      .select(col("band"), col("n_users"),
+        expr("CAST(CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div total AS BIGINT)").as("share_ppm"),
+        col("min_hours"), col("max_hours"))
+  }
+
+  private def convLatencyOracleSql: String =
+    """WITH f AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+      |  FROM events GROUP BY 1),
+      |lat AS (SELECT (t1 - t0) // 3600000000 AS hrs FROM f
+      |  WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+      |b AS (SELECT CASE WHEN hrs < 1 THEN '0_lt1h' WHEN hrs < 24 THEN '1_lt1d'
+      |    WHEN hrs < 168 THEN '2_lt7d' ELSE '3_ge7d' END AS band, hrs FROM lat),
+      |g AS (SELECT band, count(*) AS n_users, min(hrs) AS min_hours,
+      |    max(hrs) AS max_hours FROM b GROUP BY 1),
+      |t AS (SELECT sum(n_users) AS total FROM g)
+      |SELECT band, n_users,
+      |  CAST(CAST(n_users AS HUGEINT) * 1000000 // total AS BIGINT)
+      |    AS share_ppm,
+      |  min_hours, max_hours
+      |FROM g, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_conversion_latency" -> eventsConversionLatency,
     "daily_revenue_backtest" -> dailyRevenueBacktest,
     "discount_elasticity" -> discountElasticity,
     "events_growth_accounting" -> eventsGrowthAccounting,
@@ -525,6 +577,7 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_conversion_latency" -> convLatencyOracleSql,
     "daily_revenue_backtest" -> backtestOracleSql,
     "discount_elasticity" -> elasticityOracleSql,
     "events_growth_accounting" -> growthOracleSql,

@@ -184,4 +184,43 @@ class EconSpec extends AnyFunSuite {
     // this corpus: spread is binomial noise, so the prior dominates
     assert(kappa > nbar)
   }
+
+  test("part_abc_xyz equals brute classed rollup") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        unix_date(to_date(col("l_shipdate"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong,
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        r.getInt(3) / 7))
+    val rev = li.groupBy(_._1).view.mapValues(rs =>
+      (BigDecimal(rs.map(_._3).sum.toString)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).toMap
+    val total = rev.values.map(BigInt(_)).sum
+    val byVal = rev.values.groupBy(identity).view
+      .mapValues(vs => BigInt(vs.head) * vs.size).toMap
+    def abcOf(r: Long): String = {
+      val cumge = byVal.filter(_._1 >= r).values.sum
+      if (cumge * 5 <= total * 4) "A"
+      else if (cumge * 20 <= total * 19) "B" else "C"
+    }
+    val xyz = li.groupBy(_._1).flatMap { case (pk, rows) =>
+      val weekly = rows.groupBy(_._4).values.map(_.map(_._2).sum.toLong).toSeq
+      if (weekly.size <= 1) None
+      else {
+        val n = weekly.size.toLong; val qt = weekly.sum
+        val qq = weekly.map(q => BigInt(q) * q).sum
+        val cv2 = ((n * qq - BigInt(qt) * qt) * 1000000 / (BigInt(qt) * qt)).toLong
+        Some(pk -> (if (cv2 <= Econ.XyzXMaxPpm) "X"
+        else if (cv2 <= Econ.XyzYMaxPpm) "Y" else "Z"))
+      }
+    }
+    val want = xyz.toSeq.map { case (pk, x) => ((abcOf(rev(pk)), x), rev(pk)) }
+      .groupBy(_._1).view.mapValues(cs =>
+        (cs.size.toLong, cs.map(c => BigInt(c._2)).sum.toLong)).toMap
+    val got = Econ.partAbcXyz(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(want.size >= 4, "planning grid degenerate")
+  }
 }

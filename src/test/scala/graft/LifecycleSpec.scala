@@ -328,4 +328,29 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.size > 1, "single category - grouped regression vacuous")
   }
+
+  test("events_conversion_latency equals brute first-touch gaps") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lat = ev.groupBy(_._1).values.flatMap { rows =>
+      val t0 = rows.filter(_._2 == "view").map(_._3).minOption
+      val t1 = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (t0, t1) match {
+        case (Some(a), Some(b)) if b >= a => Some((b - a) / 3600000000L)
+        case _ => None
+      }
+    }.toSeq
+    def band(h: Long): String =
+      if (h < 1) "0_lt1h" else if (h < 24) "1_lt1d"
+      else if (h < 168) "2_lt7d" else "3_ge7d"
+    val want = lat.groupBy(band).view.mapValues { hs =>
+      (hs.size.toLong, (BigInt(hs.size) * 1000000 / lat.size).toLong,
+        hs.min, hs.max) }.toMap
+    val got = graft.operators.Lifecycle.eventsConversionLatency(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    assert(want.size >= 2, "latency bands degenerate")
+  }
 }
