@@ -104,7 +104,9 @@ class EconSpec extends AnyFunSuite {
 
   test("plan pins: no cartesian products beyond 1-row broadcast scalars") {
     Seq(Econ.eventsAbPower(spark, sf), Econ.cohortLtvCurve(spark, sf),
-      Econ.supplierHhi(spark, sf), Econ.partPriceIndex(spark, sf)).foreach { df =>
+      Econ.supplierHhi(spark, sf), Econ.partPriceIndex(spark, sf),
+      Econ.partAbcXyz(spark, sf),
+      graft.operators.Lifecycle.eventsConversionLatency(spark, sf)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan)
     }
