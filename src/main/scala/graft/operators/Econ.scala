@@ -479,7 +479,55 @@ object Econ {
        |  CAST(sum(rc) AS BIGINT) AS rev_cents
        |FROM abc JOIN xyz USING (l_partkey) GROUP BY 1, 2""".stripMargin
 
+  /** Supplier scorecard: the per-supplier operating summary a sourcing
+    * mart publishes — exact revenue cents, line count, return rate in
+    * floor-ppm, and the supplier's revenue share within its nation
+    * (nation totals are a bounded ≤|nations|-row broadcast, so the share
+    * needs no supplier-keyed window). One lineitem agg keyed on suppkey
+    * (map-side partial), one supplier-dim join, one broadcast join of the
+    * nation rollup; divisions in the final projection only.
+    */
+  def supplierScorecard(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)"))
+          .as("rev_cents"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val nat = per.groupBy(col("s_nationkey"))
+      .agg(sum(col("rev_cents")).as("nat_cents"))
+    per.join(broadcast(nat), "s_nationkey") // bounded nation rollup
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_items"),
+        col("rev_cents"), col("n_returns"),
+        expr("CAST(CAST(CAST(n_returns AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div n_items AS BIGINT)").as("return_ppm"),
+        expr("CAST(CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 " +
+          "AS DECIMAL(38,0)) div nat_cents AS BIGINT)").as("nation_share_ppm"))
+  }
+
+  private def scorecardOracleSql: String =
+    """WITH per AS (SELECT l_suppkey, count(*) AS n_items,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+      |      AS rev_cents,
+      |    count(*) FILTER (l_returnflag = 'R') AS n_returns
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT per.*, s_nationkey FROM per
+      |  JOIN supplier ON l_suppkey = s_suppkey),
+      |nat AS (SELECT s_nationkey, sum(rev_cents) AS nat_cents
+      |  FROM j GROUP BY 1)
+      |SELECT l_suppkey AS s_suppkey, j.s_nationkey,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(rev_cents AS BIGINT) AS rev_cents,
+      |  CAST(n_returns AS BIGINT) AS n_returns,
+      |  CAST(CAST(n_returns AS HUGEINT) * 1000000 // n_items AS BIGINT)
+      |    AS return_ppm,
+      |  CAST(CAST(rev_cents AS HUGEINT) * 1000000 // nat_cents AS BIGINT)
+      |    AS nation_share_ppm
+      |FROM j JOIN nat ON j.s_nationkey = nat.s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supplier_scorecard" -> supplierScorecard,
     "part_abc_xyz" -> partAbcXyz,
     "events_ab_power" -> eventsAbPower,
     "cohort_ltv_curve" -> cohortLtvCurve,
@@ -491,6 +539,7 @@ object Econ {
   )
 
   val oracles: Map[String, String] = Map(
+    "supplier_scorecard" -> scorecardOracleSql,
     "part_abc_xyz" -> abcXyzOracleSql,
     "events_ab_power" -> abPowerOracleSql,
     "cohort_ltv_curve" -> cohortLtvOracleSql,

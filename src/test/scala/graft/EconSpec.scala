@@ -225,4 +225,28 @@ class EconSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.size >= 4, "planning grid degenerate")
   }
+
+  test("supplier_scorecard equals brute per-supplier rollup") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1)), r.getString(2)))
+    val nation = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val per = li.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => BigInt(r._2)).sum,
+        rs.count(_._3 == "R").toLong) }.toMap
+    val nat = per.groupBy { case (sk, _) => nation(sk) }.view
+      .mapValues(_.values.map(_._2).sum).toMap
+    val got = operators.Econ.supplierScorecard(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == per.keySet)
+    per.foreach { case (sk, (n, rev, ret)) =>
+      val nk = nation(sk)
+      assert(got(sk) == ((nk, n, rev.toLong, ret,
+        (BigInt(ret) * 1000000 / n).toLong,
+        (rev * 1000000 / nat(nk)).toLong)), sk)
+    }
+  }
 }
