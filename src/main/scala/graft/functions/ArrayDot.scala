@@ -119,6 +119,101 @@ case class ArgmaxScaledDot(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Top-`topK` cells of dot(vec, matrix[k·dim .. (k+1)·dim)) / scale[k] —
+  * ArgmaxScaledDot's multi-probe sibling, as ONE codegen'd loop nest
+  * returning `array<int>` ordered (score desc, cell asc). The previous
+  * formulation — `transform`-with-index over the 2-d centroid literal into
+  * an array of (negccos, cell) structs, `sort_array`, `slice` — unrolled
+  * into a projection janino refuses to compile past ~32 cells ("Code grows
+  * beyond 64 KB"), silently dropping the probe stage to interpreted eval.
+  * This expression is O(cells·dim + topK·cells) with constant code size.
+  *
+  * Ordering contract, bit-identical to the struct sort it replaces: score
+  * = dot/scale compared as IEEE doubles (negation in the old `negccos` is
+  * exact, so asc-on-negated ≡ desc-on-raw), ties keep the LOWEST cell
+  * (strict `>` scanning ascending) — the (ccos desc, cell asc) order every
+  * generated oracle's row_number states. The dot fold is sequential
+  * left-to-right — bit-identical to ArrayDot and the oracle's list_reduce.
+  */
+case class ArgTopKDot(first: Expression, second: Expression, third: Expression,
+    fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = ArrayTypes.intArray
+  override def prettyName: String = "graft_argtopk_dot"
+
+  override protected def nullSafeEval(v: Any, m: Any, s: Any, tk: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[ArrayData]
+    val k = sc.numElements()
+    val dim = if (k == 0) 0 else mat.numElements() / k
+    val n = math.min(dim, x.numElements())
+    val take = math.min(tk.asInstanceOf[Int], k)
+    val scores = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      var acc = 0.0; var j = 0; val off = i * dim
+      while (j < n) { acc += x.getDouble(j) * mat.getDouble(off + j); j += 1 }
+      scores(i) = acc / sc.getDouble(i)
+      i += 1
+    }
+    val used = new Array[Boolean](k)
+    val out = new Array[Int](take)
+    var r = 0
+    while (r < take) {
+      var bi = -1; var best = 0.0; i = 0
+      while (i < k) {
+        if (!used(i) && (bi < 0 || scores(i) > best)) { best = scores(i); bi = i }
+        i += 1
+      }
+      used(bi) = true; out(r) = bi
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, s, tk) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val r = ctx.freshName("r"); val k = ctx.freshName("k")
+      val dim = ctx.freshName("dim"); val n = ctx.freshName("n")
+      val off = ctx.freshName("off"); val acc = ctx.freshName("acc")
+      val take = ctx.freshName("take"); val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used"); val out = ctx.freshName("out")
+      val bi = ctx.freshName("bi"); val best = ctx.freshName("best")
+      s"""
+         |int $k = $s.numElements();
+         |int $dim = $k == 0 ? 0 : $m.numElements() / $k;
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |int $take = java.lang.Math.min($tk, $k);
+         |double[] $scores = new double[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  double $acc = 0.0; int $off = $i * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $v.getDouble($j) * $m.getDouble($off + $j);
+         |  }
+         |  $scores[$i] = $acc / $s.getDouble($i);
+         |}
+         |boolean[] $used = new boolean[$k];
+         |int[] $out = new int[$take];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $bi = -1; double $best = 0.0;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    if (!$used[$i] && ($bi < 0 || $scores[$i] > $best)) {
+         |      $best = $scores[$i]; $bi = $i;
+         |    }
+         |  }
+         |  $used[$bi] = true; $out[$r] = $bi;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): ArgTopKDot =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** Product-quantization encoder: split `v` into `numSub` contiguous
   * subvectors and, for each subspace m, emit the index k minimizing
   * ||v_m − C[m][k]||² over the flattened codebook — computed in dot form,
@@ -196,8 +291,74 @@ case class PqEncode(first: Expression, second: Expression, third: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Per-query ADC table: lut[m·K + k] = dot(v_m, C[m][k]) over the same
+  * flattened [m][k][subDim] codebook layout as [[PqEncode]] — all
+  * numSub·K entries in one codegen'd loop nest. The unrolled equivalent
+  * (numSub·K separate dot-of-slice expressions collected with `array`)
+  * generates a projection past janino's 64 KB method budget at 8×16
+  * entries, dropping the whole query stage to interpreted eval. Each
+  * entry's fold is sequential left-to-right over the subvector —
+  * bit-identical to dot(slice(v, m·sub+1, sub), C[m][k]) and to the
+  * oracle's per-entry list_reduce.
+  */
+case class PqLut(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayTypes.doubleArray
+  override def prettyName: String = "graft_pq_lut"
+
+  override protected def nullSafeEval(v: Any, m: Any, ns: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val numSub = ns.asInstanceOf[Int]
+    val sub = x.numElements() / numSub
+    val kk = if (sub == 0) 0 else mat.numElements() / (numSub * sub)
+    val lut = new Array[Double](numSub * kk)
+    var mi = 0
+    while (mi < numSub) {
+      var k = 0
+      while (k < kk) {
+        var acc = 0.0; var j = 0; val off = (mi * kk + k) * sub
+        while (j < sub) { acc += x.getDouble(mi * sub + j) * mat.getDouble(off + j); j += 1 }
+        lut(mi * kk + k) = acc
+        k += 1
+      }
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m, ns) => {
+      val mi = ctx.freshName("mi"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val sub = ctx.freshName("sub")
+      val kk = ctx.freshName("kk"); val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc"); val lut = ctx.freshName("lut")
+      s"""
+         |int $sub = $v.numElements() / $ns;
+         |int $kk = $sub == 0 ? 0 : $m.numElements() / ($ns * $sub);
+         |double[] $lut = new double[$ns * $kk];
+         |for (int $mi = 0; $mi < $ns; $mi++) {
+         |  for (int $k = 0; $k < $kk; $k++) {
+         |    double $acc = 0.0; int $off = ($mi * $kk + $k) * $sub;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      $acc += $v.getDouble($mi * $sub + $j) * $m.getDouble($off + $j);
+         |    }
+         |    $lut[$mi * $kk + $k] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqLut =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 private object ArrayTypes {
   val intArray: DataType = org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  val doubleArray: DataType = org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
 }
 
 /** Column-API + SQL-registration surface for the native vector expressions. */
@@ -219,6 +380,14 @@ object NativeVector {
     GraftSqlBridge.column(ArgmaxScaledDot(GraftSqlBridge.expression(v),
       GraftSqlBridge.expression(flatMatrix), GraftSqlBridge.expression(scale)))
 
+  /** Top-`k` cells of dot(v, flatMatrix)/scale, ordered (score desc, cell
+    * asc); ties keep the lowest cell — the multi-probe ranking.
+    */
+  def argTopKDot(v: Column, flatMatrix: Column, scale: Column, topK: Column): Column =
+    GraftSqlBridge.column(ArgTopKDot(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(flatMatrix), GraftSqlBridge.expression(scale),
+      GraftSqlBridge.expression(topK)))
+
   /** PQ codes of `v` against a flattened [m][k][subDim] codebook with
     * per-(m,k) biases (−||c||²/2 for L2 argmin); ties keep the lowest k.
     */
@@ -226,6 +395,13 @@ object NativeVector {
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v),
       GraftSqlBridge.expression(flatCodebook), GraftSqlBridge.expression(bias),
       GraftSqlBridge.expression(numSub)))
+
+  /** ADC table of `v` against a flattened [m][k][subDim] codebook:
+    * array<double> with lut[m·K + k] = dot(v_m, C[m][k]).
+    */
+  def pqLut(v: Column, flatCodebook: Column, numSub: Column): Column =
+    GraftSqlBridge.column(PqLut(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(flatCodebook), GraftSqlBridge.expression(numSub)))
 
   private val info = new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot")
   private def builder(children: Seq[Expression]): Expression = children match {
@@ -240,10 +416,23 @@ object NativeVector {
     case _ => throw new IllegalArgumentException("graft_argmax_dot takes exactly 3 arguments")
   }
 
+  private val argtopkInfo =
+    new ExpressionInfo(classOf[ArgTopKDot].getName, "graft_argtopk_dot")
+  private def argtopkBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(v, m, s, tk) => ArgTopKDot(v, m, s, tk)
+    case _ => throw new IllegalArgumentException("graft_argtopk_dot takes exactly 4 arguments")
+  }
+
   private val pqInfo = new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode")
   private def pqBuilder(children: Seq[Expression]): Expression = children match {
     case Seq(v, m, b, ns) => PqEncode(v, m, b, ns)
     case _ => throw new IllegalArgumentException("graft_pq_encode takes exactly 4 arguments")
+  }
+
+  private val pqLutInfo = new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut")
+  private def pqLutBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(v, m, ns) => PqLut(v, m, ns)
+    case _ => throw new IllegalArgumentException("graft_pq_lut takes exactly 3 arguments")
   }
 
   private val topkInfo =
@@ -259,7 +448,9 @@ object NativeVector {
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", info, builder)
     GraftSqlBridge.registerFunction(spark, "graft_argmax_dot", argmaxInfo, argmaxBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_argtopk_dot", argtopkInfo, argtopkBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_pq_encode", pqInfo, pqBuilder)
+    GraftSqlBridge.registerFunction(spark, "graft_pq_lut", pqLutInfo, pqLutBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_topk_sketch", topkInfo, topkBuilder)
   }
 }
@@ -278,10 +469,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot"),
         (children: Seq[Expression]) => ArgmaxScaledDot(children(0), children(1), children(2))))
     ext.injectFunction(
+      (FunctionIdentifier("graft_argtopk_dot"),
+        new ExpressionInfo(classOf[ArgTopKDot].getName, "graft_argtopk_dot"),
+        (children: Seq[Expression]) =>
+          ArgTopKDot(children(0), children(1), children(2), children(3))))
+    ext.injectFunction(
       (FunctionIdentifier("graft_pq_encode"),
         new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
         (children: Seq[Expression]) =>
           PqEncode(children(0), children(1), children(2), children(3))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_pq_lut"),
+        new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+        (children: Seq[Expression]) => PqLut(children(0), children(1), children(2))))
     ext.injectFunction(
       (FunctionIdentifier("graft_topk_sketch"),
         new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk_sketch"),

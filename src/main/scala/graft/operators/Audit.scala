@@ -110,6 +110,9 @@ object Audit {
           "row_tot * col_tot) AS BIGINT)"))
       .select(col("o_orderpriority"), col("o_orderstatus"), col("o_cnt"),
         col("row_tot"), col("col_tot"), col("contrib_ppm"))
+      // materialized: the `_all` rollup and the union both consume this
+      // subtree — without it the orders agg + three windows execute twice
+      .transform(Scale.materialize)
     val tot = per.agg(sum(col("o_cnt")).as("o_cnt"),
         sum(col("contrib_ppm")).as("contrib_ppm"))
       .select(lit("_all").as("o_orderpriority"), lit("_all").as("o_orderstatus"),

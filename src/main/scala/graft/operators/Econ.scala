@@ -49,11 +49,16 @@ object Econ {
         sum(expr("cents * cents")).as("sumsq"))
       .select(col("event_type"), col("n_events"), col("sum_cents"),
         col("sumsq").as("sumsq_cents"),
+        // nullif guards the degenerate corpora (single event or all-zero
+        // values per type): Spark's div returns NULL on a NULL divisor
+        // where a raw 0 divisor would differ from DuckDB (NULL vs error),
+        // so BOTH engines emit NULL n_per_arm and the parity gate compares
+        // instead of crashing — the dq_expectations/retention discipline
         expr(s"CAST(CAST($Z2Ppm AS DECIMAL(38,0)) * 800 * " +
           "(CAST(n_events AS DECIMAL(38,0)) * sumsq - " +
           "CAST(sum_cents AS DECIMAL(38,0)) * sum_cents) " +
-          "* n_events div ((n_events - 1) * CAST(sum_cents AS DECIMAL(38,0)) " +
-          "* sum_cents * 1000000) AS BIGINT)").as("n_per_arm"))
+          "* n_events div nullif((n_events - 1) * CAST(sum_cents AS DECIMAL(38,0)) " +
+          "* sum_cents * 1000000, 0) AS BIGINT)").as("n_per_arm"))
   }
 
   private def abPowerOracleSql: String =
@@ -68,8 +73,8 @@ object Econ {
        |  CAST(CAST($Z2Ppm AS HUGEINT) * 800
        |    * (n_events * sumsq - CAST(sum_cents AS HUGEINT) * sum_cents)
        |    * n_events
-       |    // ((n_events - 1) * CAST(sum_cents AS HUGEINT) * sum_cents
-       |      * 1000000) AS BIGINT) AS n_per_arm
+       |    // nullif((n_events - 1) * CAST(sum_cents AS HUGEINT) * sum_cents
+       |      * 1000000, 0) AS BIGINT) AS n_per_arm
        |FROM m""".stripMargin
 
   /** Cohort LTV curve over the order history: customers cohorted by
@@ -495,6 +500,10 @@ object Econ {
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
       .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
+      // materialized: the nation rollup AND the final join both consume
+      // this subtree — without it the lineitem agg + supplier join execute
+      // twice (the family's discipline for multiply-consumed frames)
+      .transform(Scale.materialize)
     val nat = per.groupBy(col("s_nationkey"))
       .agg(sum(col("rev_cents")).as("nat_cents"))
     per.join(broadcast(nat), "s_nationkey") // bounded nation rollup

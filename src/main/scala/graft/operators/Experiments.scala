@@ -840,9 +840,14 @@ object Experiments {
         expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("b_den"),
         expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("c_den"))
       .select(col("n"), col("sx"),
-        expr("CAST(a_num * 1000000 div b_den AS BIGINT)").as("theta_ppm"),
-        expr("CAST((a_num * 1000 div b_den) * (a_num * 1000 div c_den) " +
-          "AS BIGINT)").as("rho2_ppm"))
+        // nullif guards the degenerate corpora (constant pre- or post-
+        // period per user → zero variance): Spark's div returns NULL on a
+        // NULL divisor where DuckDB's // on a raw 0 would error, so both
+        // engines emit NULL and the parity gate compares instead of
+        // crashing (same discipline as events_ab_power)
+        expr("CAST(a_num * 1000000 div nullif(b_den, 0) AS BIGINT)").as("theta_ppm"),
+        expr("CAST((a_num * 1000 div nullif(b_den, 0)) * " +
+          "(a_num * 1000 div nullif(c_den, 0)) AS BIGINT)").as("rho2_ppm"))
     ua.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sum_pre_cents"),
         sum(col("y")).as("sum_post_cents"))
@@ -880,8 +885,9 @@ object Experiments {
        |    (n * sxx - CAST(sx AS HUGEINT) * sx) AS b_den,
        |    (n * syy - CAST(sy AS HUGEINT) * sy) AS c_den FROM p),
        |th AS (SELECT n, sx,
-       |    CAST(a_num * 1000000 // b_den AS BIGINT) AS theta_ppm,
-       |    CAST((a_num * 1000 // b_den) * (a_num * 1000 // c_den) AS BIGINT)
+       |    CAST(a_num * 1000000 // nullif(b_den, 0) AS BIGINT) AS theta_ppm,
+       |    CAST((a_num * 1000 // nullif(b_den, 0))
+       |      * (a_num * 1000 // nullif(c_den, 0)) AS BIGINT)
        |      AS rho2_ppm FROM t),
        |arm AS (SELECT arm, count(*) AS n_users, sum(x) AS sum_pre,
        |    sum(y) AS sum_post FROM ua GROUP BY 1)

@@ -171,8 +171,12 @@ object Quality {
         explode(array((1 to RetentionLags).map(k => lit(k.toLong)): _*)).as("k"))
       .select(col("k"),
         expr("bit_count(mask & shiftright(mask, CAST(k AS INT)))").as("ret"),
+        // dc−k clamps at 0: a shift amount < 0 would wrap mod 64 (Java <<)
+        // into a bogus near-full mask when the corpus span or a configured
+        // windowDays sits below k+1 days; at 0 the base mask is (1<<0)−1 = 0
+        // — the correct "no day has d+k inside the window" answer
         expr("bit_count(mask & (shiftleft(CAST(1 AS BIGINT), " +
-          "CAST(dc - k AS INT)) - 1))").as("base"))
+          "CAST(greatest(dc - k, 0) AS INT)) - 1))").as("base"))
       .groupBy(col("k"))
       .agg(sum(col("base")).cast("long").as("n_base"),
         sum(col("ret")).cast("long").as("n_returned"))
@@ -191,7 +195,7 @@ object Quality {
        |x AS (SELECT k,
        |    bit_count(mask & (mask >> CAST(k AS INT))) AS ret,
        |    bit_count(mask &
-       |      ((CAST(1 AS BIGINT) << CAST(dc - k AS INT)) - 1)) AS base
+       |      ((CAST(1 AS BIGINT) << CAST(greatest(dc - k, 0) AS INT)) - 1)) AS base
        |  FROM m, (SELECT unnest(range(1, ${RetentionLags + 1})) AS k) ks),
        |g AS (SELECT k, CAST(sum(base) AS BIGINT) AS n_base,
        |    CAST(sum(ret) AS BIGINT) AS n_returned FROM x GROUP BY 1)
@@ -317,10 +321,13 @@ object Quality {
         val (sk, nNew) = (best(0).getLong(0), best(0).getLong(1))
         chosen = chosen :+
           ((r, sk, nNew, chosen.lastOption.map(_._4).getOrElse(0L) + nNew))
-        val prev = covered
+        // superseded rounds' local-checkpoint blocks are reclaimed by the
+        // ContextCleaner once the old `covered` reference drops (an explicit
+        // Dataset.unpersist would be a no-op here — it clears CacheManager
+        // entries, not checkpoint blocks); the frames are partkey-only, so
+        // at most K small registers are ever live between GCs
         covered = Scale.materialize(covered.unionByName(
           edges.filter(col("suppkey") === sk).select(col("partkey"))).distinct())
-        prev.unpersist() // superseded round state must not accumulate
       }
     }
     import s.implicits._

@@ -592,19 +592,19 @@ object Similarity {
       .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
   }
 
-  /** Per-query probe cells: rank all cells (transform-with-index over the
-    * matrix literal — interpreted HOF, fine for the bounded query set),
-    * sort (negccos, cell) ascending = ccos desc with cell-asc tiebreak,
-    * keep the first `nProbe` — map-side again.
+  /** Per-query probe cells: rank all cells inside ONE native looping
+    * expression ([[NativeVector.argTopKDot]] — score desc, cell-asc
+    * tiebreak, the same order the old (negccos, cell) struct sort stated)
+    * and explode the top `nProbe` — map-side, constant codegen size at any
+    * cell count (the struct-sort formulation unrolled past janino's 64 KB
+    * method budget and fell back to interpreted eval).
     */
   private[graft] def queryProbes(q: DataFrame, s: SparkSession, d: String,
       nProbe: Int = NProbe): DataFrame = {
     val cc = centColsFor(s, d)
-    val probe = transform(cc.m2d, (cv, i) =>
-      struct((-NativeVector.dot(col("qv"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
-        i.cast("int").as("cell")))
-    cc.attach(q).withColumn("pr", explode(slice(sort_array(probe), 1, nProbe)))
-      .select(col("q_id"), col("qv"), col("pr.cell").as("cell"))
+    cc.attach(q)
+      .withColumn("cell", explode(NativeVector.argTopKDot(col("qv"), cc.flat, cc.sn, lit(nProbe))))
+      .select(col("q_id"), col("qv"), col("cell"))
   }
 
   def knnIvf(s: SparkSession, d: String): DataFrame = {
@@ -983,12 +983,10 @@ object Similarity {
     val cc = centColsFor(s, d)
     val cellAssigned = cc.cleanup(cc.attach(e)
       .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
-    val probe = transform(cc.m2d, (cv, i) =>
-      struct((-NativeVector.dot(col("v"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
-        i.cast("int").as("cell")))
     val probes = cc.attach(e)
-      .withColumn("pr", explode(slice(sort_array(probe), 1, GraphProbe)))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("pr.cell").as("cell"))
+      .withColumn("cell",
+        explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(GraphProbe))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
     val scored = probes.join(cellAssigned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
@@ -1424,13 +1422,13 @@ object Similarity {
       .withColumn("codes", NativeVector.pqEncode(col("nv"), flat, bias, lit(PqSub)))
       .select(col("vec_id"), col("codes"))
     // per-query ADC table: lut[m·PqK + k] = dot(nq_m, C[m][k]) — computed
-    // once per query row (bounded set), broadcast with the query
-    val lutExprs = for (m <- 0 until PqSub; k <- 0 until PqK)
-      yield NativeVector.dot(slice(col("nqv"), m * sub + 1, sub), typedlit(cb(m)(k).toIndexedSeq))
+    // once per query row (bounded set) in one native looping expression
+    // (the 8×16 unrolled dot-of-slice array blew janino's 64 KB method
+    // budget), broadcast with the query
     val qlut = q
       .withColumn("nrm", sqrt(NativeVector.norm2(col("qv"))))
       .withColumn("nqv", transform(col("qv"), x => x / col("nrm")))
-      .select(col("q_id"), array(lutExprs: _*).as("lut"))
+      .select(col("q_id"), NativeVector.pqLut(col("nqv"), flat, lit(PqSub)).as("lut"))
     // approx score = Σ_m lut[m][code_m], fixed m order (left-assoc adds —
     // the oracle states the same d0 + d1 + … + d7)
     val approx = (0 until PqSub).map(m =>
@@ -1513,19 +1511,17 @@ object Similarity {
         x - element_at(cc.flat, col("cell") * dim + i + lit(1))))
       .withColumn("codes", NativeVector.pqEncode(col("rv"), flatCb, bias, lit(PqSub)))
       .select(col("vec_id"), col("cell"), col("codes"))
-    // query probes (same raw-v /sn ranking as knn_ivf) + per-cell centroid
-    // term + the residual ADC table — all map-side on the bounded query set
-    val probe = transform(cc.m2d, (cv, i) =>
-      struct((-NativeVector.dot(col("qv"), cv) / element_at(cc.sn, i + 1)).as("negccos"),
-        i.cast("int").as("cell")))
-    val lutExprs = for (mm <- 0 until PqSub; k <- 0 until PqK)
-      yield NativeVector.dot(slice(col("nqv"), mm * sub + 1, sub), typedlit(cb(mm)(k).toIndexedSeq))
+    // query probes (same raw-v /sn ranking as knn_ivf, one native looping
+    // expression — constant codegen size) + per-cell centroid term + the
+    // residual ADC table (also one native loop nest — the 8×16 unrolled
+    // dot-of-slice array blew janino's 64 KB method budget) — all
+    // map-side on the bounded query set
     val qCells = cc.attach(q)
       .withColumn("nrm", sqrt(NativeVector.norm2(col("qv"))))
       .withColumn("nqv", transform(col("qv"), x => x / col("nrm")))
-      .withColumn("lut", array(lutExprs: _*))
-      .withColumn("pr", explode(slice(sort_array(probe), 1, IvfPqProbe)))
-      .withColumn("cell", col("pr.cell"))
+      .withColumn("lut", NativeVector.pqLut(col("nqv"), flatCb, lit(PqSub)))
+      .withColumn("cell",
+        explode(NativeVector.argTopKDot(col("qv"), cc.flat, cc.sn, lit(IvfPqProbe))))
       .withColumn("cterm",
         NativeVector.dot(col("nqv"), slice(cc.flat, col("cell") * dim + 1, lit(dim))))
       .select(col("q_id"), col("cell"), col("cterm"), col("lut"))

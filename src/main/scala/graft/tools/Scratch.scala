@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.operators.Multimodal
+import graft.operators.Similarity
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
@@ -16,8 +16,11 @@ object Scratch {
     def reduce(df: org.apache.spark.sql.DataFrame): Unit =
       df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
     spark.read.parquet(s"$d/region.parquet").count()
-    time("phash run1") { reduce(Multimodal.mmPhashNeardup(spark, d)) }
-    time("phash run2") { reduce(Multimodal.mmPhashNeardup(spark, d)) }
+    time("knn_graph") { reduce(Similarity.knnGraph(spark, d)) }
+    time("knn_ivf") { reduce(Similarity.knnIvf(spark, d)) }
+    time("knn_ivfpq") { reduce(Similarity.knnIvfPq(spark, d)) }
+    time("knn_pq") { reduce(Similarity.knnPq(spark, d)) }
+    time("dedup_semdedup") { reduce(Similarity.dedupSemdedup(spark, d)) }
     spark.stop()
   }
 }

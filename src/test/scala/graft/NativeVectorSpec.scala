@@ -51,6 +51,70 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(dotLine.trim.startsWith("*("), plan)
   }
 
+  test("argTopKDot equals the struct-sort formulation it replaced, ties to lowest cell") {
+    // 4 centroids, the last a DUPLICATE of the first: rows where centroid 0
+    // ranks anywhere in the top-k exercise the lowest-cell tie-break
+    val cents = Array(
+      Array.tabulate(64)(i => math.sin(i + 1.0)),
+      Array.tabulate(64)(i => math.cos(i * 0.7)),
+      Array.tabulate(64)(i => 1.0 / (i + 1)),
+      Array.tabulate(64)(i => math.sin(i + 1.0)))
+    def n2(v: Array[Double]) = { var a = 0.0; v.foreach(x => a += x * x); a }
+    val sn = cents.map(c => math.sqrt(n2(c)))
+    val flat = typedlit(cents.flatten.toIndexedSeq)
+    val snLit = typedlit(sn.toIndexedSeq)
+    // the exact shape ArgTopKDot replaced: (negccos, cell) struct sort
+    val probe = array(cents.indices.map(k =>
+      struct((-NativeVector.dot(col("v"), typedlit(cents(k).toIndexedSeq)) / lit(sn(k)))
+        .as("negccos"), lit(k).as("cell"))): _*)
+    val ref = transform(slice(sort_array(probe), 1, 3), p => p.getField("cell"))
+    val diff = e
+      .withColumn("fast", NativeVector.argTopKDot(col("v"), flat, snLit, lit(3)))
+      .withColumn("ref", ref)
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    // with k=3 of 4 cells and a duplicated pair, cell 0 must appear (the
+    // duplicate's score is identical, so 0 precedes 3) and whenever 3
+    // appears 0 must precede it in the SAME row's probe list
+    val rows = e.select(NativeVector.argTopKDot(col("v"), flat, snLit, lit(3)).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    assert(rows.forall(p => !p.contains(3) || p.indexOf(0) >= 0 && p.indexOf(0) < p.indexOf(3)))
+    assert(rows.exists(_.contains(0)))
+    // topK past the cell count clamps
+    val full = e.select(NativeVector.argTopKDot(col("v"), flat, snLit, lit(99)).as("p"))
+      .limit(1).collect()(0).getSeq[Int](0)
+    assert(full.length === 4 && full.toSet === Set(0, 1, 2, 3))
+  }
+
+  test("pqLut equals the unrolled dot-of-slice array it replaced") {
+    val numSub = 4
+    val kk = 5
+    // dim 64 → sub 16; deterministic fake codebook
+    val cb = Array.tabulate(numSub, kk, 16)((m, k, j) => math.sin(m * 31 + k * 7 + j + 1.0))
+    val flat = typedlit(cb.flatten.flatten.toIndexedSeq)
+    val lutExprs = for (m <- 0 until numSub; k <- 0 until kk)
+      yield NativeVector.dot(slice(col("v"), m * 16 + 1, 16), typedlit(cb(m)(k).toIndexedSeq))
+    val diff = e
+      .withColumn("fast", NativeVector.pqLut(col("v"), flat, lit(numSub)))
+      .withColumn("ref", array(lutExprs: _*))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("argTopKDot and pqLut stay inside whole-stage codegen") {
+    val cents = Array.tabulate(48, 64)((k, i) => math.sin(k + i + 1.0))
+    val sn = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val plan = e
+      .withColumn("p", NativeVector.argTopKDot(col("v"),
+        typedlit(cents.flatten.toIndexedSeq), typedlit(sn.toIndexedSeq), lit(8)))
+      .withColumn("lut", NativeVector.pqLut(col("v"),
+        typedlit(cents.flatten.toIndexedSeq), lit(4)))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("graft_argtopk_dot")).getOrElse("")
+    assert(line.trim.startsWith("*("), plan)
+    assert(line.contains("graft_pq_lut"), plan)
+  }
+
   test("argmaxDot equals the per-cell struct-max formulation, ties to lowest cell") {
     // 4 centroids, the last a DUPLICATE of the first: every row that picks
     // centroid 0 exercises the lowest-k tie-break against centroid 3
