@@ -1049,7 +1049,7 @@ object Dedup {
        |SELECT doc_a, doc_b, floor(jacc*1e4)/1e4 AS jacc
        |FROM j WHERE jacc >= $tau""".stripMargin
 
-  private lazy val embeddingOracleSql: String =
+  private[operators] lazy val embeddingOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, ${norm2Sql("v")} AS n2 FROM e),
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1136,7 +1136,7 @@ object Dedup {
     * multiply order, same left-to-right accumulation — and ~50× faster:
     * 200M 64-dim dots in 9 s), norms precomputed once per vector.
     */
-  private lazy val embeddingScaleOracleSql: String =
+  private[operators] lazy val embeddingScaleOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -118,18 +118,65 @@ object Multimodal {
     * independent brute-force: ALL fingerprint pairs at hamming ≤ r —
     * proving the key tables lose nothing.
     */
+  /** Duplicate fraction past which [[phashFingerprints]] routes through the
+    * per-DISTINCT-payload kernel: the gram explode is ~8× byte
+    * amplification, so fingerprinting once per distinct payload pays for
+    * its extra payload pass + two digest joins once more than ~1/8 of the
+    * corpus is byte-identical copies — the regime real media corpora live
+    * in (mm_dedup_exact exists because of it). Below it (this repo's
+    * synthetic corpus: 0.16% dups at sf1) the per-doc kernel is the faster
+    * plan and the dispatch keeps it.
+    */
+  val PhashDistinctDupFrac = 0.125
+
   /** The stub pHash fingerprints (doc_id, sim) — shared by the pair query
-    * and the ScaleStress bucket audit.
+    * and the ScaleStress bucket audit. Dispatches between two
+    * output-identical kernels on the MEASURED byte-dup rate (the
+    * dedup_embedding size-dispatch precedent): a digest-only aggregate
+    * (count vs distinct-sha count — 32-byte shas shuffle, payloads never
+    * do) picks per-doc below [[PhashDistinctDupFrac]], per-distinct above.
     */
   private[graft] def phashFingerprints(s: SparkSession, d: String): DataFrame = {
-    // distinct rolling 8-grams (shorter payloads fall back to the whole
-    // payload as one feature, the shingleSet convention)
-    val grams = withPayload(s, d).select(col("doc_id"),
+    val docs = withPayload(s, d)
+      .select(col("doc_id"), sha2(col("payload"), 256).as("sha"))
+    val Array(n, nd) = docs
+      .agg(count(lit(1)).cast("long"), countDistinct(col("sha")).cast("long"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    phashFingerprintsOf(withPayload(s, d), docs,
+      perDistinct = n > 0 && (n - nd).toDouble / n > PhashDistinctDupFrac)
+  }
+
+  /** Both fingerprint kernels over an explicit (doc_id, payload) frame +
+    * its (doc_id, sha) digest projection — parameterized so MultimodalSpec
+    * can prove output parity on a constructed dup-heavy corpus that the
+    * synthetic testdata (byte-dup-free) never exercises through the
+    * dispatch.
+    *
+    * Per-doc: distinct rolling 8-grams per document (shorter payloads fall
+    * back to the whole payload as one feature, the shingleSet convention)
+    * → majority simhash. Per-distinct: elect min-doc_id representative per
+    * sha (digest-only shuffle), explode grams for REPRESENTATIVES only —
+    * byte-identical copies never re-pay the 8× amplification — and map
+    * fingerprints back over the two digest-keyed joins.
+    */
+  private[graft] def phashFingerprintsOf(payloads: DataFrame, docs: DataFrame,
+      perDistinct: Boolean): DataFrame = {
+    def gramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(array_distinct(transform(
         sequence(lit(1), greatest(octet_length(col("payload")) - 7, lit(1))),
         i => col("payload").substr(i, lit(8))))).as("f"))
       .withColumn("h", graft.functions.PortableHash.hexH(col("f")))
-    Dedup.simhashOf(grams.select(col("doc_id"), col("h")))
+    if (!perDistinct)
+      Dedup.simhashOf(gramsOf(payloads).select(col("doc_id"), col("h")))
+    else {
+      val reps = docs.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id"))
+      val repPayloads = payloads
+        .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val repSims = Dedup.simhashOf(gramsOf(repPayloads).select(col("doc_id"), col("h")))
+        .select(col("doc_id").as("rep_id"), col("sim"))
+      docs.join(reps, "sha").join(repSims, "rep_id")
+        .select(col("doc_id"), col("sim"))
+    }
   }
 
   def mmPhashNeardup(s: SparkSession, d: String): DataFrame = {

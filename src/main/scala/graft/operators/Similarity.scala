@@ -1062,6 +1062,132 @@ object Similarity {
         when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
   }
 
+  // ------------------------------------------- ANN-confined embedding dedup
+  /** Probe cells per vector for the ANN dedup candidate route. Recall is
+    * MEASURED, never assumed — `dedup_embedding_ann_recall` audits this
+    * route against the exact kernel the same way dedup_recall_eval audits
+    * the minhash banding, and the measurement is the published IVF trade
+    * in action: with cells ∝ √n and probes FIXED, the scan fraction
+    * probes/cells shrinks as 8/√n, so recall falls as the corpus grows
+    * unless the pairs are genuinely clustered. Measured on the synthetic
+    * corpus (isotropic vectors — the worst case, see [[dedupEmbeddingAnn]]):
+    * 0.949 @ sf0.01 (8/32 cells probed), 0.498 @ sf1 (8/142), rising with
+    * pair tightness to 0.89 for cos ≥ 0.6 even at sf1. The lever is this
+    * constant (cost ∝ probes, linearly); the monitor is the audit query.
+    */
+  val AnnDedupProbes = 8
+
+  /** Embedding near-dup pairs through IVF-cell-confined candidates + exact
+    * τ-verify — the scale-safe route to what `dedup_embedding` computes
+    * exactly: the exact kernel is quadratic BY CONTRACT (every pair
+    * scored), fine for audit scales and infeasible compute at 100 TB even
+    * blocked; this operator confines candidate generation to shared probe
+    * cells (each vector in its [[AnnDedupProbes]] nearest cells, pairs from
+    * a plain cell equi-join — dedup_semdedup's confinement with knn_ivf's
+    * multi-probe), then verifies every candidate with the IDENTICAL IEEE
+    * cosine and τ. Output schema and semantics match dedup_embedding
+    * (vec_a < vec_b, floor-1e-6 cos, τ = [[SemTau]] — the same 0.40);
+    * the result is a measured-recall SUBSET of the exact pair set.
+    *
+    * Scale: cell assignment is the map-side [[NativeVector.argTopKDot]]
+    * (zero shuffle); the pair join is cell-confined probe×home work under
+    * the cells ∝ √n sizing ([[cellsFor]]) — Θ(n^1.5) total pairwork, and
+    * measured 0.90 s → 3.73 s at sf0.1 → sf1 (4.1× at 10× data, vs 26×
+    * for the blocked exact kernel and 43× for the broadcast one). Only
+    * τ-passing (id, id, cos) triples reach the final distinct (a pair
+    * discoverable from both endpoints' probe lists lands twice; cos is
+    * bit-deterministic both ways — IEEE multiplies commute and the fold
+    * order is fixed — so the distinct collapses exact duplicates).
+    *
+    * Recall honesty (measured, [[AnnDedupProbes]]): the synthetic
+    * embeddings are ISOTROPIC — the corpus's entire ≥ τ pair set is the
+    * 3σ tail of the random-cosine distribution (nothing above cos 0.65
+    * exists at any SF), which is the provably-worst case for every
+    * sublinear blocking scheme: there are no clusters for cells to
+    * capture, and a measured τ-transitive expansion round (the knn_graph
+    * NN-descent repair) recovers only +1.4 points — rejected. Real
+    * embedding corpora are the opposite regime (SemDeDup's premise:
+    * near-dups co-cluster), where cell capture does the work. The audit
+    * query publishes the number a deployment actually needs to watch.
+    */
+  def dedupEmbeddingAnn(s: SparkSession, d: String): DataFrame = {
+    val cc = centColsFor(s, d)
+    // Asymmetric probing (the knn_graph join shape): the INDEX side sits in
+    // its argmax cell only; the PROBE side explodes its AnnDedupProbes
+    // nearest cells. A pair is a candidate iff either endpoint's probe list
+    // contains the other's home cell — implied-by (and nearly as complete
+    // as) the symmetric both-sides-probe join, at 1/AnnDedupProbes the
+    // candidate count (measured at sf1: 17.7 s symmetric → see SURVEY §6).
+    // Norms ride each side once, so the verify costs ONE dot per pair
+    // (cosine(a,b) re-derives both norms pairwise — 3× the flops).
+    val assigned = cc.cleanup(cc.attach(corpus(s, d))
+        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+      .withColumn("n2", NativeVector.norm2(col("v")))
+    val probes = cc.cleanup(cc.attach(corpus(s, d))
+        .withColumn("cell",
+          explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(AnnDedupProbes)))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      .withColumn("qn2", NativeVector.norm2(col("qv")))
+      // distribute by cell BEFORE the verify: the embeddings scan is a
+      // handful of parquet splits (one, at the test SFs), and a broadcast
+      // join inherits the stream side's partitioning — without this the
+      // whole probe×home scoring loop runs on those few cores (measured
+      // 14 s single-task at sf1, ~1 s distributed)
+      .repartition(col("cell"))
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        NativeVector.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+      .filter(col("cos") >= SemTau)
+      .select(least(col("q_id"), col("vec_id")).as("vec_a"),
+        greatest(col("q_id"), col("vec_id")).as("vec_b"),
+        detRound(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
+  /** Stage-by-stage diagnostic frames for the ANN dedup route (Scratch). */
+  private[graft] def annDedupDiag(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+    val cc = centColsFor(s, d)
+    val assigned = cc.cleanup(cc.attach(corpus(s, d))
+        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+      .withColumn("n2", NativeVector.norm2(col("v")))
+    val probes = cc.cleanup(cc.attach(corpus(s, d))
+        .withColumn("cell",
+          explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(AnnDedupProbes)))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
+      .withColumn("qn2", NativeVector.norm2(col("qv")))
+    val joined = probes.join(assigned, "cell").filter(col("q_id") =!= col("vec_id"))
+    val scored = joined.withColumn("cos",
+        NativeVector.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+      .filter(col("cos") >= SemTau)
+    Seq("assigned" -> assigned, "probes" -> probes, "joined" -> joined,
+      "scored" -> scored, "full" -> dedupEmbeddingAnn(s, d))
+  }
+
+  /** Blocking-quality audit for the ANN dedup route (the dedup_recall_eval
+    * discipline): recall of [[dedupEmbeddingAnn]]'s pair set against the
+    * exact [[Dedup.dedupEmbedding]] ground truth. Every ANN pair is
+    * exact-verified, so precision is 1 by construction — the one number
+    * that licenses replacing the quadratic kernel at scale is recall, and
+    * this publishes it as a first-class query. n_hit is computed from the
+    * actual intersection (not assumed = n_ann) so a τ or rounding drift
+    * between the two operators would surface here, not ship silently.
+    */
+  def dedupEmbeddingAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = Dedup.dedupEmbedding(s, d).select(col("vec_a"), col("vec_b"))
+      .transform(Scale.materialize)
+    val ann = dedupEmbeddingAnn(s, d).select(col("vec_a"), col("vec_b"))
+      .transform(Scale.materialize)
+    val hit = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val na = ann.agg(count(lit(1)).as("n_ann"))
+    val nh = hit.agg(count(lit(1)).as("n_hit"))
+    nt.crossJoin(broadcast(na)).crossJoin(broadcast(nh)) // 1-row scalars
+      .select(col("n_true"), col("n_ann"), col("n_hit"),
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true " +
+          "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"))
+  }
+
   // ---------------------------------------------------------- recall eval
   /** Index-quality evaluation as a first-class query: per-query recall@K
     * of the IVF search against the exact brute-force neighbours — the
@@ -1625,6 +1751,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semdedup" -> dedupSemdedup,
+    "dedup_embedding_ann" -> dedupEmbeddingAnn,
+    "dedup_embedding_ann_recall" -> dedupEmbeddingAnnRecall,
     "embed_sq8" -> embedSq8,
     "knn_brute_cosine" -> knnBrute,
     "knn_mmr" -> knnMmr,
@@ -1829,9 +1957,13 @@ object Similarity {
     * literal centroids always restate the plan that actually ran).
     */
   def scaleOracles: Map[String, String] =
-    if (centroidCache.size == 1)
-      Map("knn_graph" -> graphScaleOracleSql(centroidCache.values.iterator.next()))
-    else Map.empty
+    if (centroidCache.size == 1) {
+      val cents = centroidCache.values.iterator.next()
+      Map("knn_graph" -> graphScaleOracleSql(cents),
+        "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
+        "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
+          Dedup.embeddingScaleOracleSql, fast = true))
+    } else Map.empty
 
   /** dedup_semdedup restated in DuckDB: the same literal centroids and
     * argmax cell assignment as the IVF oracle, the same IEEE centroid
@@ -1855,6 +1987,54 @@ object Similarity {
        |SELECT cc.vec_id, cc.cell, floor(ccos*1e6)/1e6 AS ccos,
        |  CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS keep
        |FROM cc LEFT JOIN drp USING (vec_id)""".stripMargin
+
+  /** dedup_embedding_ann restated in DuckDB: the same literal centroids,
+    * the same top-[[AnnDedupProbes]] probe ranking as the IVF oracle's
+    * row_number, the cell-confined pair join, and the identical IEEE
+    * cosine + τ filter + floor + DISTINCT. `fast = true` swaps the
+    * sequential-fold dotSql for DuckDB's native list_dot_product (measured
+    * bit-identical on this data, ~50× faster — the
+    * embeddingScaleOracleSql precedent) for the sf1+ attestation.
+    */
+  private def annDedupOracleSql(cents: Array[Array[Double]],
+      fast: Boolean = false): String = {
+    def dt(a: String, b: String) =
+      if (fast) s"list_dot_product($a, $b)" else dotSql(a, b)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cells AS (${cellRowsSql(cents)}),
+       |rk AS (SELECT e.vec_id, e.v, cells.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dt("e.v", "cells.cv")} / cells.sn DESC, cells.cell) AS r
+       |  FROM e, cells),
+       |ca AS (SELECT vec_id, v, ${dt("v", "v")} AS n2, cell FROM rk WHERE r = 1),
+       |pa AS (SELECT vec_id, v, ${dt("v", "v")} AS n2, cell FROM rk
+       |  WHERE r <= $AnnDedupProbes),
+       |sc AS (SELECT least(p.vec_id, c.vec_id) AS vec_a,
+       |    greatest(p.vec_id, c.vec_id) AS vec_b,
+       |    ${dt("p.v", "c.v")} / sqrt(p.n2 * c.n2) AS cos
+       |  FROM pa p JOIN ca c ON p.cell = c.cell AND p.vec_id <> c.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, floor(cos*1e6)/1e6 AS cos
+       |FROM sc WHERE cos >= $SemTau""".stripMargin
+  }
+
+  /** The recall audit restated by composing the exact-kernel oracle and the
+    * ANN oracle as nested-WITH subqueries (the recallEvalOracleSql shape).
+    */
+  private def annDedupRecallOracleSql(cents: Array[Array[Double]],
+      truthSql: String, fast: Boolean = false): String =
+    s"""WITH truth AS (SELECT vec_a, vec_b FROM (
+       |$truthSql
+       |)),
+       |ann AS (SELECT vec_a, vec_b FROM (
+       |${annDedupOracleSql(cents, fast)}
+       |)),
+       |nt AS (SELECT count(*) AS n_true FROM truth),
+       |na AS (SELECT count(*) AS n_ann FROM ann),
+       |nh AS (SELECT count(*) AS n_hit FROM ann JOIN truth USING (vec_a, vec_b))
+       |SELECT n_true, n_ann, n_hit,
+       |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+       |    ELSE CAST(0 AS BIGINT) END AS recall_ppm
+       |FROM nt, na, nh""".stripMargin
 
   /** knn_ivf restated in DuckDB against the trained centroids as literals:
     * per-vector argmax cell (same dot/sqrt-n2 ranking and (ccos desc, cell)
@@ -2175,7 +2355,10 @@ object Similarity {
           ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +
-          ("dedup_semdedup" -> semdedupOracleSql(cents))
+          ("dedup_semdedup" -> semdedupOracleSql(cents)) +
+          ("dedup_embedding_ann" -> annDedupOracleSql(cents)) +
+          ("dedup_embedding_ann_recall" ->
+            annDedupRecallOracleSql(cents, Dedup.embeddingOracleSql))
       } else base
     val withTune = if (tuneCache.size == 1) {
       val cfg = tuneCache.values.iterator.next()

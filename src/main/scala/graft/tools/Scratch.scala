@@ -2,25 +2,22 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.operators.Similarity
+import graft.operators.{BlockedVectors, Similarity, Scale}
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    def reduce(df: org.apache.spark.sql.DataFrame): Unit =
-      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(bit_xor(col("h"))).collect()
     spark.read.parquet(s"$d/region.parquet").count()
-    time("knn_graph") { reduce(Similarity.knnGraph(spark, d)) }
-    time("knn_ivf") { reduce(Similarity.knnIvf(spark, d)) }
-    time("knn_ivfpq") { reduce(Similarity.knnIvfPq(spark, d)) }
-    time("knn_pq") { reduce(Similarity.knnPq(spark, d)) }
-    time("dedup_semdedup") { reduce(Similarity.dedupSemdedup(spark, d)) }
+    val truth = Scale.materialize(BlockedVectors.dedupEmbeddingBlocked(spark, d, 8))
+    val ann = Scale.materialize(Similarity.dedupEmbeddingAnn(spark, d)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("hit")))
+    truth.join(ann, Seq("vec_a", "vec_b"), "left_outer")
+      .groupBy(floor(col("cos") * 20).as("band"))
+      .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .orderBy(col("band"))
+      .show(30, false)
     spark.stop()
   }
 }

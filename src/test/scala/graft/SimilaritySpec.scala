@@ -278,6 +278,28 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.centroidCache.remove("/root/testdata/sf0.01")
   }
 
+  test("ANN embedding dedup: exact-verified subset of the quadratic kernel, recall floor") {
+    val truth = graft.operators.Dedup.dedupEmbedding(spark, sf)
+      .select("vec_a", "vec_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.dedupEmbeddingAnn(spark, sf)
+      .select("vec_a", "vec_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every ANN pair is a TRUE pair with the identical rounded cosine —
+    // the exact-verify contract (precision 1 by construction)
+    ann.foreach { case (k, c) =>
+      assert(truth.get(k).contains(c), s"ANN pair $k absent from truth or cos drifted")
+    }
+    // the audit query publishes the same counts the subset check just proved
+    val r = Similarity.dedupEmbeddingAnnRecall(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_true") === truth.size)
+    assert(r.getAs[Long]("n_ann") === ann.size)
+    assert(r.getAs[Long]("n_hit") === ann.size)
+    // measured 0.949 at sf0.01 (4 probes, near-uniform synthetic vectors —
+    // the weak-locality worst case); 0.80 is the regression floor
+    assert(r.getAs[Long]("recall_ppm") >= 800000L, r.toString)
+  }
+
   test("semdedup: kept set is tau-independent per cell, every drop has a witness") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.toDouble
