@@ -287,7 +287,32 @@ object CdcQueries {
       col("n").as("n_updates"))
   }
 
+  /** Key-churn profile of the changelog: keys bucketed by how many
+    * envelope events they carry (version count), with per-bucket key
+    * counts, the floored mean key lifespan (last−first ts_ms), and how
+    * many of the bucket's keys end deleted. The capacity-planning view a
+    * CDC pipeline needs — hot keys dominate state-store compaction and
+    * upsert-sink write amplification (a ReplacingMergeTree FINAL pays per
+    * version), and the lifespan says how long tombstone retention must
+    * hold. Scale: one per-key aggregate (map-side partial, keyed on id —
+    * the table's natural key), then a ≤|distinct version counts|-row
+    * rollup; divisions on the bucket frame only.
+    */
+  def keyChurn(s: SparkSession, d: String): DataFrame =
+    CdcSim.parsedChangelog(s, d)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_upd"),
+        max(when(col("op") === "d", 1L).otherwise(0L)).as("deleted"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("lifespan"))
+      .groupBy(col("n_ops"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_upd")).as("n_updates"),
+        sum(col("deleted")).as("n_deleted_keys"),
+        expr("sum(lifespan) div count(1)").as("avg_lifespan_ms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_key_churn" -> keyChurn,
     "cdc_update_diff" -> updateDiff,
     "cdc_parse_envelope" -> parseEnvelope,
     "cdc_snapshot_latest" -> snapshotLatest,
@@ -315,6 +340,18 @@ object CdcQueries {
        |FROM base WHERE id % 10 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_key_churn" ->
+      s"""$C,
+         |per AS (SELECT id, count(*) AS n_ops,
+         |    count(*) FILTER (op = 'u') AS n_upd,
+         |    max(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS deleted,
+         |    max(ts_ms) - min(ts_ms) AS lifespan
+         |  FROM ev GROUP BY 1)
+         |SELECT CAST(n_ops AS BIGINT) AS n_ops, count(*) AS n_keys,
+         |  CAST(sum(n_upd) AS BIGINT) AS n_updates,
+         |  CAST(sum(deleted) AS BIGINT) AS n_deleted_keys,
+         |  CAST(sum(lifespan) // count(*) AS BIGINT) AS avg_lifespan_ms
+         |FROM per GROUP BY 1""".stripMargin,
     "cdc_update_diff" ->
       s"""$C,
          |lagd AS (SELECT op, custkey, price, status,

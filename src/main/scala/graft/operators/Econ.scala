@@ -535,7 +535,44 @@ object Econ {
       |    AS nation_share_ppm
       |FROM j JOIN nat ON j.s_nationkey = nat.s_nationkey""".stripMargin
 
+  /** Per-part unit-price dispersion across the order history: realized
+    * unit price per line in exact cents (extended price ÷ quantity, one
+    * truncated positive division — both engines floor identically), then
+    * per part the line count, min/max/floored-mean unit cents, and the
+    * relative spread (max−min)/min in ppm. The procurement-audit view:
+    * a wide spread means inconsistent pricing (discount leakage or data
+    * error) and feeds the same review queue as part_price_index's index
+    * drift. Scale: one map-side projection + one partkey-keyed aggregate
+    * with partial combine; output is the part dimension.
+    */
+  def partPriceDispersion(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) " +
+          "div CAST(l_quantity AS BIGINT)").as("unit_cents"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(col("unit_cents")).as("min_cents"),
+        max(col("unit_cents")).as("max_cents"),
+        expr("sum(unit_cents) div count(1)").as("mean_cents"))
+      .withColumn("spread_ppm",
+        expr("CAST((max_cents - min_cents) * 1000000 " +
+          "div nullif(min_cents, 0) AS BIGINT)"))
+
+  private def priceDispersionOracleSql: String =
+    """WITH u AS (SELECT l_partkey AS partkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |      // CAST(l_quantity AS BIGINT) AS unit_cents
+      |  FROM lineitem)
+      |SELECT partkey, count(*) AS n_lines,
+      |  min(unit_cents) AS min_cents, max(unit_cents) AS max_cents,
+      |  CAST(sum(unit_cents) // count(*) AS BIGINT) AS mean_cents,
+      |  CAST((max(unit_cents) - min(unit_cents)) * 1000000
+      |    // nullif(min(unit_cents), 0) AS BIGINT) AS spread_ppm
+      |FROM u GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_price_dispersion" -> partPriceDispersion,
     "supplier_scorecard" -> supplierScorecard,
     "part_abc_xyz" -> partAbcXyz,
     "events_ab_power" -> eventsAbPower,
@@ -548,6 +585,7 @@ object Econ {
   )
 
   val oracles: Map[String, String] = Map(
+    "part_price_dispersion" -> priceDispersionOracleSql,
     "supplier_scorecard" -> scorecardOracleSql,
     "part_abc_xyz" -> abcXyzOracleSql,
     "events_ab_power" -> abPowerOracleSql,

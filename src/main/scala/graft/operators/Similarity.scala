@@ -1667,6 +1667,68 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ------------------------------------------------------------- hamming
+  /** Binary-sign Hamming search: each 64-dim embedding compresses to TWO
+    * 32-bit sign words packed in BIGINTs (bit i of half h = 1 iff
+    * dim 32h+i ≥ 0 — the 1-bit quantization of the SimHash/ITQ family,
+    * 256× smaller than float32), and k-NN ranks by Hamming distance
+    * bit_count(w0⊕w0') + bit_count(w1⊕w1') with vec_id tie-break. The
+    * split into halves keeps every shift strictly below bit 31 — bit 63
+    * would need a signed-overflow shift whose semantics differ across
+    * engines (DuckDB raises where two's complement wraps).
+    *
+    * Scale: binarization is one map-side codegen'd projection; the scored
+    * join moves ONLY (vec_id, 2 longs) — at 100 TB of floats the Hamming
+    * index is ~0.4 TB, the memory-resident re-rank front-end every
+    * billion-scale deployment uses — and ranking is the same two-phase
+    * bucketed top-k as brute (integer compares, no FP anywhere).
+    */
+  val HammingDim = 64
+
+  private def hammingWords(df: DataFrame): DataFrame = {
+    def half(h: Int) = expr(
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"CASE WHEN element_at(embedding, ${32 * h} + i + 1) >= 0 " +
+      s"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)")
+    df.select(col("vec_id"), half(0).as("w0"), half(1).as("w1"))
+  }
+
+  def knnHamming(s: SparkSession, d: String): DataFrame = {
+    val e = hammingWords(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val c = e.filter(col("vec_id") >= NumQueries)
+    Scale.topKPerGroup(
+        broadcast(q).join(c)
+          .select(col("q_id"), col("vec_id"),
+            (expr("bit_count(q0 ^ w0)") + expr("bit_count(q1 ^ w1)"))
+              .as("hamming")),
+        Seq("q_id"), Seq(col("hamming").asc, col("vec_id")),
+        k = K, saltSrc = col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), col("rnk").as("rank"),
+        col("hamming"))
+  }
+
+  private def hammingOracleSql: String = {
+    def half(h: Int) =
+      s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN " +
+      s"embedding[${32 * h} + i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) " +
+      s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, ${half(0)} AS w0, ${half(1)} AS w1
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM e
+       |  WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |sc AS (SELECT q_id, vec_id,
+       |    CAST(bit_count(xor(q0, w0)) + bit_count(xor(q1, w1)) AS INT)
+       |      AS hamming
+       |  FROM q, c),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY hamming, vec_id) AS rnk FROM sc)
+       |SELECT q_id, vec_id AS nn_id, CAST(rnk AS INT) AS rank, hamming
+       |FROM rk WHERE rnk <= $K""".stripMargin
+  }
+
   /** Diagnostics for ScaleStress: corpus cell assignment (IVF inverted-
     * list balance — the probed-cell scan cost driver) and PQ codes (per-
     * subspace codebook utilization).
@@ -1774,6 +1836,7 @@ object Similarity {
     "knn_recall_eval" -> knnRecallEval,
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPq,
+    "knn_hamming" -> knnHamming,
   )
 
   /** All three searches have exact SQL oracles. The LSH oracle re-states the
@@ -2328,6 +2391,7 @@ object Similarity {
   def oracles: Map[String, String] = {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
+      "knn_hamming" -> hammingOracleSql,
       "knn_mmr" -> mmrOracleSql,
       "embed_triplet_eval" -> tripletOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,

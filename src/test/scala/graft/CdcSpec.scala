@@ -73,4 +73,27 @@ class CdcSpec extends AnyFunSuite {
     assert(nTombs < nDeleted, "every tombstone survived — retention never aged one out")
     compact.unpersist()
   }
+
+  test("cdc_key_churn equals brute per-key version accounting") {
+    val ev = CdcSim.parsedChangelog(spark, sf)
+      .select(col("id"), col("op"), col("ts_ms")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perKey = ev.groupBy(_._1).map { case (_, rows) =>
+      (rows.length.toLong,
+        rows.count(_._2 == "u").toLong,
+        if (rows.exists(_._2 == "d")) 1L else 0L,
+        rows.map(_._3).max - rows.map(_._3).min)
+    }.toVector
+    val expected = perKey.groupBy(_._1).map { case (nOps, ks) =>
+      nOps -> ((ks.length.toLong, ks.map(_._2).sum, ks.map(_._3).sum,
+        ks.map(_._4).sum / ks.length))
+    }
+    val got = CdcQueries.keyChurn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected)
+    // the sim guarantees churn structure: every key has a create, some
+    // have updates, some have deletes — at least two distinct buckets
+    assert(got.size >= 2)
+  }
 }

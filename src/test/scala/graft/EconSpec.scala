@@ -249,4 +249,26 @@ class EconSpec extends AnyFunSuite {
         (rev * 1000000 / nat(nk)).toLong)), sk)
     }
   }
+
+  test("part_price_dispersion equals brute unit-price spreads") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1)), r.getDouble(2).toLong))
+    val got = Econ.partPriceDispersion(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val byPart = li.groupBy(_._1)
+    assert(got.keySet == byPart.keySet)
+    for ((pk, rows) <- byPart) {
+      val units = rows.map(r => r._2 / r._3)
+      val (mn, mx) = (units.min, units.max)
+      val mean = units.sum / units.length
+      val spread = (BigInt(mx - mn) * 1000000 / mn).toLong
+      assert(got(pk) == ((rows.length.toLong, mn, mx, mean, spread)), pk)
+    }
+    // the corpus has real dispersion to audit (identical unit prices
+    // everywhere would make the operator vacuous)
+    assert(got.values.exists(_._5 > 0))
+  }
 }

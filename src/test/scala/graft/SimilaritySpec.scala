@@ -463,4 +463,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.exists(_._6) && got.exists(!_._6),
       "triplet eval degenerate: all anchors on one side")
   }
+
+  test("knn_hamming equals a driver-side sign-bit Hamming ranking") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def word(v: Array[Float], h: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        if (v(32 * h + i) >= 0) acc + (1L << i) else acc)
+    val words = vecs.map { case (id, v) => (id, word(v, 0), word(v, 1)) }
+    val qs = words.filter(_._1 < Similarity.NumQueries)
+    val cs = words.filter(_._1 >= Similarity.NumQueries)
+    val expected = qs.flatMap { case (qid, q0, q1) =>
+      cs.map { case (cid, w0, w1) =>
+        (qid, cid,
+          java.lang.Long.bitCount(q0 ^ w0) + java.lang.Long.bitCount(q1 ^ w1))
+      }.sortBy { case (_, cid, h) => (h, cid) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((q, c, h), i) => (q, c, i + 1, h) }
+    }.toSet
+    val got = Similarity.knnHamming(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // 64-bit signs must discriminate on this corpus: the top-1 neighbor
+    // sits strictly closer than the rank-K one for at least one query
+    val byQ = got.groupBy(_._1)
+    assert(byQ.values.exists(s => s.map(_._4).max > s.map(_._4).min))
+  }
 }
