@@ -1709,25 +1709,196 @@ object Similarity {
         col("hamming"))
   }
 
-  private def hammingOracleSql: String = {
-    def half(h: Int) =
-      s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN " +
-      s"embedding[${32 * h} + i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) " +
-      s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
-    s"""WITH e AS (SELECT vec_id, ${half(0)} AS w0, ${half(1)} AS w1
+  /** DuckDB restatement of one packed sign word (shared by the hamming
+    * oracles).
+    */
+  private def hammingHalfSql(h: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN " +
+    s"embedding[${32 * h} + i + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) " +
+    s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** Shared oracle prefix: packed words split into query/candidate sides
+    * with pairwise Hamming scores (the `sc` relation).
+    */
+  private def hammingScoredCte: String =
+    s"""h AS (SELECT vec_id, ${hammingHalfSql(0)} AS w0, ${hammingHalfSql(1)} AS w1
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM e
+       |hq AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM h
        |  WHERE vec_id < $NumQueries),
-       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |hc AS (SELECT * FROM h WHERE vec_id >= $NumQueries),
        |sc AS (SELECT q_id, vec_id,
        |    CAST(bit_count(xor(q0, w0)) + bit_count(xor(q1, w1)) AS INT)
        |      AS hamming
-       |  FROM q, c),
+       |  FROM hq, hc)""".stripMargin
+
+  private def hammingOracleSql: String =
+    s"""WITH $hammingScoredCte,
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY hamming, vec_id) AS rnk FROM sc)
        |SELECT q_id, vec_id AS nn_id, CAST(rnk AS INT) AS rank, hamming
        |FROM rk WHERE rnk <= $K""".stripMargin
+
+  // ----------------------------------------------------- hamming + rerank
+  /** Two-stage search — the production shape of the binary index: a wide
+    * Hamming shortlist of [[HammingR]] candidates per query (integer
+    * compares over the packed sign words, [[knnHamming]]'s scan), then an
+    * exact float cosine re-rank of ONLY the shortlist down to the final
+    * top-[[K]]. This is how a billion-scale deployment actually serves:
+    * the 1-bit index bounds the float reads to R per query, so the exact
+    * kernel touches R·|queries| vectors instead of the corpus.
+    *
+    * Scale: stage 1 shuffles only (vec_id, 2 longs); stage 2 joins the
+    * R-row-per-query shortlist back to the float column (a semi-join-
+    * shaped equi-join on vec_id that prunes the scan to the shortlist)
+    * and re-ranks a bounded R·|queries| frame. Same cosine and the same
+    * (cos desc, vec_id) total order as brute, so agreement with the
+    * ground truth is measurable bit for bit ([[knnHammingRecall]]).
+    */
+  val HammingR = 50
+
+  /** Hamming shortlist of [[HammingR]] per query — stage 1 of the rerank. */
+  private def hammingShortlist(s: SparkSession, d: String): DataFrame = {
+    val e = hammingWords(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val c = e.filter(col("vec_id") >= NumQueries)
+    Scale.topKPerGroup(
+        broadcast(q).join(c)
+          .select(col("q_id"), col("vec_id"),
+            (expr("bit_count(q0 ^ w0)") + expr("bit_count(q1 ^ w1)"))
+              .as("hamming")),
+        Seq("q_id"), Seq(col("hamming").asc, col("vec_id")),
+        k = HammingR, saltSrc = col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
   }
+
+  def knnHammingRerank(s: SparkSession, d: String): DataFrame = {
+    val (qf, cf) = split(s, d)
+    topK(hammingShortlist(s, d)
+      .join(cf, "vec_id") // shortlist prunes the float reads to R/query
+      .join(broadcast(qf), "q_id")
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
+  }
+
+  /** `fast = true` swaps the sequential-fold [[cosineSql]] for DuckDB's
+    * native list_dot_product (measured bit-identical on this data — the
+    * [[Dedup.embeddingScaleOracleSql]] precedent) for the sf1+ gate.
+    */
+  private def hammingCosSql(a: String, b: String, fast: Boolean): String =
+    if (fast) s"(list_dot_product($a, $b) / " +
+      s"sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"
+    else cosineSql(a, b)
+
+  private def hammingRerankOracleSql(fast: Boolean = false): String =
+    s"""WITH $hammingScoredCte,
+       |sl AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+       |      AS srnk FROM sc) WHERE srnk <= $HammingR),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rs AS (SELECT sl.q_id, sl.vec_id,
+       |    ${hammingCosSql("qe.v", "ce.v", fast)} AS cos
+       |  FROM sl JOIN e ce ON ce.vec_id = sl.vec_id
+       |  JOIN e qe ON qe.vec_id = sl.q_id),
+       |rk AS (SELECT q_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM rs)
+       |SELECT q_id, vec_id AS nn_id, CAST(rank AS INT) AS rank,
+       |  floor(cos*1e6)/1e6 AS cos
+       |FROM rk WHERE rank <= $K""".stripMargin
+
+  /** Recall@[[K]] of the Hamming-shortlist rerank against the exact brute
+    * ground truth, per query — the number that licenses replacing the
+    * float scan with the 1-bit front-end (the [[knnRecallEval]]
+    * discipline applied to [[knnHammingRerank]]). A miss here is a true
+    * neighbor whose sign pattern fell outside the R-radius shortlist.
+    */
+  def knnHammingRecall(s: SparkSession, d: String): DataFrame = {
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+    val rr = knnHammingRerank(s, d).select(col("q_id"), col("nn_id"))
+    val hits = brute.join(rr, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall"))
+  }
+
+  private def hammingRecallOracleSql(fast: Boolean = false): String =
+    s"""WITH $hammingScoredCte,
+       |sl AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id)
+       |      AS srnk FROM sc) WHERE srnk <= $HammingR),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rs AS (SELECT sl.q_id, sl.vec_id,
+       |    ${hammingCosSql("qe.v", "ce.v", fast)} AS cos
+       |  FROM sl JOIN e ce ON ce.vec_id = sl.vec_id
+       |  JOIN e qe ON qe.vec_id = sl.q_id),
+       |rrk AS (SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM rs),
+       |rr AS (SELECT q_id, vec_id FROM rrk WHERE rank <= $K),
+       |qe2 AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |  WHERE vec_id < $NumQueries),
+       |ce2 AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |bsc AS (SELECT q_id, vec_id, ${hammingCosSql("qv", "v", fast)} AS cos
+       |  FROM qe2, ce2),
+       |brk AS (SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bsc),
+       |br AS (SELECT q_id, vec_id FROM brk WHERE rank <= $K),
+       |hits AS (SELECT br.q_id, count(*) AS n_hits
+       |  FROM br JOIN rr ON rr.q_id = br.q_id AND rr.vec_id = br.vec_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, coalesce(hits.n_hits, 0) AS n_hits,
+       |  floor(coalesce(hits.n_hits, 0) * 1e4 / $K) / 1e4 AS recall
+       |FROM (SELECT DISTINCT q_id FROM br) q
+       |LEFT JOIN hits ON hits.q_id = q.q_id""".stripMargin
+
+  // --------------------------------------------------------- dim variance
+  /** Per-dimension moment profile of the embedding corpus — the anisotropy
+    * audit run before trusting PCA budgets, Matryoshka truncation, or SQ8
+    * ranges: each component quantizes to floor(x·1e6) BIGINT FIRST (the
+    * [[embedCentroidDrift]] discipline — integer sums no aggregation order
+    * can perturb), then per dimension the count, floored mean, exact
+    * population variance (n·Σq²−(Σq)²) div n² in micro² units, and the
+    * min/max envelope. A dimension with collapsed variance is wasted
+    * index bytes; a runaway one dominates every cosine.
+    *
+    * Scale: one posexplode → (dim)-keyed map-side-partial aggregate; the
+    * output is the bounded dims-row model frame. Sums ride DECIMAL(38) —
+    * Σq² ≤ n·(5e6)² needs the headroom long lacks at 100 TB corpora.
+    */
+  def embedDimVariance(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("dim"), floor(col("x") * DriftQ).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sq"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"),
+        min(col("q")).as("min_micro"), max(col("q")).as("max_micro"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        expr("CAST(sq div n AS BIGINT)").as("mean_micro"),
+        expr("CAST((n * sq2 - sq * sq) div (CAST(n AS DECIMAL(38,0)) * n) " +
+          "AS BIGINT)").as("var_micro2"),
+        col("min_micro"), col("max_micro"))
+
+  private def dimVarianceOracleSql: String =
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT CAST(i AS INT) - 1 AS dim,
+       |    CAST(floor(v[CAST(i AS INT)] * $DriftQ) AS BIGINT) AS q
+       |  FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+       |ag AS (SELECT dim, count(*) AS n, sum(CAST(q AS HUGEINT)) AS sq,
+       |    sum(CAST(q AS HUGEINT) * q) AS sq2,
+       |    min(q) AS min_micro, max(q) AS max_micro
+       |  FROM q GROUP BY 1)
+       |SELECT CAST(dim AS BIGINT) AS dim, n,
+       |  CAST(sq // n AS BIGINT) AS mean_micro,
+       |  CAST((n * sq2 - sq * sq) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+       |    AS var_micro2,
+       |  min_micro, max_micro
+       |FROM ag""".stripMargin
 
   /** Diagnostics for ScaleStress: corpus cell assignment (IVF inverted-
     * list balance — the probed-cell scan cost driver) and PQ codes (per-
@@ -1837,6 +2008,9 @@ object Similarity {
     "knn_pq" -> knnPq,
     "knn_ivfpq" -> knnIvfPq,
     "knn_hamming" -> knnHamming,
+    "knn_hamming_rerank" -> knnHammingRerank,
+    "knn_hamming_recall" -> knnHammingRecall,
+    "embed_dim_variance" -> embedDimVariance,
   )
 
   /** All three searches have exact SQL oracles. The LSH oracle re-states the
@@ -2019,14 +2193,18 @@ object Similarity {
     * [[oracles]]: emitted only when exactly one dir has trained, so the
     * literal centroids always restate the plan that actually ran).
     */
-  def scaleOracles: Map[String, String] =
+  def scaleOracles: Map[String, String] = {
+    val hamming = Map(
+      "knn_hamming_rerank" -> hammingRerankOracleSql(fast = true),
+      "knn_hamming_recall" -> hammingRecallOracleSql(fast = true))
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
-      Map("knn_graph" -> graphScaleOracleSql(cents),
+      hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
         "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
         "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
           Dedup.embeddingScaleOracleSql, fast = true))
-    } else Map.empty
+    } else hamming
+  }
 
   /** dedup_semdedup restated in DuckDB: the same literal centroids and
     * argmax cell assignment as the IVF oracle, the same IEEE centroid
@@ -2392,6 +2570,9 @@ object Similarity {
     val base = Map(
       "knn_brute_cosine" -> bruteOracleSql,
       "knn_hamming" -> hammingOracleSql,
+      "knn_hamming_rerank" -> hammingRerankOracleSql(),
+      "knn_hamming_recall" -> hammingRecallOracleSql(),
+      "embed_dim_variance" -> dimVarianceOracleSql,
       "knn_mmr" -> mmrOracleSql,
       "embed_triplet_eval" -> tripletOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,
