@@ -491,4 +491,96 @@ class SimilaritySpec extends AnyFunSuite {
     val byQ = got.groupBy(_._1)
     assert(byQ.values.exists(s => s.map(_._4).max > s.map(_._4).min))
   }
+
+  /** Driver-side restatement of the two-stage search: Hamming shortlist of
+    * R per query over the packed sign words, exact cosine rerank of only
+    * the shortlist. Shared by the rerank and recall specs.
+    */
+  private def hammingRerankExpected: Map[Long, Seq[(Long, Int, Double)]] = {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def word(v: Array[Double], h: Int): Long =
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        if (v(32 * h + i) >= 0) acc + (1L << i) else acc)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val words = vecs.map { case (id, v) => id -> (word(v, 0), word(v, 1)) }
+      .toMap
+    val qs = vecs.filter(_._1 < Similarity.NumQueries)
+    val cs = vecs.filter(_._1 >= Similarity.NumQueries)
+    qs.map { case (qid, qv) =>
+      val (q0, q1) = (words(qid)._1, words(qid)._2)
+      val shortlist = cs.map { case (cid, _) =>
+        val (w0, w1) = (words(cid)._1, words(cid)._2)
+        (cid, java.lang.Long.bitCount(q0 ^ w0) +
+          java.lang.Long.bitCount(q1 ^ w1))
+      }.sortBy { case (cid, h) => (h, cid) }
+        .take(Similarity.HammingR).map(_._1).toSet
+      val reranked = cs.filter(c => shortlist(c._1))
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((cid, c), i) =>
+          (cid, i + 1, math.floor(c * 1e6) / 1e6) }
+      qid -> reranked.toSeq
+    }.toMap
+  }
+
+  test("knn_hamming_rerank equals shortlist-then-exact-cosine by hand") {
+    val expected = hammingRerankExpected.flatMap { case (q, nns) =>
+      nns.map { case (cid, rk, c) => (q, cid, rk, c) }
+    }.toSet
+    val got = Similarity.knnHammingRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    // R=50 ≥ K, so every query fills its full top-K from the shortlist
+    assert(got.size == Similarity.NumQueries * Similarity.K)
+  }
+
+  test("knn_hamming_recall counts rerank hits against brute ground truth") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = hammingRerankExpected.toSeq.flatMap { case (q, nns) =>
+      nns.map { case (cid, _, _) => (q, cid) }
+    }.toSet
+    val expected = brute.map(_._1).map { q =>
+      val hits = brute.count { case (bq, c) => bq == q && rr((q, c)) }.toLong
+      (q, hits, math.floor(hits.toDouble / Similarity.K * 1e4) / 1e4)
+    }
+    val got = Similarity.knnHammingRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // the audit must be live on this corpus: overall recall is high (the
+    // 1-bit front-end works) but the per-query map is the deliverable
+    assert(got.map(_._2).sum > 0)
+  }
+
+  test("embed_dim_variance matches exact integer moments by hand") {
+    import org.apache.spark.sql.functions.col
+    val comps = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .flatMap(_.getSeq[Float](0).zipWithIndex.map { case (x, i) =>
+        (i.toLong, math.floor(x.toDouble * 1e6).toLong) })
+    val expected = comps.groupBy(_._1).map { case (dim, xs) =>
+      val qs = xs.map(_._2)
+      val n = BigInt(qs.length)
+      val sq = qs.map(BigInt(_)).sum
+      val sq2 = qs.map(q => BigInt(q) * q).sum
+      // Spark `div` on DECIMAL truncates toward zero (BigDecimal
+      // divideToIntegralValue), matching DuckDB's `//` on HUGEINT
+      (dim, qs.length.toLong, (sq / n).toLong,
+        ((n * sq2 - sq * sq) / (n * n)).toLong, qs.min, qs.max)
+    }.toSet
+    val got = Similarity.embedDimVariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // anisotropy must be visible: dims don't all share one variance
+    assert(got.map(_._4).size > 1)
+  }
 }
