@@ -309,7 +309,50 @@ object Audit {
       |    AS fano_ppm
       |FROM per, b""".stripMargin
 
+  // --------------------------------------------------- behavioral diversity
+  /** Per-user behavioral diversity — Gini–Simpson index over each user's
+    * event-type mix (1 − Σc²/n², the probability two of the user's events
+    * differ in type), rolled up into ppm-centile buckets (≤101-row frame): the audience
+    * segmentation between single-action drones (bucket 0 — bots, scrapers,
+    * one-trick integrations) and diverse organic users. Rational and
+    * integer-exact by construction — gs_ppm = (10⁶·(n²−Σc²)) div n² rides
+    * DECIMAL(38) because a 10⁷-event user at 100 TB puts n²·10⁶ at 10²⁰,
+    * past BIGINT.
+    *
+    * Scale: (user, type) partial agg → per-user rollup (both map-side
+    * combining on the natural keys) → a ≤101-row bucket frame. No windows,
+    * no corpus-sized sort.
+    */
+  def eventsUserDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
+      .select(col("user_id"), col("n"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * n - ss) * 1000000 " +
+          "div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("gs_ppm"))
+      .select(expr("gs_ppm div 10000").as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        expr("sum(n) div count(1)").as("mean_events"))
+
+  private def userDiversityOracleSql: String =
+    """WITH ct AS (SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(c) AS n,
+      |    sum(CAST(c AS HUGEINT) * c) AS ss FROM ct GROUP BY 1),
+      |g AS (SELECT user_id, n,
+      |    (CAST(n AS HUGEINT) * n - ss) * 1000000
+      |      // (CAST(n AS HUGEINT) * n) AS gs_ppm FROM u)
+      |SELECT CAST(gs_ppm // 10000 AS BIGINT) AS bucket,
+      |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(n) // count(*) AS BIGINT) AS mean_events
+      |FROM g GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_diversity" -> eventsUserDiversity,
     "orders_benford" -> ordersBenford,
     "orders_chisq_priority_status" -> ordersChisqPriorityStatus,
     "events_dedup_window" -> eventsDedupWindow,
@@ -318,6 +361,7 @@ object Audit {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_user_diversity" -> userDiversityOracleSql,
     "orders_benford" -> benfordOracleSql,
     "orders_chisq_priority_status" -> chisqOracleSql,
     "events_dedup_window" -> dedupWindowOracleSql,

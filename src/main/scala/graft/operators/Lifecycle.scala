@@ -563,7 +563,96 @@ object Lifecycle {
       |  min_hours, max_hours
       |FROM g, t""".stripMargin
 
+  // ------------------------------------------------- fulfillment latency
+  /** Order→shipment latency SLA profile per order priority: exact type-1
+    * (lower) percentiles of the day gap from o_orderdate to the order's
+    * FIRST and LAST line shipment. Gaps clamp at 0 (ordersBacklog's
+    * contract — this testdata's ship dates are uncorrelated with order
+    * dates, and an order cannot ship before it exists).
+    *
+    * Scale: percentiles come from the counting method, never a value sort
+    * — per-order min/max shipdate is one map-side-partial agg, then counts
+    * collapse onto the bounded (priority × distinct day-gap) frame and the
+    * cumulative window runs there (≤ priorities × ~120 rows at any SF).
+    * Type-1 quantile (smallest gap with cum ≥ ⌈p·n⌉, i.e. the integer test
+    * k·cum ≥ p·k·n) is integer-exact cross-engine — no interpolation, no
+    * per-group value buffer the builtin `percentile` agg would hold.
+    */
+  def ordersFulfillmentLatency(s: SparkSession, d: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("fs"),
+        max(to_date(col("l_shipdate"))).as("ls"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"),
+        greatest(datediff(col("fs"), col("od")), lit(0)).cast("long").as("gf"),
+        greatest(datediff(col("ls"), col("od")), lit(0)).cast("long").as("gl"))
+      // both counting pipelines consume this subtree — one scan, not two
+      .transform(Scale.materialize)
+
+    // one counting pipeline per gap family, joined on priority at the end
+    def pcts(gap: Column, pfx: String): DataFrame = {
+      val cnts = perOrder.groupBy(col("priority"), gap.as("gap"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("gap"))
+      val wp = Window.partitionBy(col("priority"))
+      cnts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wp))
+        .groupBy(col("priority"))
+        .agg(max(col("n")).as(s"${pfx}_n"),
+          min(when(col("cum") * 2 >= col("n"), col("gap"))).as(s"p50_$pfx"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("gap"))).as(s"p90_$pfx"),
+          max(col("gap")).as(s"max_$pfx"))
+    }
+    pcts(col("gf"), "first")
+      .join(pcts(col("gl"), "last"), Seq("priority"))
+      .select(col("priority"), col("first_n").as("n_orders"),
+        col("p50_first"), col("p90_first"), col("max_first"),
+        col("p50_last"), col("p90_last"), col("max_last"))
+  }
+
+  private def fulfillmentOracleSql: String =
+    """WITH po AS (SELECT l_orderkey,
+      |    min(CAST(l_shipdate AS DATE)) AS fs,
+      |    max(CAST(l_shipdate AS DATE)) AS ls
+      |  FROM lineitem GROUP BY 1),
+      |g AS (SELECT o.o_orderpriority AS priority,
+      |    greatest(date_diff('day', CAST(o.o_orderdate AS DATE), po.fs), 0)
+      |      AS gf,
+      |    greatest(date_diff('day', CAST(o.o_orderdate AS DATE), po.ls), 0)
+      |      AS gl
+      |  FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey),
+      |cf AS (SELECT priority, gf AS gap, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |wf AS (SELECT priority, gap,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY gap) AS cum,
+      |    sum(cnt) OVER (PARTITION BY priority) AS n FROM cf),
+      |pf AS (SELECT priority, max(n) AS n_orders,
+      |    min(CASE WHEN cum * 2 >= n THEN gap END) AS p50_first,
+      |    min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_first,
+      |    max(gap) AS max_first FROM wf GROUP BY 1),
+      |cl AS (SELECT priority, gl AS gap, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |wl AS (SELECT priority, gap,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY gap) AS cum,
+      |    sum(cnt) OVER (PARTITION BY priority) AS n FROM cl),
+      |pl AS (SELECT priority,
+      |    min(CASE WHEN cum * 2 >= n THEN gap END) AS p50_last,
+      |    min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS p90_last,
+      |    max(gap) AS max_last FROM wl GROUP BY 1)
+      |SELECT pf.priority, CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(p50_first AS BIGINT) AS p50_first,
+      |  CAST(p90_first AS BIGINT) AS p90_first,
+      |  CAST(max_first AS BIGINT) AS max_first,
+      |  CAST(p50_last AS BIGINT) AS p50_last,
+      |  CAST(p90_last AS BIGINT) AS p90_last,
+      |  CAST(max_last AS BIGINT) AS max_last
+      |FROM pf JOIN pl ON pl.priority = pf.priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_fulfillment_latency" -> ordersFulfillmentLatency,
     "events_conversion_latency" -> eventsConversionLatency,
     "daily_revenue_backtest" -> dailyRevenueBacktest,
     "discount_elasticity" -> discountElasticity,
@@ -577,6 +666,7 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_fulfillment_latency" -> fulfillmentOracleSql,
     "events_conversion_latency" -> convLatencyOracleSql,
     "daily_revenue_backtest" -> backtestOracleSql,
     "discount_elasticity" -> elasticityOracleSql,

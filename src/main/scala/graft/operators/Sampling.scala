@@ -332,7 +332,50 @@ object Sampling {
        |FROM est2 JOIN ex ON est2.source = ex.source""".stripMargin
   }
 
+  // ------------------------------------------------------------- chunking
+  /** Fixed-window token chunking with overlap — the context-length
+    * shaping pass between cleaning and packing in an LLM data pipeline:
+    * every document splits into [[ChunkW]]-token windows starting every
+    * [[ChunkS]] tokens (overlap = W−S), the last window short by
+    * construction. Output is the chunk MANIFEST (doc, chunk index, token
+    * span) — offsets into the tokenization, so downstream stages slice
+    * lazily instead of materializing duplicated text bytes (at 100 TB the
+    * W−S overlap would otherwise re-write ~25% of the corpus).
+    *
+    * Scale: pure map-side — one `sequence` explode per document, no
+    * shuffle at all; output rows ≈ n_tokens/S per doc.
+    */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  def corpusChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1L, lit(ChunkS.toLong)))
+          .as("tok_lo"))
+      .select(col("doc_id"),
+        expr(s"tok_lo div $ChunkS").as("chunk_idx"),
+        col("tok_lo"),
+        least(col("tok_lo") + ChunkW.toLong, col("n")).as("tok_hi"))
+      .withColumn("n_toks", col("tok_hi") - col("tok_lo"))
+
+  private def chunkOracleSql: String =
+    s"""WITH n AS (SELECT doc_id, CAST(len(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '))
+       |    AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (SELECT doc_id, n, i AS tok_lo
+       |  FROM n, unnest(range(0, n, $ChunkS)) AS u(i))
+       |SELECT doc_id, tok_lo // $ChunkS AS chunk_idx, tok_lo,
+       |  least(tok_lo + $ChunkW, n) AS tok_hi,
+       |  least(tok_lo + $ChunkW, n) - tok_lo AS n_toks
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk" -> corpusChunk,
     "sample_priority" -> samplePriority,
     "stats_bootstrap" -> statsBootstrap,
     "sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d, 200)),
@@ -385,6 +428,7 @@ object Sampling {
   }
 
   val oracles: Map[String, String] = Map(
+    "corpus_chunk" -> chunkOracleSql,
     "sample_priority" -> priorityOracleSql,
     "stats_bootstrap" -> bootstrapOracleSql,
     "sample_stratified" ->

@@ -476,7 +476,118 @@ object Search {
        |    * 1000000) // count(*) AS novelty_ppm
        |FROM g0 JOIN f USING (g) GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- tf-idf keywords
+  /** Per-document keyword extraction — top-[[KeywordsK]] terms by
+    * tf·idf, the tagging/faceting pass a corpus catalog runs over every
+    * document. idf uses the integer bit-length form (centibits,
+    * `length(bin(N)) − length(bin(df))` — textSurprisal's cross-engine-
+    * exact discipline; no transcendental log crosses the engine boundary),
+    * so scores are BIGINTs and ties break on the term itself.
+    *
+    * Scale: (doc, term) tf and per-term df are both map-side-partial
+    * aggregates; the corpus size is a 1-row broadcast; the per-doc cut is
+    * the bucketed two-phase [[Scale.topKPerGroup]] — no vocab-sized or
+    * corpus-sized single-partition window anywhere.
+    */
+  val KeywordsK = 3
+
+  def textKeywords(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .transform(Scale.materialize) // feeds both df and the scored join
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df, "w").join(broadcast(nd))
+      .withColumn("score_cb",
+        (length(bin(col("nd"))) - length(bin(col("df")))).cast("long")
+          * 100L * col("tf"))
+    Scale.topKPerGroup(
+        scored.select(col("doc_id"), col("w").as("term"), col("tf"),
+          col("score_cb")),
+        Seq("doc_id"), Seq(col("score_cb").desc, col("term")),
+        k = KeywordsK, saltSrc = col("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("score_cb"),
+        col("rnk").as("rank"))
+  }
+
+  private def keywordsOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*) AS nd FROM documents),
+       |sc AS (SELECT doc_id, w AS term, tf,
+       |    CAST(length(bin(nd.nd)) - length(bin(df.df)) AS BIGINT)
+       |      * 100 * tf AS score_cb
+       |  FROM tf JOIN df USING (w), nd),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score_cb DESC, term) AS rank FROM sc)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       |  CAST(score_cb AS BIGINT) AS score_cb, CAST(rank AS INT) AS rank
+       |FROM rk WHERE rank <= $KeywordsK""".stripMargin
+
+  // ------------------------------------------------------ collocation mining
+  /** Corpus collocations — adjacent word bigrams ranked by the Dice
+    * coefficient (2·c_ab/(c_a+c_b) in ppm — rational, so integer-exact
+    * cross-engine where PMI's log is not), with a minimum-support floor
+    * and a bounded top-[[CollocTopK]] cut. The phrase-mining pass that
+    * feeds tokenizer merge rules and stop-phrase lists.
+    *
+    * Scale: bigrams are generated MAP-SIDE from each token array (a
+    * `transform(sequence(...))` projection — no posexplode self-join, no
+    * position shuffle); counts collapse onto the bigram-vocabulary frame;
+    * the two unigram joins are vocab-sized; the final cut is a global
+    * TakeOrdered (sort+limit), never a full sort.
+    */
+  val CollocMinSupport = 5L
+  val CollocTopK = 50
+
+  def textCollocDice(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .transform(Scale.materialize) // joined twice (w1 and w2 sides)
+    val cab = docs.filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, n - 1), i -> " +
+        "struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinSupport)
+    cab
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("CAST(2 * CAST(c_ab AS DECIMAL(38,0)) * 1000000 " +
+          "div (c_a + c_b) AS BIGINT)").as("dice_ppm"))
+      .orderBy(col("dice_ppm").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  private def collocOracleSql: String =
+    s"""WITH dt AS (SELECT doc_id, string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM dt, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+       |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= $CollocMinSupport),
+       |uni AS (SELECT unnest(t) AS w FROM dt),
+       |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1)
+       |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       |  CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+       |  CAST(2 * CAST(c_ab AS HUGEINT) * 1000000 // (a.c + b.c) AS BIGINT)
+       |    AS dice_ppm
+       |FROM cab JOIN uc a ON a.w = cab.w1 JOIN uc b ON b.w = cab.w2
+       |ORDER BY dice_ppm DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keywords" -> textKeywords,
+    "text_colloc_dice" -> textCollocDice,
     "text_bm25" -> textBm25,
     "text_ndcg_eval" -> textNdcgEval,
     "text_bpe_pairs" -> textBpePairs,
@@ -490,7 +601,10 @@ object Search {
     * in this JVM, so the SQL restates the exact literals the plan used.
     */
   def oracles: Map[String, String] = {
-    val base = Map("text_bpe_pairs" -> bpeOracleSql,
+    val base = Map(
+      "text_keywords" -> keywordsOracleSql,
+      "text_colloc_dice" -> collocOracleSql,
+      "text_bpe_pairs" -> bpeOracleSql,
       "text_bpe_train" -> bpeTrainOracleSql,
       "text_bpe_tokenize" -> bpeTokenizeOracleSql,
       "text_ngram_novelty" -> noveltyOracleSql)

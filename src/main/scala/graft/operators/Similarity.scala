@@ -1900,6 +1900,169 @@ object Similarity {
        |  min_micro, max_micro
        |FROM ag""".stripMargin
 
+  // ------------------------------------------------------ label kNN eval
+  /** Leave-one-out kNN-classifier accuracy per label — the standard
+    * label-quality / embedding-quality eval (does the embedding separate
+    * the classes a classifier must separate?): every [[EvalMod]]-th vector
+    * is a probe, its label is predicted as the majority label of its
+    * [[K]] nearest corpus neighbors (self excluded; vote ties break to the
+    * smaller label, neighbor ties to the smaller vec_id), and accuracy
+    * rolls up per TRUE label in ppm. Like [[knnRecallEval]]/
+    * [[Dedup.dedupRecallEval]] this is an AUDIT-SCALE exact operator by
+    * contract: the probe set is a deterministic 1/[[EvalMod]] slice and
+    * the scan is the brute kernel — at 100 TB you run it over a bounded
+    * probe sample, not the corpus (the recall-eval discipline).
+    */
+  val EvalMod = 5
+
+  def embedLabelKnnEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val probes = e.filter(col("vec_id") % EvalMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("q_label"))
+    val scored = broadcast(probes).join(e)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+    val top = Scale.topKPerGroup(
+      scored.select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos")),
+      Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+      k = K, saltSrc = col("vec_id"))
+    val votes = top.groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    // bounded window: ≤ K vote rows per probe
+    val pred = votes.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_label"), col("label").as("pred_label"))
+    pred.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_correct"),
+        expr("n_correct * 1000000 div n_eval").as("acc_ppm"))
+  }
+
+  private def labelKnnOracleSql(fast: Boolean = false): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings),
+       |pq AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+       |  WHERE vec_id % $EvalMod = 0),
+       |sc AS (SELECT q_id, q_label, e.vec_id, e.label,
+       |    ${hammingCosSql("qv", "v", fast)} AS cos
+       |  FROM pq, e WHERE e.vec_id <> pq.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS r FROM sc),
+       |tv AS (SELECT q_id, q_label, label, count(*) AS votes FROM rk
+       |  WHERE r <= $K GROUP BY 1, 2, 3),
+       |pr AS (SELECT q_id, q_label, label AS pred_label, row_number()
+       |    OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+       |  FROM tv)
+       |SELECT q_label AS label, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS acc_ppm
+       |FROM pr WHERE rn = 1 GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------- silhouette
+  /** Simplified (centroid-based) silhouette per label — the cluster-
+    * separation audit (Rousseeuw's s(i) with the per-cluster mean distance
+    * replaced by distance-to-centroid, the standard linear-time form):
+    * per-label centroids come from floor(x·10⁶) integer component sums
+    * (the [[embedCentroidDrift]] discipline — no aggregation-order
+    * sensitivity), every vector scores an exact-integer dot against each
+    * centroid, cosines floor to micro units, and
+    * s = (b−a)·10⁶ div max(a,b) over the micro-distances a (own centroid)
+    * and b (nearest other centroid). Vectors with max(a,b) = 0 are
+    * excluded by contract (a vector exactly ON two centroids separates
+    * nothing).
+    *
+    * Scale: one posexplode → (label,dim) map-side centroid agg (bounded
+    * labels × dims model frame), then the scoring join is vector-dims ×
+    * |labels| against the BROADCAST centroid frame with a map-side-partial
+    * (vec,label) dot rollup — no corpus-sized window, no pairwise
+    * vector×vector work anywhere.
+    */
+  def embedSilhouette(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x") * DriftQ).cast("long").as("q"))
+      .transform(Scale.materialize) // feeds centroids, norms, AND scoring
+    val cent = q.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("c_label"), col("dim"), expr("sq div n").as("m"))
+      .transform(Scale.materialize) // feeds the norm agg AND the dot join
+    val centNorm = cent.groupBy(col("c_label"))
+      .agg(sum(col("m") * col("m")).as("mm"))
+    val qq = q.groupBy(col("vec_id").as("vid2"))
+      .agg(sum(col("q") * col("q")).as("qq"))
+    val dots = q.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(col("q") * col("m")).as("dot"))
+    val cosm = dots
+      .join(qq, col("vec_id") === col("vid2"))
+      .join(broadcast(centNorm), Seq("c_label"))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        floor(lit(1e6) * col("dot")
+            / (sqrt(col("qq").cast("double")) * sqrt(col("mm").cast("double"))))
+          .cast("long").as("cos_micro"))
+    val ab = cosm.groupBy(col("vec_id"), col("label"))
+      .agg((lit(1000000L)
+          - max(when(col("c_label") === col("label"), col("cos_micro"))))
+          .as("a_d"),
+        (lit(1000000L)
+          - max(when(col("c_label") =!= col("label"), col("cos_micro"))))
+          .as("b_d"))
+    ab.filter(greatest(col("a_d"), col("b_d")) > 0)
+      .select(col("label"),
+        expr("(b_d - a_d) * 1000000 div greatest(a_d, b_d)").as("s_ppm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_ppm) div count(1)").as("mean_s_ppm"),
+        min(col("s_ppm")).as("min_s_ppm"),
+        max(col("s_ppm")).as("max_s_ppm"))
+  }
+
+  private def silhouetteOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
+       |    CAST(floor(v[CAST(i AS INT)] * $DriftQ) AS BIGINT) AS q
+       |  FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+       |cent AS (SELECT label AS c_label, dim,
+       |    CAST(sum(q) // count(*) AS BIGINT) AS m FROM q GROUP BY 1, 2),
+       |cn AS (SELECT c_label, CAST(sum(m * m) AS BIGINT) AS mm FROM cent
+       |  GROUP BY 1),
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq FROM q
+       |  GROUP BY 1),
+       |dots AS (SELECT q.vec_id, q.label, c.c_label,
+       |    CAST(sum(q.q * c.m) AS BIGINT) AS dot
+       |  FROM q JOIN cent c ON c.dim = q.dim GROUP BY 1, 2, 3),
+       |cosm AS (SELECT d.vec_id, d.label, d.c_label,
+       |    CAST(floor(1e6 * d.dot / (sqrt(CAST(qq.qq AS DOUBLE))
+       |      * sqrt(CAST(cn.mm AS DOUBLE)))) AS BIGINT) AS cos_micro
+       |  FROM dots d JOIN qq ON qq.vec_id = d.vec_id
+       |  JOIN cn ON cn.c_label = d.c_label),
+       |ab AS (SELECT vec_id, label,
+       |    1000000 - max(CASE WHEN c_label = label THEN cos_micro END)
+       |      AS a_d,
+       |    1000000 - max(CASE WHEN c_label <> label THEN cos_micro END)
+       |      AS b_d
+       |  FROM cosm GROUP BY 1, 2),
+       |sv AS (SELECT label, (b_d - a_d) * 1000000 // greatest(a_d, b_d)
+       |    AS s_ppm
+       |  FROM ab WHERE greatest(a_d, b_d) > 0)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_s_ppm,
+       |  CAST(min(s_ppm) AS BIGINT) AS min_s_ppm,
+       |  CAST(max(s_ppm) AS BIGINT) AS max_s_ppm
+       |FROM sv GROUP BY 1""".stripMargin
+
   /** Diagnostics for ScaleStress: corpus cell assignment (IVF inverted-
     * list balance — the probed-cell scan cost driver) and PQ codes (per-
     * subspace codebook utilization).
@@ -2011,6 +2174,8 @@ object Similarity {
     "knn_hamming_rerank" -> knnHammingRerank,
     "knn_hamming_recall" -> knnHammingRecall,
     "embed_dim_variance" -> embedDimVariance,
+    "embed_label_knn_eval" -> embedLabelKnnEval,
+    "embed_silhouette" -> embedSilhouette,
   )
 
   /** All three searches have exact SQL oracles. The LSH oracle re-states the
@@ -2196,7 +2361,8 @@ object Similarity {
   def scaleOracles: Map[String, String] = {
     val hamming = Map(
       "knn_hamming_rerank" -> hammingRerankOracleSql(fast = true),
-      "knn_hamming_recall" -> hammingRecallOracleSql(fast = true))
+      "knn_hamming_recall" -> hammingRecallOracleSql(fast = true),
+      "embed_label_knn_eval" -> labelKnnOracleSql(fast = true))
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
       hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
@@ -2573,6 +2739,8 @@ object Similarity {
       "knn_hamming_rerank" -> hammingRerankOracleSql(),
       "knn_hamming_recall" -> hammingRecallOracleSql(),
       "embed_dim_variance" -> dimVarianceOracleSql,
+      "embed_label_knn_eval" -> labelKnnOracleSql(),
+      "embed_silhouette" -> silhouetteOracleSql,
       "knn_mmr" -> mmrOracleSql,
       "embed_triplet_eval" -> tripletOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,

@@ -187,15 +187,96 @@ object TextAudit {
        |GROUP BY k, total_mass""".stripMargin
   }
 
+  // --------------------------------------------------------- source drift
+  /** Per-source vocabulary drift — a χ²-style distance between each
+    * source's unigram distribution and the corpus distribution, computed
+    * over the corpus's top-[[DriftVocab]] terms: the domain-mix monitor
+    * that catches a crawl slice going off-distribution before it poisons
+    * a training mix (embed_centroid_drift's role, lexical form). Both
+    * distributions quantize to ppm shares FIRST (p_obs = o·10⁶ div n_s,
+    * p_exp = C·10⁶ div T — the quantization is part of the defined
+    * statistic, so both engines sum identical integers), each vocab term
+    * contributes (p_obs−p_exp)² div p_exp, and terms whose corpus share
+    * floors to 0 ppm are excluded by contract. A source that never uses a
+    * vocab term still pays its full expected-share penalty (the grid is
+    * source × vocab, not observed pairs only).
+    *
+    * Scale: corpus and per-source counts are map-side-partial aggregates;
+    * the vocab cut is a global TakeOrdered to a bounded [[DriftVocab]]-row
+    * frame; the scoring grid is |sources| × [[DriftVocab]] — a broadcast
+    * cross of two bounded frames, never corpus-sized.
+    */
+  val DriftVocab = 100
+
+  def textSourceDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .transform(Scale.materialize) // feeds corpus counts AND source counts
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .transform(Scale.materialize) // feeds T, the vocab cut
+    val total = corpus.agg(sum(col("cw")).as("t"))
+    // DECIMAL(38) for the ×10⁶ share numerators: corpus counts at 100 TB
+    // (~10¹³ tokens) put cw·10⁶ past BIGINT
+    val vocab = corpus.orderBy(col("cw").desc, col("w")).limit(DriftVocab)
+      .crossJoin(broadcast(total))
+      .select(col("w"),
+        expr("CAST(CAST(cw AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)")
+          .as("p_exp"))
+      .filter(col("p_exp") > 0)
+    val perSource = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("o"))
+      .transform(Scale.materialize) // feeds n_s AND the grid join
+    val ns = perSource.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    ns.crossJoin(broadcast(vocab)) // bounded |sources| × vocab grid
+      .join(perSource, Seq("source", "w"), "left_outer")
+      .select(col("source"), col("n_s"),
+        expr("CAST(CAST(coalesce(o, 0) AS DECIMAL(38,0)) * 1000000 " +
+          "div n_s AS BIGINT)").as("p_obs"),
+        col("p_exp"))
+      .select(col("source"), col("n_s"),
+        expr("((p_obs - p_exp) * (p_obs - p_exp)) div p_exp").as("contrib"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("contrib")).as("chi2_ppm"))
+  }
+
+  private def sourceDriftOracleSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents),
+       |corpus AS (SELECT w, count(*) AS cw FROM t GROUP BY 1),
+       |tot AS (SELECT sum(cw) AS tt FROM corpus),
+       |vocab AS (SELECT w, CAST(CAST(cw AS HUGEINT) * 1000000 // tt
+       |      AS BIGINT) AS p_exp
+       |  FROM (SELECT w, cw FROM corpus ORDER BY cw DESC, w
+       |        LIMIT $DriftVocab), tot
+       |  WHERE CAST(cw AS HUGEINT) * 1000000 // tt > 0),
+       |ps AS (SELECT source, w, count(*) AS o FROM t GROUP BY 1, 2),
+       |ns AS (SELECT source, sum(o) AS n_s FROM ps GROUP BY 1),
+       |g0 AS (SELECT ns.source, ns.n_s, vocab.w, vocab.p_exp
+       |  FROM ns, vocab),
+       |grid AS (SELECT g0.source, g0.n_s, g0.p_exp,
+       |    CAST(CAST(coalesce(ps.o, 0) AS HUGEINT) * 1000000 // g0.n_s
+       |      AS BIGINT) AS p_obs
+       |  FROM g0 LEFT JOIN ps ON ps.source = g0.source AND ps.w = g0.w)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_terms,
+       |  CAST(sum(((p_obs - p_exp) * (p_obs - p_exp)) // p_exp) AS BIGINT)
+       |    AS chi2_ppm
+       |FROM grid GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_utf8_audit" -> textUtf8Audit,
     "text_token_diversity" -> textTokenDiversity,
     "text_ngram_coverage" -> textNgramCoverage,
+    "text_source_drift" -> textSourceDrift,
   )
 
   val oracles: Map[String, String] = Map(
     "text_utf8_audit" -> utf8OracleSql,
     "text_token_diversity" -> diversityOracleSql,
     "text_ngram_coverage" -> coverageOracleSql,
+    "text_source_drift" -> sourceDriftOracleSql,
   )
 }

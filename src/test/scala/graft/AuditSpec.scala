@@ -130,4 +130,25 @@ class AuditSpec extends AnyFunSuite {
     val benford = Audit.ordersBenford(spark, sf).queryExecution.executedPlan.toString
     assert(!benford.contains("CartesianProduct"), benford)
   }
+
+  test("events_user_diversity equals a BigInt Gini-Simpson fold") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val n = BigInt(rows.size)
+      val ss = rows.groupBy(_._2).values.map(g => BigInt(g.size) * g.size).sum
+      val gs = (n * n - ss) * 1000000 / (n * n)
+      (gs / 10000, rows.size.toLong)
+    }
+    val want = perUser.groupBy(_._1).map { case (b, rows) =>
+      (b.toLong, rows.size.toLong, rows.map(_._2).sum,
+        (BigInt(rows.map(_._2).sum) / rows.size).toLong)
+    }.toSet
+    val got = Audit.eventsUserDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.size >= 2, "diversity buckets degenerate")
+  }
 }

@@ -353,4 +353,44 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.size >= 2, "latency bands degenerate")
   }
+
+  test("orders_fulfillment_latency equals brute type-1 percentiles") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).cast("string"))
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), java.time.LocalDate.parse(r.getString(2)))))
+      .toMap
+    val perOrder = li.groupBy(_._1).toSeq.flatMap { case (ok, rows) =>
+      ord.get(ok).map { case (prio, od) =>
+        val days = rows.map(_._2)
+        def gap(x: java.time.LocalDate): Long =
+          math.max(java.time.temporal.ChronoUnit.DAYS.between(od, x), 0L)
+        (prio, gap(days.min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))),
+          gap(days.max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))))
+      }
+    }
+    // type-1 (lower) percentile: smallest value whose cum count satisfies
+    // cum*k >= p*k*n — exactly the operator's integer test
+    def pct(xs: Seq[Long], num: Int, den: Int): Long = {
+      val s = xs.sorted; val n = s.size
+      s.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * den >= num.toLong * n => v }.get
+    }
+    val want = perOrder.groupBy(_._1).map { case (prio, rows) =>
+      val gf = rows.map(_._2); val gl = rows.map(_._3)
+      (prio, rows.size.toLong, pct(gf, 1, 2), pct(gf, 9, 10), gf.max,
+        pct(gl, 1, 2), pct(gl, 9, 10), gl.max)
+    }.toSet
+    val got = graft.operators.Lifecycle.ordersFulfillmentLatency(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    assert(got == want)
+    // the profile must discriminate: not every priority shares one p50
+    assert(want.map(_._3).size >= 1 && want.size >= 2)
+  }
 }

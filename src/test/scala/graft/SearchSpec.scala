@@ -219,4 +219,45 @@ class SearchSpec extends AnyFunSuite {
     for (t <- Search.Bm25Terms)
       assert(docs.exists(_._2.contains(t)), s"term '$t' absent from corpus")
   }
+
+  test("text_keywords equals brute tf-idf top-3 with bit-length idf") {
+    def bitLen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val nd = docs.size.toLong
+    val df = docs.flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.size.toLong }
+    val want = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).toSeq
+        .map { case (w, g) =>
+          val score = (bitLen(nd) - bitLen(df(w))).toLong * 100L * g.size
+          (w, g.size.toLong, score)
+        }
+        .sortBy { case (w, _, score) => (-score, w) }
+        .take(Search.KeywordsK).zipWithIndex
+        .map { case ((w, tf, sc), i) => (id, w, tf, sc, i + 1) }
+    }.toSet
+    val got = Search.textKeywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got == want)
+    assert(got.map(_._2).size > Search.KeywordsK,
+      "keywords degenerate: every doc picked the same terms")
+  }
+
+  test("text_colloc_dice equals brute bigram Dice top-50") {
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val cab = docs.flatMap { case (_, ws) => ws.iterator.zip(ws.iterator.drop(1)) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= Search.CollocMinSupport)
+    val want = cab.toSeq.map { case ((w1, w2), c) =>
+      val dice = (BigInt(2) * c * 1000000 / (uni(w1) + uni(w2))).toLong
+      (w1, w2, c, uni(w1), uni(w2), dice)
+    }.sortBy { case (w1, w2, _, _, _, dice) => (-dice, w1, w2) }
+      .take(Search.CollocTopK).toSet
+    val got = Search.textCollocDice(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want)
+    assert(got.size >= 10, s"collocation mining degenerate: ${got.size} pairs")
+  }
 }

@@ -583,4 +583,80 @@ class SimilaritySpec extends AnyFunSuite {
     // anisotropy must be visible: dims don't all share one variance
     assert(got.map(_._4).size > 1)
   }
+
+  private def labeledVecs: Array[(Long, Array[Double], Int)] = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+  }
+
+  test("embed_label_knn_eval equals brute leave-one-out majority vote") {
+    val vecs = labeledVecs
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val probes = vecs.filter(_._1 % Similarity.EvalMod == 0)
+    val preds = probes.map { case (qid, qv, qlbl) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (cid, cv, clbl) => (cid, clbl, cos(qv, cv)) }
+        .sortBy { case (cid, _, c) => (-c, cid) }
+        .take(Similarity.K)
+      val pred = top.groupBy(_._2).toSeq
+        .map { case (lbl, g) => (lbl, g.size) }
+        .sortBy { case (lbl, n) => (-n, lbl) }.head._1
+      (qlbl, pred)
+    }
+    val want = preds.groupBy(_._1).map { case (lbl, xs) =>
+      val correct = xs.count(p => p._2 == p._1).toLong
+      (lbl, xs.size.toLong, correct, correct * 1000000L / xs.size)
+    }.toSet
+    val got = Similarity.embedLabelKnnEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // the eval is live: overall accuracy is neither 0 nor perfect
+    val acc = got.toSeq.map(_._3).sum.toDouble / got.toSeq.map(_._2).sum
+    assert(acc > 0.0 && acc < 1.0, s"degenerate accuracy $acc")
+  }
+
+  test("embed_silhouette equals brute integer centroid silhouette") {
+    val vecs = labeledVecs
+    val q = vecs.map { case (id, v, lbl) =>
+      (id, lbl, v.map(x => math.floor(x * 1e6).toLong)) }
+    val dims = q.head._3.length
+    val cents = q.groupBy(_._2).map { case (lbl, xs) =>
+      lbl -> Array.tabulate(dims) { d =>
+        val sq = xs.map(x => BigInt(x._3(d))).sum
+        (sq / xs.size).toLong
+      }
+    }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((acc, i) => acc + a(i) * b(i))
+    val sv = q.flatMap { case (_, lbl, qv) =>
+      val qq = idot(qv, qv)
+      val cosm = cents.map { case (clbl, m) =>
+        clbl -> math.floor(
+          1e6 * idot(qv, m) /
+            (math.sqrt(qq.toDouble) * math.sqrt(idot(m, m).toDouble))).toLong
+      }
+      val aD = 1000000L - cosm(lbl)
+      val bD = 1000000L - cosm.filter(_._1 != lbl).values.max
+      if (math.max(aD, bD) > 0)
+        Some((lbl, (bD - aD) * 1000000L / math.max(aD, bD)))
+      else None
+    }
+    val want = sv.groupBy(_._1).map { case (lbl, xs) =>
+      val ss = xs.map(_._2)
+      (lbl, ss.size.toLong, ss.sum / ss.size, ss.min, ss.max)
+    }.toSet
+    val got = Similarity.embedSilhouette(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // separation must vary across labels on this corpus
+    assert(got.map(_._3).size > 1)
+  }
 }

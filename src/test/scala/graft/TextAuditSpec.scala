@@ -82,4 +82,48 @@ class TextAuditSpec extends AnyFunSuite {
     val cov = TextAudit.CoverageKs.map(k => got(k.toLong)._4)
     assert(cov == cov.sorted)
   }
+
+  test("corpus_chunk equals brute window manifest") {
+    import graft.operators.Sampling.{ChunkW, ChunkS}
+    val want = docs.flatMap { case (id, _, text) =>
+      val n = toks(text).size.toLong
+      (0L until n by ChunkS.toLong).map { lo =>
+        val hi = math.min(lo + ChunkW, n)
+        (id, lo / ChunkS, lo, hi, hi - lo)
+      }
+    }.toSet
+    val got = graft.operators.Sampling.corpusChunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // overlap is live: some doc has >1 chunk and some tail chunk is short
+    assert(got.exists(_._2 > 0) && got.exists(_._5 < ChunkW))
+  }
+
+  test("text_source_drift equals brute ppm chi-square over top vocab") {
+    val allToks = docs.flatMap { case (_, src, text) => toks(text).map(src -> _) }
+    val corpus = allToks.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val t = BigInt(allToks.size)
+    val vocab = corpus.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextAudit.DriftVocab)
+      .map { case (w, c) => w -> (BigInt(c) * 1000000 / t).toLong }
+      .filter(_._2 > 0)
+    val bySource = allToks.groupBy(_._1)
+    val want = bySource.map { case (src, xs) =>
+      val ns = BigInt(xs.size)
+      val oc = xs.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+      val contribs = vocab.map { case (w, pExp) =>
+        val pObs = (BigInt(oc.getOrElse(w, 0L)) * 1000000 / ns).toLong
+        val dd = pObs - pExp
+        dd * dd / pExp
+      }
+      (src, xs.size.toLong, vocab.size.toLong, contribs.sum)
+    }.toSet
+    val got = TextAudit.textSourceDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // drift scores must discriminate between sources on this corpus
+    assert(want.map(_._4).size > 1, "all sources share one chi2 - vacuous")
+  }
 }
