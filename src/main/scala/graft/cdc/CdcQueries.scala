@@ -41,6 +41,47 @@ object CdcQueries {
     CdcOps.snapshotLatest(filtered, Seq("id"), "ts_ms", payloadCols)
   }
 
+  /** Snapshot delta (time-travel diff): the row-level reconciliation
+    * between the table's state at the changelog midpoint and its latest
+    * state — per change class (added / removed / changed / unchanged) the
+    * key count and key range. This is the "what changed since the last
+    * audit?" question a downstream consumer asks of a CDC-maintained
+    * table, answered from the LOG alone (no store needed): two
+    * version-filtered one-shuffle max_by snapshots (the
+    * [[snapshotAsOf]] / [[snapshotLatest]] kernel), one full-outer key
+    * join, null-safe payload comparison (`<=>` ≡ IS NOT DISTINCT FROM —
+    * the cdc_update_diff discipline), and a ≤4-row class rollup. Scale:
+    * the join is the honest key-aligned shuffle; everything else collapses
+    * map-side.
+    */
+  def snapshotDelta(s: SparkSession, d: String): DataFrame = {
+    val ch = CdcSim.parsedChangelog(s, d).transform(Scale.materialize)
+    // anchored to the TOMBSTONE time range's midpoint (not the whole
+    // log's): half the deletes land after t1, so the 'removed' class is
+    // populated at every SF — the whole-log midpoint leaves it to data
+    // luck (a 2-day delete lag catches ~0.1% of keys at any instant)
+    val t = ch.filter(col("op") === "d")
+      .agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("t1"))
+    val old = CdcOps.snapshotLatest(
+      ch.join(broadcast(t)).filter(col("ts_ms") <= col("t1")).drop("t1"),
+      Seq("id"), "ts_ms", payloadCols)
+    val nw = CdcOps.snapshotLatest(ch, Seq("id"), "ts_ms", payloadCols)
+    val j = old.select(col("id"), col("custkey").as("ck1"),
+        col("price").as("p1"), col("status").as("st1"), lit(1).as("in1"))
+      .join(nw.select(col("id"), col("custkey").as("ck2"),
+        col("price").as("p2"), col("status").as("st2"), lit(1).as("in2")),
+        Seq("id"), "full_outer")
+    j.select(col("id"),
+        when(col("in1").isNull, "added")
+          .when(col("in2").isNull, "removed")
+          .when(col("ck1") <=> col("ck2") && col("p1") <=> col("p2")
+            && col("st1") <=> col("st2"), "unchanged")
+          .otherwise("changed").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("id")).as("min_key"), max(col("id")).as("max_key"))
+  }
+
   /** Time travel against the MAINTAINED store (VERSION AS OF), not the
     * event log: the changelog replays into an IncrementalSnapshot store as
     * [[StoreBatches]] deterministic time-sliced micro-batches (batch of an
@@ -317,6 +358,7 @@ object CdcQueries {
     "cdc_parse_envelope" -> parseEnvelope,
     "cdc_snapshot_latest" -> snapshotLatest,
     "cdc_snapshot_stream" -> ((s, d) => CdcStream.snapshotViaStream(s, d)),
+    "cdc_snapshot_delta" -> snapshotDelta,
     "cdc_snapshot_asof" -> snapshotAsOf,
     "cdc_log_compact" -> logCompact,
     "cdc_snapshot_asof_store" -> snapshotAsOfStore,
@@ -340,6 +382,30 @@ object CdcQueries {
        |FROM base WHERE id % 10 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_snapshot_delta" ->
+      s"""$C,
+         |t AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t1 FROM ev
+         |  WHERE op = 'd'),
+         |r1 AS (SELECT ev.*, row_number() OVER (PARTITION BY id
+         |    ORDER BY ts_ms DESC) AS rn FROM ev, t WHERE ts_ms <= t1),
+         |s1 AS (SELECT id, custkey, price, status FROM r1
+         |  WHERE rn = 1 AND op <> 'd'),
+         |r2 AS (SELECT ev.*, row_number() OVER (PARTITION BY id
+         |    ORDER BY ts_ms DESC) AS rn FROM ev),
+         |s2 AS (SELECT id, custkey, price, status FROM r2
+         |  WHERE rn = 1 AND op <> 'd'),
+         |j AS (SELECT coalesce(s1.id, s2.id) AS id,
+         |    CASE WHEN s1.id IS NULL THEN 'added'
+         |         WHEN s2.id IS NULL THEN 'removed'
+         |         WHEN s1.custkey IS NOT DISTINCT FROM s2.custkey
+         |          AND s1.price IS NOT DISTINCT FROM s2.price
+         |          AND s1.status IS NOT DISTINCT FROM s2.status
+         |           THEN 'unchanged'
+         |         ELSE 'changed' END AS change
+         |  FROM s1 FULL JOIN s2 ON s2.id = s1.id)
+         |SELECT change, count(*) AS n_keys, min(id) AS min_key,
+         |  max(id) AS max_key
+         |FROM j GROUP BY 1""".stripMargin,
     "cdc_key_churn" ->
       s"""$C,
          |per AS (SELECT id, count(*) AS n_ops,

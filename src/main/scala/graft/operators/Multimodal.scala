@@ -282,7 +282,63 @@ object Multimodal {
         max(col("doc_id")).as("last_doc"))
   }
 
+  // --------------------------------------------------------- byte entropy
+  /** Per-kind payload byte diversity — the Gini–Simpson index over the
+    * byte-value distribution (1 − Σc²/n², the probability two random
+    * payload bytes differ), plus the distinct-byte alphabet width: the
+    * compressibility/corruption screen a media lake runs per modality.
+    * Near-zero diversity = constant filler (truncated uploads, zeroed
+    * buffers); a full 256-value alphabet at high diversity = already-
+    * compressed or encrypted payloads a transcoder shouldn't re-touch.
+    * Rational and integer-exact (DECIMAL(38): Σc² at 100 TB per kind is
+    * ~10²⁸). The per-byte explode is linear map-side amplification feeding
+    * a (kind, byte) partial agg — the mm_phash 8-gram precedent, at 1×.
+    */
+  def mmPayloadEntropy(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .select(kind.as("kind"),
+        explode(expr("transform(sequence(1, octet_length(payload)), " +
+          "i -> substring(payload, i, 1))")).as("b"))
+      .groupBy(col("kind"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_bytes"),
+        expr("CAST((CAST(sum(c) AS DECIMAL(38,0)) * sum(c) " +
+          "- sum(CAST(c AS DECIMAL(38,0)) * c)) * 1000000 " +
+          "div (CAST(sum(c) AS DECIMAL(38,0)) * sum(c)) AS BIGINT)")
+          .as("simpson_ppm"))
+
+  // ------------------------------------------------------ size percentiles
+  /** Per-kind payload size profile — exact type-1 percentiles (p25/p50/
+    * p75/p90) and max of payload bytes, the shard-sizing and
+    * decode-budget planning view (a video corpus whose p90 is 100× its
+    * p50 packs very differently from a uniform one). Counting method on
+    * the bounded (kind × distinct size) frame — the
+    * orders_fulfillment_latency discipline; no per-group value buffer.
+    */
+  def mmSizePercentiles(s: SparkSession, d: String): DataFrame = {
+    val sizes = withPayload(s, d)
+      .select(kind.as("kind"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("kind"), col("n_bytes")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("n_bytes"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+    sizes
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wk))
+      .groupBy(col("kind"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 4 >= col("n"), col("n_bytes"))).as("p25_bytes"),
+        min(when(col("cum") * 2 >= col("n"), col("n_bytes"))).as("p50_bytes"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("n_bytes"))).as("p75_bytes"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("n_bytes"))).as("p90_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_payload_entropy" -> mmPayloadEntropy,
+    "mm_size_percentiles" -> mmSizePercentiles,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_dedup_exact" -> mmDedupExact,
@@ -293,6 +349,40 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_payload_entropy" ->
+      """WITH b AS (SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    unnest(list_transform(range(1, octet_length(CAST(text AS BLOB))
+        |      + 1), i -> substr(text, CAST(i AS INT), 1))) AS b
+        |  FROM documents),
+        |ct AS (SELECT kind, b, count(*) AS c FROM b GROUP BY 1, 2)
+        |SELECT kind, count(*) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_bytes,
+        |  CAST((CAST(sum(c) AS HUGEINT) * sum(c)
+        |      - sum(CAST(c AS HUGEINT) * c)) * 1000000
+        |    // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS simpson_ppm
+        |FROM ct GROUP BY 1""".stripMargin,
+    "mm_size_percentiles" ->
+      """WITH m AS (SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |ct AS (SELECT kind, n_bytes, count(*) AS cnt FROM m GROUP BY 1, 2),
+        |cw AS (SELECT kind, n_bytes,
+        |    sum(cnt) OVER (PARTITION BY kind ORDER BY n_bytes) AS cum,
+        |    sum(cnt) OVER (PARTITION BY kind) AS n FROM ct)
+        |SELECT kind, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN cum * 4 >= n THEN n_bytes END) AS BIGINT)
+        |    AS p25_bytes,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN n_bytes END) AS BIGINT)
+        |    AS p50_bytes,
+        |  CAST(min(CASE WHEN cum * 4 >= n * 3 THEN n_bytes END) AS BIGINT)
+        |    AS p75_bytes,
+        |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN n_bytes END) AS BIGINT)
+        |    AS p90_bytes,
+        |  CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        |FROM cw GROUP BY 1""".stripMargin,
     "mm_caption_retrieval" -> {
       val toksSql =
         "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"

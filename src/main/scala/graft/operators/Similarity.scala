@@ -1855,6 +1855,159 @@ object Similarity {
        |FROM (SELECT DISTINCT q_id FROM br) q
        |LEFT JOIN hits ON hits.q_id = q.q_id""".stripMargin
 
+  // ------------------------------------------------------ sq8 + rerank
+  /** Two-stage search over the SQ8 codec — the int8 serving path of a
+    * quantized vector store ([[embedSq8]] proved the codec; this is the
+    * query side): stage 1 scores every candidate with the exact INTEGER
+    * dot of the 0..255 codes (the int8-GEMM shortlist a production store
+    * runs — 64·255² < 2³² so the scores are exact BIGINTs, no float in
+    * the hot scan), keeps [[Sq8R]] per query by (dot desc, vec_id);
+    * stage 2 re-ranks ONLY the shortlist with exact float cosine to
+    * top-[[K]]. Per-dim [mn,mx] ranges follow embedSq8's bounded-collect
+    * literal-model contract (≤dims rows); the oracle recomputes them
+    * itself. The raw code dot is un-debiased by design — monotone enough
+    * for a shortlist, and [[knnSq8Recall]] measures exactly how much it
+    * loses.
+    */
+  val Sq8R = 50
+
+  /** Per-vector SQ8 code arrays under driver-collected per-dim ranges
+    * (codes 0..255 as BIGINTs; degenerate mx=mn dims code to 0).
+    */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    val dims = emb.select(size(col("v"))).head.getInt(0)
+    val stats = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect() // ≤ dims rows — the bounded literal model
+    val mnA = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(dims)), i => {
+        val x = element_at(col("v"), i).cast("double")
+        val mn = element_at(mnA, i)
+        val mx = element_at(mxA, i)
+        when(mx > mn,
+          least(lit(255.0), floor((x - mn) * lit(255.0) / (mx - mn)))
+            .cast("long"))
+          .otherwise(lit(0L))
+      }).as("cs"))
+  }
+
+  /** Integer-dot shortlist of [[Sq8R]] per query — stage 1 of the rerank. */
+  private def sq8Shortlist(s: SparkSession, d: String): DataFrame = {
+    val cd = sq8Codes(s, d)
+    val q = cd.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cs").as("qcs"))
+    val c = cd.filter(col("vec_id") >= NumQueries)
+    Scale.topKPerGroup(
+        broadcast(q).join(c)
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("qcs"), col("cs"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("d8")),
+        Seq("q_id"), Seq(col("d8").desc, col("vec_id")),
+        k = Sq8R, saltSrc = col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  def knnSq8Rerank(s: SparkSession, d: String): DataFrame = {
+    val (qf, cf) = split(s, d)
+    topK(sq8Shortlist(s, d)
+      .join(cf, "vec_id") // shortlist prunes the float reads to R/query
+      .join(broadcast(qf), "q_id")
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
+  }
+
+  /** Shared oracle prefix for the sq8 searches: recomputed ranges → code
+    * lists → integer-dot shortlist of [[Sq8R]] per query (`sl`).
+    */
+  private def sq8ShortlistCte: String =
+    s"""e0 AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |st AS (SELECT CAST(i AS INT) AS i,
+       |    min(CAST(v[CAST(i AS INT)] AS DOUBLE)) AS mn,
+       |    max(CAST(v[CAST(i AS INT)] AS DOUBLE)) AS mx
+       |  FROM e0, unnest(range(1, len(v)+1)) t(i) GROUP BY 1),
+       |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       |  FROM st),
+       |cd AS (SELECT vec_id, list_transform(range(1, len(v)+1), i ->
+       |    CASE WHEN mxs[CAST(i AS INT)] > mns[CAST(i AS INT)] THEN
+       |      CAST(least(255.0, floor((CAST(v[CAST(i AS INT)] AS DOUBLE)
+       |          - mns[CAST(i AS INT)]) * 255.0
+       |        / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]))) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END) AS cs
+       |  FROM e0, mm),
+       |cq AS (SELECT vec_id AS q_id, cs AS qcs FROM cd
+       |  WHERE vec_id < $NumQueries),
+       |cc AS (SELECT * FROM cd WHERE vec_id >= $NumQueries),
+       |s8 AS (SELECT q_id, vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(qcs)+1), i ->
+       |      qcs[CAST(i AS INT)] * cs[CAST(i AS INT)])) AS BIGINT) AS d8
+       |  FROM cq, cc),
+       |sl AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d8 DESC, vec_id)
+       |      AS srnk FROM s8) WHERE srnk <= $Sq8R)""".stripMargin
+
+  private def sq8RerankOracleSql(fast: Boolean = false): String =
+    s"""WITH $sq8ShortlistCte,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rs AS (SELECT sl.q_id, sl.vec_id,
+       |    ${hammingCosSql("qe.v", "ce.v", fast)} AS cos
+       |  FROM sl JOIN e ce ON ce.vec_id = sl.vec_id
+       |  JOIN e qe ON qe.vec_id = sl.q_id),
+       |rk AS (SELECT q_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM rs)
+       |SELECT q_id, vec_id AS nn_id, CAST(rank AS INT) AS rank,
+       |  floor(cos*1e6)/1e6 AS cos
+       |FROM rk WHERE rank <= $K""".stripMargin
+
+  /** Recall@[[K]] of the SQ8-shortlist rerank against the exact brute
+    * ground truth — the number that prices the codec's 4× scan-byte
+    * saving in lost neighbors (the [[knnHammingRecall]] discipline; a
+    * 256-level code should shortlist strictly better than 1-bit signs).
+    */
+  def knnSq8Recall(s: SparkSession, d: String): DataFrame = {
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+    val rr = knnSq8Rerank(s, d).select(col("q_id"), col("nn_id"))
+    val hits = brute.join(rr, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall"))
+  }
+
+  private def sq8RecallOracleSql(fast: Boolean = false): String =
+    s"""WITH $sq8ShortlistCte,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rs AS (SELECT sl.q_id, sl.vec_id,
+       |    ${hammingCosSql("qe.v", "ce.v", fast)} AS cos
+       |  FROM sl JOIN e ce ON ce.vec_id = sl.vec_id
+       |  JOIN e qe ON qe.vec_id = sl.q_id),
+       |rrk AS (SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM rs),
+       |rr AS (SELECT q_id, vec_id FROM rrk WHERE rank <= $K),
+       |qe2 AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |  WHERE vec_id < $NumQueries),
+       |ce2 AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |bsc AS (SELECT q_id, vec_id, ${hammingCosSql("qv", "v", fast)} AS cos
+       |  FROM qe2, ce2),
+       |brk AS (SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM bsc),
+       |br AS (SELECT q_id, vec_id FROM brk WHERE rank <= $K),
+       |hits AS (SELECT br.q_id, count(*) AS n_hits
+       |  FROM br JOIN rr ON rr.q_id = br.q_id AND rr.vec_id = br.vec_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, coalesce(hits.n_hits, 0) AS n_hits,
+       |  floor(coalesce(hits.n_hits, 0) * 1e4 / $K) / 1e4 AS recall
+       |FROM (SELECT DISTINCT q_id FROM br) q
+       |LEFT JOIN hits ON hits.q_id = q.q_id""".stripMargin
+
   // --------------------------------------------------------- dim variance
   /** Per-dimension moment profile of the embedding corpus — the anisotropy
     * audit run before trusting PCA budgets, Matryoshka truncation, or SQ8
@@ -2176,6 +2329,8 @@ object Similarity {
     "embed_dim_variance" -> embedDimVariance,
     "embed_label_knn_eval" -> embedLabelKnnEval,
     "embed_silhouette" -> embedSilhouette,
+    "knn_sq8_rerank" -> knnSq8Rerank,
+    "knn_sq8_recall" -> knnSq8Recall,
   )
 
   /** All three searches have exact SQL oracles. The LSH oracle re-states the
@@ -2362,7 +2517,9 @@ object Similarity {
     val hamming = Map(
       "knn_hamming_rerank" -> hammingRerankOracleSql(fast = true),
       "knn_hamming_recall" -> hammingRecallOracleSql(fast = true),
-      "embed_label_knn_eval" -> labelKnnOracleSql(fast = true))
+      "embed_label_knn_eval" -> labelKnnOracleSql(fast = true),
+      "knn_sq8_rerank" -> sq8RerankOracleSql(fast = true),
+      "knn_sq8_recall" -> sq8RecallOracleSql(fast = true))
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
       hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
@@ -2741,6 +2898,8 @@ object Similarity {
       "embed_dim_variance" -> dimVarianceOracleSql,
       "embed_label_knn_eval" -> labelKnnOracleSql(),
       "embed_silhouette" -> silhouetteOracleSql,
+      "knn_sq8_rerank" -> sq8RerankOracleSql(),
+      "knn_sq8_recall" -> sq8RecallOracleSql(),
       "knn_mmr" -> mmrOracleSql,
       "embed_triplet_eval" -> tripletOracleSql,
       "knn_matryoshka" -> matryoshkaOracleSql,

@@ -96,4 +96,40 @@ class CdcSpec extends AnyFunSuite {
     // have updates, some have deletes — at least two distinct buckets
     assert(got.size >= 2)
   }
+
+  test("cdc_snapshot_delta equals brute two-snapshot reconciliation") {
+    val ev = CdcSim.parsedChangelog(spark, sf)
+      .select(col("id"), col("op"), col("ts_ms"), col("custkey"),
+        col("price"), col("status")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        (if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(4)) null else r.getDouble(4),
+          if (r.isNullAt(5)) null else r.getString(5))))
+    val dels = ev.filter(_._2 == "d").map(_._3)
+    val t1 = (dels.min + dels.max) / 2
+    def snap(cut: Long): Map[Long, (Any, Any, Any)] =
+      ev.filter(_._3 <= cut).groupBy(_._1).flatMap { case (id, rows) =>
+        val latest = rows.maxBy(_._3)
+        if (latest._2 == "d") None else Some(id -> latest._4)
+      }
+    val s1 = snap(t1); val s2 = snap(Long.MaxValue)
+    val expected = (s1.keySet ++ s2.keySet).toSeq.map { id =>
+      val cls = (s1.get(id), s2.get(id)) match {
+        case (None, _)                      => "added"
+        case (_, None)                      => "removed"
+        case (Some(a), Some(b)) if a == b   => "unchanged"
+        case _                              => "changed"
+      }
+      (id, cls)
+    }.groupBy(_._2).map { case (cls, xs) =>
+      (cls, xs.size.toLong, xs.map(_._1).min, xs.map(_._1).max)
+    }.toSet
+    val got = CdcQueries.snapshotDelta(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // the delete-anchored boundary populates the big classes at every SF;
+    // removed/changed are the 2-day / 1-day lag cohorts (may be thin)
+    assert(Set("added", "unchanged").subsetOf(got.map(_._1)))
+  }
 }

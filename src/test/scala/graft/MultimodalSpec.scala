@@ -44,4 +44,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_idx") % Multimodal.SampleEvery =!= 0).count() === 0)
     assert(frames.filter(col("frame_bytes") > Multimodal.FrameBytes).count() === 0)
   }
+
+  private def kindsAndText: Array[(String, String)] =
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val kind = (r.getLong(0) % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        (kind, r.getString(1))
+      }
+
+  test("mm_payload_entropy equals brute byte Simpson diversity") {
+    val want = kindsAndText.groupBy(_._1).map { case (kind, docs) =>
+      val bytes = docs.flatMap(_._2.getBytes("UTF-8"))
+      val n = BigInt(bytes.length)
+      val counts = bytes.groupBy(identity).values.map(_.length)
+      val ss = counts.map(c => BigInt(c) * c).sum
+      (kind, counts.size.toLong, bytes.length.toLong,
+        ((n * n - ss) * 1000000 / (n * n)).toLong)
+    }.toSet
+    val got = Multimodal.mmPayloadEntropy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.forall(_._4 > 0), "payloads read as constant filler")
+  }
+
+  test("mm_size_percentiles equals brute type-1 percentiles") {
+    def pct(xs: Seq[Long], num: Int, den: Int): Long = {
+      val s = xs.sorted; val n = s.size
+      s.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * den >= num.toLong * n => v }.get
+    }
+    val want = kindsAndText.groupBy(_._1).map { case (kind, docs) =>
+      val sizes = docs.map(_._2.getBytes("UTF-8").length.toLong).toSeq
+      (kind, sizes.size.toLong, pct(sizes, 1, 4), pct(sizes, 1, 2),
+        pct(sizes, 3, 4), pct(sizes, 9, 10), sizes.max)
+    }.toSet
+    val got = Multimodal.mmSizePercentiles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want)
+    assert(want.size == 3 && want.forall(x => x._3 <= x._4 && x._4 <= x._5
+      && x._5 <= x._6 && x._6 <= x._7), "percentiles not monotone")
+  }
 }

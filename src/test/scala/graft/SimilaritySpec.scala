@@ -622,6 +622,75 @@ class SimilaritySpec extends AnyFunSuite {
     assert(acc > 0.0 && acc < 1.0, s"degenerate accuracy $acc")
   }
 
+  /** Driver-side restatement of the SQ8 two-stage search: recomputed
+    * per-dim ranges → 0..255 codes → integer-dot shortlist of Sq8R →
+    * exact cosine rerank. Shared by the rerank and recall specs.
+    */
+  private def sq8RerankExpected: Map[Long, Seq[(Long, Int, Double)]] = {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = vecs.head._2.length
+    val mns = Array.tabulate(dims)(d => vecs.map(_._2(d)).min)
+    val mxs = Array.tabulate(dims)(d => vecs.map(_._2(d)).max)
+    def codes(v: Array[Double]): Array[Long] = Array.tabulate(dims) { d =>
+      if (mxs(d) > mns(d))
+        math.min(255.0, math.floor((v(d) - mns(d)) * 255.0 / (mxs(d) - mns(d)))).toLong
+      else 0L
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val cs = vecs.map { case (id, v) => id -> codes(v) }.toMap
+    val qs = vecs.filter(_._1 < Similarity.NumQueries)
+    val corp = vecs.filter(_._1 >= Similarity.NumQueries)
+    qs.map { case (qid, qv) =>
+      val qc = cs(qid)
+      val shortlist = corp.map { case (cid, _) =>
+        val cc = cs(cid)
+        (cid, qc.indices.foldLeft(0L)((acc, i) => acc + qc(i) * cc(i)))
+      }.sortBy { case (cid, d8) => (-d8, cid) }
+        .take(Similarity.Sq8R).map(_._1).toSet
+      val reranked = corp.filter(c => shortlist(c._1))
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((cid, c), i) =>
+          (cid, i + 1, math.floor(c * 1e6) / 1e6) }
+      qid -> reranked.toSeq
+    }.toMap
+  }
+
+  test("knn_sq8_rerank equals code-shortlist-then-exact-cosine by hand") {
+    val expected = sq8RerankExpected.flatMap { case (q, nns) =>
+      nns.map { case (cid, rk, c) => (q, cid, rk, c) }
+    }.toSet
+    val got = Similarity.knnSq8Rerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.size == Similarity.NumQueries * Similarity.K)
+  }
+
+  test("knn_sq8_recall counts rerank hits against brute ground truth") {
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = sq8RerankExpected.toSeq.flatMap { case (q, nns) =>
+      nns.map { case (cid, _, _) => (q, cid) }
+    }.toSet
+    val expected = brute.map(_._1).map { q =>
+      val hits = brute.count { case (bq, c) => bq == q && rr((q, c)) }.toLong
+      (q, hits, math.floor(hits.toDouble / Similarity.K * 1e4) / 1e4)
+    }
+    val got = Similarity.knnSq8Recall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // a 256-level code front-end must actually shortlist useful neighbors
+    assert(got.toSeq.map(_._2).sum > 0)
+  }
+
   test("embed_silhouette equals brute integer centroid silhouette") {
     val vecs = labeledVecs
     val q = vecs.map { case (id, v, lbl) =>
