@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{BloomIndex, StatsIndex}
+
+/** Point-lookup skipping contract, on the layout where the min/max stats
+  * index honestly prunes NOTHING (hash layout — every file spans the key
+  * range): a unique-key lookup through the Bloom index reads a small
+  * fraction of the files and returns exactly the full-scan filter's rows;
+  * an absent key reads (almost — false positives allowed, wrong rows not)
+  * no files and returns nothing.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_bloom").toString + "/ev"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(16) // hash layout: stats intervals all overlap
+      .write.parquet(d)
+    d
+  }
+
+  test("unique-key point lookup prunes most files and matches full scan") {
+    val blooms = BloomIndex.build(spark, dir, "event_id").localCheckpoint()
+    assert(blooms.count() === 16)
+    // stats on the same layout prune nothing: every file spans the range
+    val stats = StatsIndex.build(spark, dir, Seq("event_id"))
+    val someId = Tables.events(spark, sf)
+      .agg(expr("max(event_id) div 2")).head.getLong(0)
+    val key = Tables.events(spark, sf)
+      .filter(col("event_id") >= someId)
+      .agg(min(col("event_id"))).head.getLong(0)
+    val statCands = StatsIndex.candidateFiles(stats, "event_id", key, key)
+    assert(statCands.size.toLong === 16,
+      "hash layout should defeat min/max stats - that is the point")
+    val (df, read, total) = BloomIndex.prunedRead(spark, dir, blooms,
+      "event_id", key)
+    info(s"bloom point lookup: read $read of $total files")
+    // a unique key lives in ONE file; allow a few Bloom false positives
+    assert(read >= 1 && read <= 4, s"expected <=4 candidate files, got $read")
+    val expected = spark.read.parquet(dir).filter(col("event_id") === key)
+    assert(df.collect().toSet === expected.collect().toSet)
+    assert(df.count() === 1)
+  }
+
+  test("absent key returns no rows through the residual predicate") {
+    val blooms = BloomIndex.build(spark, dir, "event_id").localCheckpoint()
+    val absent = Tables.events(spark, sf)
+      .agg(max(col("event_id")) + 1000000L).head.getLong(0)
+    val (df, read, total) = BloomIndex.prunedRead(spark, dir, blooms,
+      "event_id", absent)
+    info(s"absent-key lookup: read $read of $total files")
+    assert(read <= 2, "an absent key should miss (almost) every Bloom")
+    assert(df.count() === 0)
+  }
+
+  test("multi-occurrence key (user_id) still prunes and stays exact") {
+    val blooms = BloomIndex.build(spark, dir, "user_id").localCheckpoint()
+    val key = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").asc, col("user_id")).head.getLong(0)
+    val (df, read, total) = BloomIndex.prunedRead(spark, dir, blooms,
+      "user_id", key)
+    info(s"user lookup: read $read of $total files")
+    assert(read.toLong <= total, "candidates bounded by file count")
+    val expected = spark.read.parquet(dir).filter(col("user_id") === key)
+    assert(df.collect().toSet === expected.collect().toSet)
+    assert(df.count() > 0)
+  }
+}
