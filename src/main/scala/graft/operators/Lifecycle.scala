@@ -651,7 +651,83 @@ object Lifecycle {
       |  CAST(max_last AS BIGINT) AS max_last
       |FROM pf JOIN pl ON pl.priority = pf.priority""".stripMargin
 
+  // ----------------------------------------------------- cohort repeat rate
+  /** Repeat-purchase rate by acquisition cohort — the mart's classic
+    * cohort table (events_retention's role on ORDERS): customers grouped
+    * by first-order month, per cohort the customer count, how many ever
+    * ordered again (n_orders ≥ 2), the repeat rate in ppm, and the exact
+    * type-1 median days from first order to the first LATER-DAY order
+    * (same-day re-orders don't advance the clock; customers with none are
+    * excluded from the gap stat, not from the rate).
+    *
+    * Scale: per-customer min-date + count is one map-side-partial agg; the
+    * second-order date needs the first date back on the orders rows — one
+    * key-aligned join — then a second per-customer agg; the median rides
+    * the counting method on the bounded (cohort × gap) frame.
+    */
+  def ordersCohortRepeat(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("od"))
+    val first = ord.groupBy(col("ck"))
+      .agg(min(col("od")).as("d0"), count(lit(1)).as("n_orders"))
+      .transform(Scale.materialize) // joined back AND rolled up
+    val second = ord.join(first.select(col("ck"), col("d0")), Seq("ck"))
+      .filter(col("od") > col("d0"))
+      .groupBy(col("ck")).agg(min(col("od")).as("d1"))
+    val per = first.join(second, Seq("ck"), "left_outer")
+      .select(date_format(date_trunc("month", col("d0")), "yyyy-MM")
+          .as("cohort"),
+        col("n_orders"),
+        datediff(col("d1"), col("d0")).cast("long").as("gap"))
+      .transform(Scale.materialize) // feeds the rate rollup AND the median
+    val rate = per.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("cohort"), col("n_customers"), col("n_repeat"),
+        expr("n_repeat * 1000000 div n_customers").as("repeat_ppm"))
+    val cnts = per.filter(col("gap").isNotNull)
+      .groupBy(col("cohort"), col("gap")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("gap"))
+    val wc = Window.partitionBy(col("cohort"))
+    val med = cnts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wc))
+      .groupBy(col("cohort"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("gap")))
+        .as("p50_gap_days"))
+    rate.join(med, Seq("cohort"), "left_outer")
+  }
+
+  private def cohortRepeatOracleSql: String =
+    """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders),
+      |f AS (SELECT ck, min(od) AS d0, count(*) AS n_orders FROM o
+      |  GROUP BY 1),
+      |s2 AS (SELECT o.ck, min(o.od) AS d1 FROM o JOIN f ON f.ck = o.ck
+      |  WHERE o.od > f.d0 GROUP BY 1),
+      |per AS (SELECT strftime(date_trunc('month', f.d0), '%Y-%m') AS cohort,
+      |    f.n_orders, date_diff('day', f.d0, s2.d1) AS gap
+      |  FROM f LEFT JOIN s2 ON s2.ck = f.ck),
+      |rate AS (SELECT cohort, count(*) AS n_customers,
+      |    sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat
+      |  FROM per GROUP BY 1),
+      |ct AS (SELECT cohort, gap, count(*) AS cnt FROM per
+      |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+      |cw AS (SELECT cohort, gap,
+      |    sum(cnt) OVER (PARTITION BY cohort ORDER BY gap) AS cum,
+      |    sum(cnt) OVER (PARTITION BY cohort) AS n FROM ct),
+      |med AS (SELECT cohort,
+      |    min(CASE WHEN cum * 2 >= n THEN gap END) AS p50_gap_days
+      |  FROM cw GROUP BY 1)
+      |SELECT rate.cohort, CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST(n_repeat AS BIGINT) AS n_repeat,
+      |  CAST(CAST(n_repeat AS HUGEINT) * 1000000 // n_customers AS BIGINT)
+      |    AS repeat_ppm,
+      |  CAST(p50_gap_days AS BIGINT) AS p50_gap_days
+      |FROM rate LEFT JOIN med ON med.cohort = rate.cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cohort_repeat" -> ordersCohortRepeat,
     "orders_fulfillment_latency" -> ordersFulfillmentLatency,
     "events_conversion_latency" -> eventsConversionLatency,
     "daily_revenue_backtest" -> dailyRevenueBacktest,
@@ -666,6 +742,7 @@ object Lifecycle {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_cohort_repeat" -> cohortRepeatOracleSql,
     "orders_fulfillment_latency" -> fulfillmentOracleSql,
     "events_conversion_latency" -> convLatencyOracleSql,
     "daily_revenue_backtest" -> backtestOracleSql,

@@ -615,6 +615,92 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ----------------------------------------------------------- probe sweep
+  /** IVF nprobe tuning curve — recall@[[K]] and scanned-candidate cost at
+    * each probe width in [[ProbeSweep]]: the table a deployment reads to
+    * pick its recall/latency point (the published IVF trade-off measured
+    * on THIS corpus and THIS trained quantizer, not quoted from a paper).
+    * Reuses the trained centroids, the native looping probe ranking, and
+    * the two-phase top-k; ground truth is the exact brute top-[[K]].
+    * Output is |[[ProbeSweep]]| rows: nprobe, candidates scanned (the cost
+    * driver — the scan fraction nprobe/cells buys), hits, recall ppm.
+    */
+  val ProbeSweep = Seq(1, 4, 16)
+
+  def knnIvfProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val corpusCells = assignCells(c, s, d)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .transform(Scale.materialize) // scanned once per sweep point
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+      .transform(Scale.materialize)
+    ProbeSweep.map { np =>
+      val scored = broadcast(queryProbes(q, s, d, np))
+        .join(corpusCells, "cell")
+      val nCands = scored.agg(count(lit(1)).as("n_candidates"))
+      val res = topK(scored
+          .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
+        .select(col("q_id"), col("nn_id"))
+      val hits = brute.join(res, Seq("q_id", "nn_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      nCands.crossJoin(hits)
+        .select(lit(np).as("nprobe"), col("n_candidates"), col("n_hits"),
+          expr(s"n_hits * 1000000 div ${NumQueries.toLong * K}")
+            .as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The sweep restated per probe width against the same literal trained
+    * centroids (generated-after-training contract). `fast` swaps the
+    * sequential-fold cosine for list_dot_product in the brute ground
+    * truth and the per-candidate scoring (the sf1+ form).
+    */
+  private def probeSweepOracleSql(cents: Array[Array[Double]],
+      fast: Boolean = false): String = {
+    val cellRows = cellRowsSql(cents)
+    def perNp(np: Int): String =
+      s"""qa$np AS (SELECT q_id, qv, cell FROM (
+         |  SELECT q.q_id, q.qv, cells.cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${dotSql("q.qv", "cells.cv")} / cells.sn DESC,
+         |        cells.cell) AS r
+         |  FROM q, cells) t WHERE r <= $np),
+         |sc$np AS (SELECT qa$np.q_id, ca.vec_id,
+         |    ${hammingCosSql("qa" + np + ".qv", "ca.v", fast)} AS cos
+         |  FROM qa$np JOIN ca USING (cell)),
+         |t$np AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+         |      AS rank FROM sc$np) WHERE rank <= $K),
+         |n$np AS (SELECT count(*) AS n_candidates FROM sc$np),
+         |h$np AS (SELECT count(*) AS n_hits FROM t$np
+         |  JOIN br ON br.q_id = t$np.q_id AND br.vec_id = t$np.vec_id)"""
+        .stripMargin
+    def rowNp(np: Int): String =
+      s"""SELECT $np AS nprobe, CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 1000000 // ${NumQueries.toLong * K} AS BIGINT)
+         |    AS recall_ppm
+         |FROM n$np, h$np""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT * FROM e WHERE vec_id >= $NumQueries),
+       |cells AS ($cellRows),
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |  SELECT c.vec_id, c.v, cells.cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${dotSql("c.v", "cells.cv")} / cells.sn DESC,
+       |        cells.cell) AS r
+       |  FROM c, cells) t WHERE r = 1),
+       |bsc AS (SELECT q_id, c.vec_id, ${hammingCosSql("qv", "v", fast)} AS cos
+       |  FROM q, c),
+       |br AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+       |      AS rank FROM bsc) WHERE rank <= $K),
+       |${ProbeSweep.map(perNp).mkString(",\n")}
+       |${ProbeSweep.map(rowNp).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ------------------------------------------------------------- outliers
   /** Outlier report size. */
   val OutlierK = 50
@@ -2331,6 +2417,7 @@ object Similarity {
     "embed_silhouette" -> embedSilhouette,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
+    "knn_ivf_probe_sweep" -> knnIvfProbeSweep,
   )
 
   /** All three searches have exact SQL oracles. The LSH oracle re-states the
@@ -2523,6 +2610,7 @@ object Similarity {
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
       hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
+        "knn_ivf_probe_sweep" -> probeSweepOracleSql(cents, fast = true),
         "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
         "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
           Dedup.embeddingScaleOracleSql, fast = true))
@@ -2921,6 +3009,7 @@ object Similarity {
       if (centroidCache.size == 1) {
         val cents = centroidCache.values.iterator.next()
         base + ("knn_ivf" -> ivfOracleSql(cents)) +
+          ("knn_ivf_probe_sweep" -> probeSweepOracleSql(cents)) +
           ("embed_outliers" -> outliersOracleSql(cents)) +
           ("embed_cluster_purity" -> purityOracleSql(cents)) +
           ("embed_ivf_balance" -> ivfBalanceOracleSql(cents)) +

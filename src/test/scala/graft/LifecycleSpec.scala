@@ -393,4 +393,36 @@ class LifecycleSpec extends AnyFunSuite {
     // the profile must discriminate: not every priority shares one p50
     assert(want.map(_._3).size >= 1 && want.size >= 2)
   }
+
+  test("orders_cohort_repeat equals brute cohort accounting") {
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    implicit val dateOrd: Ordering[java.time.LocalDate] =
+      Ordering.by(_.toEpochDay)
+    val per = ord.groupBy(_._1).toSeq.map { case (_, rows) =>
+      val ds = rows.map(_._2)
+      val d0 = ds.min
+      val later = ds.filter(_.isAfter(d0))
+      val gap = if (later.isEmpty) None
+        else Some(java.time.temporal.ChronoUnit.DAYS.between(d0, later.min))
+      (f"${d0.getYear}%04d-${d0.getMonthValue}%02d", rows.size.toLong, gap)
+    }
+    val want = per.groupBy(_._1).map { case (cohort, xs) =>
+      val n = xs.size.toLong
+      val rep = xs.count(_._2 >= 2).toLong
+      val gaps = xs.flatMap(_._3).sorted
+      val p50 = gaps.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * 2 >= gaps.size => v }
+      (cohort, n, rep, rep * 1000000L / n, p50)
+    }.toSet
+    val got = graft.operators.Lifecycle.ordersCohortRepeat(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSet
+    assert(got == want)
+    // cohorts must exist across months and some customers repeat
+    assert(want.size >= 3 && want.exists(_._3 > 0))
+  }
 }

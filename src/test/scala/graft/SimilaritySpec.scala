@@ -691,6 +691,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq.map(_._2).sum > 0)
   }
 
+  test("knn_ivf_probe_sweep is monotone and agrees with knn_recall_eval") {
+    val rows = Similarity.knnIvfProbeSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.ProbeSweep)
+    // widening the probe set can only scan more and hit more
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // recall_ppm is exactly hits·1e6 div (queries·K)
+    val denom = Similarity.NumQueries.toLong * Similarity.K
+    assert(rows.forall(r => r._4 == r._3 * 1000000L / denom))
+    // the widest sweep point IS knn_ivf's configured search: its hit total
+    // must equal the per-query recall eval's (independent consistency)
+    val evalHits = Similarity.knnRecallEval(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.last._3 == evalHits)
+    // the curve is live: nprobe=1 strictly cheaper and worse than max
+    assert(rows.head._2 < rows.last._2 && rows.head._3 < rows.last._3)
+  }
+
   test("embed_silhouette equals brute integer centroid silhouette") {
     val vecs = labeledVecs
     val q = vecs.map { case (id, v, lbl) =>
