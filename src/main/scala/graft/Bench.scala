@@ -111,7 +111,16 @@ object Bench {
     Files.createDirectories(Paths.get(outDir))
     val fileName = if (only.isEmpty) "bench.json" else "bench_filtered.json"
     Files.writeString(Paths.get(outDir, fileName), line + "\n")
+    // Print the line BEFORE stop (historical position some tooling greps)…
     println(line)
+    // …then stop, flush, and print it again as the ABSOLUTE last bytes on
+    // both streams: round-7 and round-9 driver captures truncated the tail
+    // of a long sbt run mid-line ("parsed": null), and Spark's shutdown
+    // noise after a single early print was enough to push it off the end.
     spark.stop()
+    Console.out.flush(); Console.err.flush()
+    println(line)
+    System.err.println(line)
+    Console.out.flush(); Console.err.flush()
   }
 }

@@ -349,12 +349,17 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // BYTE entropy on both engines: DuckDB has no BLOB substring, so the
+    // oracle slices 2-char pairs of hex(encode(text)) — one pair per byte
+    // of the UTF-8 encoding, byte-exact for multibyte text too (a char
+    // slice of the VARCHAR would diverge from Spark's binary slice on any
+    // non-ASCII document). Distinct/Simpson over hex pairs ≡ over bytes.
     "mm_payload_entropy" ->
       """WITH b AS (SELECT
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS kind,
-        |    unnest(list_transform(range(1, octet_length(CAST(text AS BLOB))
-        |      + 1), i -> substr(text, CAST(i AS INT), 1))) AS b
+        |    unnest(list_transform(range(1, octet_length(encode(text))
+        |      + 1), i -> substr(hex(encode(text)), CAST(2*i-1 AS INT), 2))) AS b
         |  FROM documents),
         |ct AS (SELECT kind, b, count(*) AS c FROM b GROUP BY 1, 2)
         |SELECT kind, count(*) AS n_distinct, CAST(sum(c) AS BIGINT) AS n_bytes,

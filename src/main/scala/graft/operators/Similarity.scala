@@ -1196,7 +1196,14 @@ object Similarity {
     * near-dups co-cluster), where cell capture does the work. The audit
     * query publishes the number a deployment actually needs to watch.
     */
-  def dedupEmbeddingAnn(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbeddingAnn(s: SparkSession, d: String): DataFrame =
+    annPairs(s, d, AnnDedupProbes)
+
+  /** [[dedupEmbeddingAnn]] at an explicit probe width — the single tuning
+    * lever (cost ∝ probes, linearly), factored out so
+    * [[dedupAnnProbeSweep]] can measure the recall it buys.
+    */
+  private[graft] def annPairs(s: SparkSession, d: String, probes: Int): DataFrame = {
     val cc = centColsFor(s, d)
     // Asymmetric probing (the knn_graph join shape): the INDEX side sits in
     // its argmax cell only; the PROBE side explodes its AnnDedupProbes
@@ -1209,9 +1216,9 @@ object Similarity {
     val assigned = cc.cleanup(cc.attach(corpus(s, d))
         .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
       .withColumn("n2", NativeVector.norm2(col("v")))
-    val probes = cc.cleanup(cc.attach(corpus(s, d))
+    val probeSide = cc.cleanup(cc.attach(corpus(s, d))
         .withColumn("cell",
-          explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(AnnDedupProbes)))))
+          explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(probes)))))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
       .withColumn("qn2", NativeVector.norm2(col("qv")))
       // distribute by cell BEFORE the verify: the embeddings scan is a
@@ -1220,7 +1227,7 @@ object Similarity {
       // whole probe×home scoring loop runs on those few cores (measured
       // 14 s single-task at sf1, ~1 s distributed)
       .repartition(col("cell"))
-    probes.join(assigned, "cell")
+    probeSide.join(assigned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos",
         NativeVector.dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
@@ -1272,6 +1279,48 @@ object Similarity {
       .select(col("n_true"), col("n_ann"), col("n_hit"),
         expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true " +
           "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"))
+  }
+
+  /** Probe widths swept by [[dedupAnnProbeSweep]] — brackets the deployed
+    * [[AnnDedupProbes]] from both sides of the cost curve (4 = half the
+    * budget, 16/32 = 2×/4×), so the table shows what the next doubling of
+    * linear candidate cost actually buys in recall on THIS corpus.
+    */
+  val AnnProbeSweep = Seq(4, 8, 16, 32)
+
+  /** The ANN-dedup recall lever, measured — [[dedupEmbeddingAnnRecall]]
+    * swept across [[AnnProbeSweep]] probe widths (the knn_ivf_probe_sweep
+    * discipline applied to the dedup route): per width, the exact-kernel
+    * pair count, the ANN pair count (precision 1 by construction — every
+    * candidate is exact-verified), the intersection, and recall ppm. This
+    * is the tuning curve a deployment reads before raising
+    * [[AnnDedupProbes]]: candidate cost grows linearly with the width,
+    * recall grows with it only as fast as the corpus's near-dup pairs
+    * co-cluster (on this deliberately isotropic synthetic corpus the curve
+    * is the worst case on record; real embedding corpora sit far above it).
+    *
+    * Scale: the exact truth kernel is computed ONCE and materialized (it
+    * is the audit's cost ceiling, same as the single-width recall op); each
+    * sweep branch is one cell-confined Θ(n·probes·width) candidate pass —
+    * the sweep total is ~Σ(widths)/[[AnnDedupProbes]] ≈ 7.5× the deployed
+    * route's candidate work, all linear, no new quadratic anywhere.
+    */
+  def dedupAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val truth = Dedup.dedupEmbedding(s, d).select(col("vec_a"), col("vec_b"))
+      .transform(Scale.materialize) // one exact kernel, |sweep|+1 consumers
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    AnnProbeSweep.map { np =>
+      val ann = annPairs(s, d, np).select(col("vec_a"), col("vec_b"))
+        .transform(Scale.materialize) // feeds the count AND the hit join
+      val na = ann.agg(count(lit(1)).as("n_ann"))
+      val nh = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nt.crossJoin(broadcast(na)).crossJoin(broadcast(nh)) // 1-row scalars
+        .select(lit(np).as("nprobe"), col("n_true"), col("n_ann"),
+          col("n_hit"),
+          expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true " +
+            "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"))
+    }.reduce(_ unionByName _)
   }
 
   // ---------------------------------------------------------- recall eval
@@ -2217,7 +2266,9 @@ object Similarity {
     * s = (b−a)·10⁶ div max(a,b) over the micro-distances a (own centroid)
     * and b (nearest other centroid). Vectors with max(a,b) = 0 are
     * excluded by contract (a vector exactly ON two centroids separates
-    * nothing).
+    * nothing), and so are zero-norm vectors (qq = 0) and degenerate
+    * zero-norm label centroids (mm = 0) — cosine against a zero vector is
+    * undefined, and the two engines disagree on Inf/NaN→BIGINT casts.
     *
     * Scale: one posexplode → (label,dim) map-side centroid agg (bounded
     * labels × dims model frame), then the scoring join is vector-dims ×
@@ -2246,6 +2297,12 @@ object Similarity {
     val cosm = dots
       .join(qq, col("vec_id") === col("vid2"))
       .join(broadcast(centNorm), Seq("c_label"))
+      // zero-norm exclusion (see contract in the Scaladoc): without it an
+      // all-zero vector (qq=0) or degenerate centroid (mm=0) divides by 0 —
+      // Spark nulls the Inf/NaN on the long cast while DuckDB's CAST errors,
+      // an engine-divergent, data-dependent failure the max(a,b)>0 filter
+      // runs too late to catch.
+      .filter(col("qq") > 0 && col("mm") > 0)
       .select(col("vec_id"), col("label"), col("c_label"),
         floor(lit(1e6) * col("dot")
             / (sqrt(col("qq").cast("double")) * sqrt(col("mm").cast("double"))))
@@ -2286,7 +2343,8 @@ object Similarity {
        |    CAST(floor(1e6 * d.dot / (sqrt(CAST(qq.qq AS DOUBLE))
        |      * sqrt(CAST(cn.mm AS DOUBLE)))) AS BIGINT) AS cos_micro
        |  FROM dots d JOIN qq ON qq.vec_id = d.vec_id
-       |  JOIN cn ON cn.c_label = d.c_label),
+       |  JOIN cn ON cn.c_label = d.c_label
+       |  WHERE qq.qq > 0 AND cn.mm > 0),
        |ab AS (SELECT vec_id, label,
        |    1000000 - max(CASE WHEN c_label = label THEN cos_micro END)
        |      AS a_d,
@@ -2388,6 +2446,7 @@ object Similarity {
     "dedup_semdedup" -> dedupSemdedup,
     "dedup_embedding_ann" -> dedupEmbeddingAnn,
     "dedup_embedding_ann_recall" -> dedupEmbeddingAnnRecall,
+    "dedup_ann_probe_sweep" -> dedupAnnProbeSweep,
     "embed_sq8" -> embedSq8,
     "knn_brute_cosine" -> knnBrute,
     "knn_mmr" -> knnMmr,
@@ -2613,6 +2672,8 @@ object Similarity {
         "knn_ivf_probe_sweep" -> probeSweepOracleSql(cents, fast = true),
         "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
         "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
+          Dedup.embeddingScaleOracleSql, fast = true),
+        "dedup_ann_probe_sweep" -> annProbeSweepOracleSql(cents,
           Dedup.embeddingScaleOracleSql, fast = true))
     } else hamming
   }
@@ -2649,7 +2710,7 @@ object Similarity {
     * embeddingScaleOracleSql precedent) for the sf1+ attestation.
     */
   private def annDedupOracleSql(cents: Array[Array[Double]],
-      fast: Boolean = false): String = {
+      fast: Boolean = false, probes: Int = AnnDedupProbes): String = {
     def dt(a: String, b: String) =
       if (fast) s"list_dot_product($a, $b)" else dotSql(a, b)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2660,7 +2721,7 @@ object Similarity {
        |  FROM e, cells),
        |ca AS (SELECT vec_id, v, ${dt("v", "v")} AS n2, cell FROM rk WHERE r = 1),
        |pa AS (SELECT vec_id, v, ${dt("v", "v")} AS n2, cell FROM rk
-       |  WHERE r <= $AnnDedupProbes),
+       |  WHERE r <= $probes),
        |sc AS (SELECT least(p.vec_id, c.vec_id) AS vec_a,
        |    greatest(p.vec_id, c.vec_id) AS vec_b,
        |    ${dt("p.v", "c.v")} / sqrt(p.n2 * c.n2) AS cos
@@ -2687,6 +2748,38 @@ object Similarity {
        |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
        |    ELSE CAST(0 AS BIGINT) END AS recall_ppm
        |FROM nt, na, nh""".stripMargin
+
+  /** The probe sweep restated per width: the exact-kernel truth once
+    * (MATERIALIZED — every width's hit join reads it), one ANN pair CTE per
+    * [[AnnProbeSweep]] width from the same literal centroids, unioned
+    * count/intersection rows. The per-width ann CTEs are also materialized:
+    * each is referenced twice (count + hit join) and DuckDB's default
+    * inlining would re-derive the whole cell-assignment chain per
+    * reference (the graphScaleOracleSql precedent).
+    */
+  private def annProbeSweepOracleSql(cents: Array[Array[Double]],
+      truthSql: String, fast: Boolean = false): String = {
+    val pers = AnnProbeSweep.map { np =>
+      s"""ann$np AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+         |${annDedupOracleSql(cents, fast, np)}
+         |)),
+         |na$np AS (SELECT count(*) AS n_ann FROM ann$np),
+         |nh$np AS (SELECT count(*) AS n_hit FROM ann$np
+         |  JOIN truth USING (vec_a, vec_b))""".stripMargin
+    }.mkString(",\n")
+    val branches = AnnProbeSweep.map { np =>
+      s"""SELECT $np AS nprobe, n_true, n_ann, n_hit,
+         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+         |    ELSE CAST(0 AS BIGINT) END AS recall_ppm
+         |FROM nt, na$np, nh$np""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH truth AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+       |$truthSql
+       |)),
+       |nt AS (SELECT count(*) AS n_true FROM truth),
+       |$pers
+       |$branches""".stripMargin
+  }
 
   /** knn_ivf restated in DuckDB against the trained centroids as literals:
     * per-vector argmax cell (same dot/sqrt-n2 ranking and (ccos desc, cell)
@@ -3019,7 +3112,9 @@ object Similarity {
           ("dedup_semdedup" -> semdedupOracleSql(cents)) +
           ("dedup_embedding_ann" -> annDedupOracleSql(cents)) +
           ("dedup_embedding_ann_recall" ->
-            annDedupRecallOracleSql(cents, Dedup.embeddingOracleSql))
+            annDedupRecallOracleSql(cents, Dedup.embeddingOracleSql)) +
+          ("dedup_ann_probe_sweep" ->
+            annProbeSweepOracleSql(cents, Dedup.embeddingOracleSql))
       } else base
     val withTune = if (tuneCache.size == 1) {
       val cfg = tuneCache.values.iterator.next()

@@ -114,12 +114,19 @@ object TimeSeries {
     * pairs i<j of slope (cents_j−cents_i)/(day_j−day_i), in exact
     * micro-cents/day (each slope one truncated integer division — both
     * engines truncate identically on downtrends). The median is the LOWER
-    * median (element at rank (m+1) div 2 under the total order (slope,
-    * i, j)) so even pair counts need no cross-engine float average.
+    * median (element at rank (m+1) div 2 in slope order) so even pair
+    * counts need no cross-engine float average — and the rank is found by
+    * the COUNTING method over the slope VALUE frame (per-value counts +
+    * [[Scale.prefixSum]], the orders_fulfillment_latency percentile
+    * discipline): min slope whose cumulative count reaches the rank. The
+    * multiset of slopes alone determines the rank-r value, so this is
+    * exactly the oracle's row_number()-over-(slope,i,j) element without
+    * its single-reducer global sort — a 30-year calendar (~60M pairs)
+    * medians across the cluster instead of through one task.
     * Scale: pair generation is `explode(sequence(0, idx−1))` + an
     * EQUI-join on the earlier day index (no cartesian); the pair count is
     * days²/2 — calendar-bounded (~3M pairs for a 7-year series at ANY
-    * data volume), so the single global rank sort is bounded model work.
+    * data volume). No unpartitioned window anywhere (pinned in PlanSpec).
     */
   def dailyRevenueTheilsen(s: SparkSession, d: String): DataFrame = {
     val dy = daily(s, d)
@@ -133,11 +140,16 @@ object TimeSeries {
       .select(col("i_idx"), col("idx").as("j_idx"),
         expr("CAST((CAST(cents AS DECIMAL(38,0)) - i_cents) * 1000000 " +
           "div (j_idx - i_idx) AS BIGINT)").as("slope_micro"))
-    val w = Window.orderBy(col("slope_micro"), col("i_idx"), col("j_idx"))
-    slopes
-      .withColumn("rn", row_number().over(w)) // calendar-bounded frame
-      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rn") === expr("(m + 1) div 2"))
+    // counting-method lower median: distributed map-side-partial value
+    // counts, bucketed prefix sum (no global-order window), rank probe.
+    val perValue = slopes.groupBy(col("slope_micro"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = perValue.agg(sum(col("cnt")).as("m")) // 1-row total
+    Scale.prefixSum(perValue, "slope_micro", "cnt")
+      .crossJoin(broadcast(m))
+      .filter(col("cum") >= expr("(m + 1) div 2"))
+      .groupBy(col("m")) // 1 group — bounded
+      .agg(min(col("slope_micro")).as("slope_micro"))
       .crossJoin(broadcast(dy.agg(count(lit(1)).as("n_days")))) // 1 row
       .select(col("n_days"), col("m").as("n_pairs"), col("slope_micro"))
   }

@@ -34,9 +34,18 @@ object BloomIndex {
   val BloomBits = 4096L
   val BloomHashes = 3
 
-  /** The i-th bit position for a key column (seed as leading hash input). */
+  /** The i-th bit position for a key column (seed as leading hash input).
+    * The key is canonicalized to BIGINT before hashing: xxhash64 is
+    * input-type-sensitive (an INT column hashes 4 bytes, a BIGINT literal
+    * 8), so without the cast a non-Long key column would be hashed into
+    * different positions at build time than [[candidateFiles]]'s Long
+    * literal probes — Bloom FALSE NEGATIVES, i.e. silently missing rows.
+    * Casting both sides to one canonical type keeps the contract "false
+    * positives cost a wasted read, never a wrong row" true for any
+    * integral key column.
+    */
   private def pos(i: Int, key: Column): Column =
-    pmod(xxhash64(lit(i), key), lit(BloomBits))
+    pmod(xxhash64(lit(i), key.cast("long")), lit(BloomBits))
 
   /** One row per file: `file`, `bm` = sparse word map (word idx → word). */
   def build(s: SparkSession, dir: String, keyCol: String): DataFrame = {

@@ -58,6 +58,31 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(df.count() === 0)
   }
 
+  test("non-Long key column (INT) probes the same positions it built") {
+    // xxhash64 is input-type-sensitive (INT hashes 4 bytes, BIGINT 8):
+    // without the canonical cast-to-long in BloomIndex.pos, an INT key
+    // column builds positions the Long-literal probe never tests — FALSE
+    // NEGATIVES, i.e. prunedRead silently dropping rows that exist.
+    val d = Files.createTempDirectory("graft_bloom_int").toString + "/ev"
+    Tables.events(spark, sf)
+      .select(col("event_id").cast("int").as("eid_int"), col("event_type"))
+      .repartition(8)
+      .write.parquet(d)
+    val blooms = BloomIndex.build(spark, d, "eid_int").localCheckpoint()
+    val key = Tables.events(spark, sf)
+      .agg(expr("max(event_id) div 3")).head.getLong(0)
+    val hit = Tables.events(spark, sf)
+      .filter(col("event_id") >= key).agg(min(col("event_id"))).head.getLong(0)
+    val (df, read, total) = BloomIndex.prunedRead(spark, d, blooms,
+      "eid_int", hit)
+    info(s"int-key lookup: read $read of $total files")
+    val expected = spark.read.parquet(d).filter(col("eid_int") === hit)
+    assert(expected.count() === 1, "precondition: the key exists")
+    assert(df.collect().toSet === expected.collect().toSet,
+      "bloom pruning must never lose an existing row (false negative)")
+    assert(read >= 1 && read <= 3, s"and it still prunes: got $read")
+  }
+
   test("multi-occurrence key (user_id) still prunes and stays exact") {
     val blooms = BloomIndex.build(spark, dir, "user_id").localCheckpoint()
     val key = Tables.events(spark, sf)

@@ -390,6 +390,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("theilsen median is a bucketed counting pass, never a global pair sort") {
+    val p = plan(graft.operators.TimeSeries.dailyRevenueTheilsen(spark, sf))
+    // the oracle's row_number() OVER (ORDER BY slope,...) must not leak in:
+    // the only windows allowed are prefixSum's — bucket-local cumsums and
+    // the bounded bucket-offsets pass, both carrying the _pb bucket column
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach { l =>
+      assert(l.contains("_pb"), s"window not bucket-scoped (global pair sort?): $l")
+    }
+    assert(!p.contains("row_number"), "no rank pass over the raw pair frame")
+  }
+
+  test("ivf probe sweep: exactly the 3 intended sweep passes, bucketed top-k") {
+    val df = graft.operators.Similarity.knnIvfProbeSweep(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // one union of |ProbeSweep| branches — no hidden extra rescans
+    assert(p.linesIterator.count(_.contains("Union")) == 1,
+      p.linesIterator.filter(_.contains("Union")).mkString("\n"))
+    // per sweep point: the probed-candidate join is cell-keyed equi, and
+    // every rank window is topKPerGroup's — the bucketed phase one (_b…) or
+    // the q_id-keyed phase two over the bounded buckets×K survivor frame
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(l.contains("_b") || l.contains("q_id"),
+        s"window neither bucket- nor q_id-scoped: $l")
+    }
+  }
+
+  test("cohort repeat: windows ride the bounded (cohort × gap) frame") {
+    val p = plan(graft.operators.Lifecycle.ordersCohortRepeat(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the median windows partition by cohort over per-(cohort,gap) COUNTS —
+    // never a raw per-customer frame (no ck in any window line)
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+    assert(winLines.nonEmpty, p)
+    winLines.foreach { l =>
+      assert(l.contains("cohort"), s"window not cohort-keyed: $l")
+      assert(!l.contains("ck#"), s"window over the raw customer frame: $l")
+    }
+  }
+
   test("ivf balance: map-side assignment, no joins beyond the bounded rollup") {
     val p = plan(graft.operators.Similarity.embedIvfBalance(spark, sf))
     assert(!p.contains("CartesianProduct"), p)

@@ -300,6 +300,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("recall_ppm") >= 800000L, r.toString)
   }
 
+  test("ANN probe sweep: monotone recall, deployed width matches the single audit") {
+    val rows = Similarity.dedupAnnProbeSweep(spark, sf).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r).toMap
+    assert(rows.keySet === Similarity.AnnProbeSweep.toSet)
+    val single = Similarity.dedupEmbeddingAnnRecall(spark, sf).collect()(0)
+    // the sweep's deployed-width row must restate the standing audit exactly
+    val dep = rows(Similarity.AnnDedupProbes)
+    for (c <- Seq("n_true", "n_ann", "n_hit", "recall_ppm"))
+      assert(dep.getAs[Long](c) === single.getAs[Long](c),
+        s"$c drifted between sweep and single-width audit")
+    // widening the probe list can only ADD candidate pairs (every narrower
+    // probe list is a prefix of the wider one), so n_ann, n_hit and recall
+    // are monotone nondecreasing in the width — the lever's defining shape
+    val ordered = Similarity.AnnProbeSweep.map(rows)
+    ordered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.getAs[Long]("n_ann") >= lo.getAs[Long]("n_ann"))
+      assert(hi.getAs[Long]("n_hit") >= lo.getAs[Long]("n_hit"))
+      assert(hi.getAs[Long]("recall_ppm") >= lo.getAs[Long]("recall_ppm"))
+    }
+    // n_true is the same exact kernel in every row
+    assert(ordered.map(_.getAs[Long]("n_true")).distinct.size === 1)
+  }
+
   test("semdedup: kept set is tau-independent per cell, every drop has a witness") {
     import org.apache.spark.sql.functions.col
     import graft.functions.VectorFunctions.toDouble
