@@ -28,3 +28,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// `sbt fast` — the quick iteration slice: every suite except the heavy
+// ones (per target/test-reports timings; VerifyParitySpec alone
+// constructs all ~245 registered frames). Registry-wide invariants only
+// fire in the excluded suites — run the FULL `sbt test` before a
+// milestone commit (README "Fast path" section). The list is inlined in
+// the alias because `set` expressions cannot see build.sbt vals, and a
+// project/*.scala helper can't compile in this offline environment (the
+// 2.12 compiler-bridge sources jar is not in the coursier cache).
+addCommandAlias("fast",
+  "; set Test / testOptions += Tests.Filter(n => !Set(" +
+  "\"graft.VerifyParitySpec\", \"graft.SimilaritySpec\", " +
+  "\"graft.CdcPropertySpec\", \"graft.PlanSpec\", \"graft.DedupSpec\", " +
+  "\"graft.IvfIngestSpec\", \"graft.ExperimentsSpec\", " +
+  "\"graft.IncrementalMartSpec\", \"graft.SkewSpec\", " +
+  "\"graft.LifecycleSpec\", \"graft.MultimodalSpec\", " +
+  "\"graft.CompactionSpec\", \"graft.MartSpec\", \"graft.CdcSpec\", " +
+  "\"graft.StreamIngestPipelineSpec\", \"graft.SketchesSpec\", " +
+  "\"graft.TimeSeriesSpec\", \"graft.BootstrapSpec\", " +
+  "\"graft.GraphSpec\", \"graft.QualitySpec\", \"graft.SearchSpec\", " +
+  "\"graft.IncrementalSnapshotSpec\", \"graft.EconSpec\", " +
+  "\"graft.StreamNearDupSpec\").contains(n)); test")
