@@ -2196,17 +2196,28 @@ object Similarity {
     * [[K]] nearest corpus neighbors (self excluded; vote ties break to the
     * smaller label, neighbor ties to the smaller vec_id), and accuracy
     * rolls up per TRUE label in ppm. Like [[knnRecallEval]]/
-    * [[Dedup.dedupRecallEval]] this is an AUDIT-SCALE exact operator by
-    * contract: the probe set is a deterministic 1/[[EvalMod]] slice and
-    * the scan is the brute kernel — at 100 TB you run it over a bounded
-    * probe sample, not the corpus (the recall-eval discipline).
+    * [[Dedup.dedupRecallEval]] this is an exact AUDIT whose probe set is
+    * BOUNDED BY CONSTANT, not by fraction: every [[EvalMod]]-th vector up
+    * to [[EvalCap]] probes (vec_id < EvalCap·EvalMod — a deterministic
+    * prefix slice both engines state identically). A fractional slice made
+    * the eval quadratic in the corpus (probes ∝ n × scan ∝ n — measured
+    * 268 s at sf1, 158× its sf0.1 self, the round-10 suite's worst entry
+    * by 5×); with the cap the audit is one linear broadcast scan at any
+    * corpus size, which is what "run it over a bounded probe sample, not
+    * the corpus" (the recall-eval discipline) always meant. The cap covers
+    * every vector at the sf0.01 gate (≤ 2,560 ids), so gate results are
+    * unchanged; statistically, 512 probes put the per-label accuracy's
+    * standard error under ~±2.2 points — the monitoring resolution this
+    * audit exists for.
     */
   val EvalMod = 5
+  val EvalCap = 512
 
   def embedLabelKnnEval(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-    val probes = e.filter(col("vec_id") % EvalMod === 0)
+    val probes = e.filter(col("vec_id") % EvalMod === 0 &&
+        col("vec_id") < lit(EvalCap.toLong * EvalMod))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("label").as("q_label"))
     val scored = broadcast(probes).join(e)
@@ -2237,7 +2248,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
        |  FROM embeddings),
        |pq AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
-       |  WHERE vec_id % $EvalMod = 0),
+       |  WHERE vec_id % $EvalMod = 0 AND vec_id < ${EvalCap.toLong * EvalMod}),
        |sc AS (SELECT q_id, q_label, e.vec_id, e.label,
        |    ${hammingCosSql("qv", "v", fast)} AS cos
        |  FROM pq, e WHERE e.vec_id <> pq.q_id),

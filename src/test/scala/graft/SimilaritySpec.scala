@@ -621,7 +621,8 @@ class SimilaritySpec extends AnyFunSuite {
       a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
-    val probes = vecs.filter(_._1 % Similarity.EvalMod == 0)
+    val probes = vecs.filter(v => v._1 % Similarity.EvalMod == 0 &&
+      v._1 < Similarity.EvalCap.toLong * Similarity.EvalMod)
     val preds = probes.map { case (qid, qv, qlbl) =>
       val top = vecs.filter(_._1 != qid)
         .map { case (cid, cv, clbl) => (cid, clbl, cos(qv, cv)) }
