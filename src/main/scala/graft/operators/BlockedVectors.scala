@@ -59,9 +59,23 @@ object BlockedVectors {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
-  /** Same contract as dedup_embedding, blocked. */
-  def dedupEmbeddingBlocked(s: SparkSession, d: String, nBlocks: Int = 4): DataFrame =
+  /** Smallest block count whose B·(B+1)/2 grid cells cover the cluster's
+    * parallelism — below it the quadratic work idles cores (nBlocks=4 is
+    * 10 cells: 10 tasks on a 32-core local[32], 10 tasks on a 1000-core
+    * cluster). Memory still bounds B from the other side (Dedup's
+    * byte-derived floor wins when it is larger).
+    */
+  def blocksForParallelism(s: SparkSession): Int = {
+    val p = s.sparkContext.defaultParallelism
+    math.max(4, math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt)
+  }
+
+  /** Same contract as dedup_embedding, blocked. Default block count covers
+    * the session's cores (see [[blocksForParallelism]]).
+    */
+  def dedupEmbeddingBlocked(s: SparkSession, d: String, nBlocks: Int = 0): DataFrame =
     pairwiseCosineBlocked(s,
       Tables.embeddings(s, d).select(col("vec_id"), toDouble(col("embedding")).as("v")),
-      tau = 0.40, nBlocks = nBlocks)
+      tau = 0.40,
+      nBlocks = if (nBlocks > 0) nBlocks else blocksForParallelism(s))
 }

@@ -805,8 +805,11 @@ object Dedup {
     else {
       // peak task memory = 2 blocks; nBlocks ≥ 2·bytes/limit keeps a cell's
       // two blocks within the broadcast budget (replication factor = nBlocks,
-      // so no larger than needed)
-      val nBlocks = math.max(4, ((2 * bytes + BroadcastBytesLimit - 1) / BroadcastBytesLimit).toInt)
+      // so no larger than needed); the parallelism floor keeps the grid's
+      // B(B+1)/2 cells ≥ cores so the quadratic work never idles the cluster
+      val nBlocks = math.max(
+        BlockedVectors.blocksForParallelism(s),
+        ((2 * bytes + BroadcastBytesLimit - 1) / BroadcastBytesLimit).toInt)
       BlockedVectors.dedupEmbeddingBlocked(s, d, nBlocks)
     }
   }
@@ -824,7 +827,14 @@ object Dedup {
     }
     val corpus = e.collect().map { case (id, v) => (id, v, n2(v)) }.sortBy(_._1)
     val bc = s.sparkContext.broadcast(corpus)
-    e.mapPartitions { it =>
+    // Fan the probe side out BEFORE the kernel: the embeddings table is a
+    // single parquet file, so the scan is 1-2 input splits and the whole
+    // n²/2 pairwise loop would run on 1-2 tasks (measured: the entire 34 s
+    // at sf1 was one core; the sf10 smoke sat at ~2 cores for 45 min —
+    // same trap dedup_embedding_ann fixed with repartition(cell)). The
+    // shuffle moves only n skinny rows — noise next to the quadratic work.
+    e.repartition(s.sparkContext.defaultParallelism * 4)
+      .mapPartitions { it =>
       it.flatMap { case (ida, va) =>
         val na = n2(va)
         bc.value.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>

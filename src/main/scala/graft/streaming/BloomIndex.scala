@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * lookups on exactly those hash layouts — the Delta/Iceberg bloom
   * column-index role, and ClickHouse's `bloom_filter` skip index.
   *
-  * Layout: [[BloomBits]] bits per file as a SPARSE word map
-  * (word-index → 64-bit word; absent word = 0), built by ONE scan — per
-  * row, [[BloomHashes]] bit positions from seeded xxhash64 (seed rides as
-  * a leading hash column, so each i is an independent hash family member);
-  * per file, a two-level map-side-partial bit_or. The index is #files ×
-  * ≤[[BloomBits]]/64 rows of metadata — manifest scale, like the stats
-  * table.
+  * Layout: per file, a bit array SIZED TO THE FILE ([[bitsFor]]:
+  * ≈ [[BitsPerKey]] bits per row, so the fill factor — and with it the
+  * false-positive rate, ~0.6% at 3 hashes — is corpus-independent) as a
+  * SPARSE word map (word-index → 64-bit word; absent word = 0), built by
+  * ONE scan: per row, [[BloomHashes]] bit positions from seeded xxhash64
+  * (seed rides as a leading hash column, so each i is an independent hash
+  * family member); per file, a two-level map-side-partial bit_or. The
+  * sizing is load-bearing at scale: the original FIXED 4096 bits saturated
+  * at sf10 (1.5M rows/file set every bit — 64/64 files "matched" and the
+  * index pruned nothing; caught by tools/StoreSmoke, the sf10 gate). The
+  * chosen width rides the index frame as a `bits` column, so probes always
+  * use the modulus the build used. The index stays manifest-scale: #files
+  * rows, each ≤ bits/64 words ≈ 2.6 bytes of words per distinct key.
   *
   * Membership tests run INSIDE Spark expressions over the index frame
   * (the same seeded-hash expressions the build used — no driver-side
@@ -27,14 +33,25 @@ import org.apache.spark.sql.functions._
   */
 object BloomIndex {
 
-  /** Bits per file. 4096 bits ≈ 0.1% FPR at ~300 distinct keys/file with
-    * 3 hashes; files denser in distinct keys should raise this — the
-    * sizing rule is bits ≈ 14 × distinct keys for ~0.1%.
+  /** Bits per ROW of the densest file (rows upper-bound distinct keys).
+    * 14 bits/key at 3 hashes gives FPR = (1 − e^(−3/14))³ ≈ 0.6% — under
+    * one false-positive file per ~150 files scanned.
     */
-  val BloomBits = 4096L
+  val BitsPerKey = 14L
+
+  /** Floor (the original fixed size — right for ≲300-key files). */
+  val MinBloomBits = 4096L
   val BloomHashes = 3
 
-  /** The i-th bit position for a key column (seed as leading hash input).
+  /** Bit-array width for a file of `maxRowsPerFile` rows, rounded up to a
+    * multiple of 64 so the word map has no ragged tail word.
+    */
+  def bitsFor(maxRowsPerFile: Long): Long = {
+    val want = math.max(MinBloomBits, BitsPerKey * math.max(1L, maxRowsPerFile))
+    ((want + 63) / 64) * 64
+  }
+
+  /** The i-th bit position for a key column under a given modulus.
     * The key is canonicalized to BIGINT before hashing: xxhash64 is
     * input-type-sensitive (an INT column hashes 4 bytes, a BIGINT literal
     * 8), so without the cast a non-Long key column would be hashed into
@@ -44,12 +61,21 @@ object BloomIndex {
     * positives cost a wasted read, never a wrong row" true for any
     * integral key column.
     */
-  private def pos(i: Int, key: Column): Column =
-    pmod(xxhash64(lit(i), key.cast("long")), lit(BloomBits))
+  private def pos(i: Int, key: Column, bits: Column): Column =
+    pmod(xxhash64(lit(i), key.cast("long")), bits)
 
-  /** One row per file: `file`, `bm` = sparse word map (word idx → word). */
+  /** One row per file: `file`, `bits` (the modulus this index was built
+    * with — probes MUST reuse it), `bm` = sparse word map.
+    */
   def build(s: SparkSession, dir: String, keyCol: String): DataFrame = {
-    val positions = (0 until BloomHashes).map(i => pos(i, col(keyCol)))
+    // size to the densest file: one cheap metadata-column pass (the build
+    // scan below re-reads the data anyway; a 2× read of one key column)
+    val maxRows = s.read.parquet(dir)
+      .groupBy(col("_metadata.file_path")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val bits = bitsFor(maxRows)
+    val positions =
+      (0 until BloomHashes).map(i => pos(i, col(keyCol), lit(bits)))
     s.read.parquet(dir)
       .select(col("_metadata.file_path").as("file"),
         explode(array(positions: _*)).as("p"))
@@ -59,12 +85,16 @@ object BloomIndex {
       .groupBy(col("file"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("w"), col("word"))))).as("bm"))
+      .withColumn("bits", lit(bits))
   }
 
-  /** Files whose Bloom filter may contain `key` (exact misses excluded). */
+  /** Files whose Bloom filter may contain `key` (exact misses excluded).
+    * Probe positions use each row's own `bits` column, so a lookup is
+    * correct even over a union of indexes built at different widths.
+    */
   def candidateFiles(blooms: DataFrame, key: Long): Seq[String] = {
     val withPos = (0 until BloomHashes).foldLeft(blooms) { (df, i) =>
-      df.withColumn(s"_p$i", pos(i, lit(key)))
+      df.withColumn(s"_p$i", pos(i, lit(key), col("bits")))
     }
     val tests: Seq[Column] = (0 until BloomHashes).map { i =>
       expr(s"(coalesce(element_at(bm, CAST(_p$i div 64 AS INT)), " +

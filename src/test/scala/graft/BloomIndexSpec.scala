@@ -24,6 +24,20 @@ class BloomIndexSpec extends AnyFunSuite {
     d
   }
 
+  test("bit width scales with file density and rides the index frame") {
+    // fixed 4096 bits saturated at sf10 (1.5M rows/file set every bit —
+    // 64/64 files matched, zero pruning; caught by tools/StoreSmoke): the
+    // width must grow with the densest file and be recorded per row so
+    // probes reuse the build's modulus
+    assert(BloomIndex.bitsFor(1) === BloomIndex.MinBloomBits)
+    assert(BloomIndex.bitsFor(250) === BloomIndex.MinBloomBits)
+    val dense = BloomIndex.bitsFor(1500000L)
+    assert(dense >= BloomIndex.BitsPerKey * 1500000L && dense % 64 === 0)
+    val blooms = BloomIndex.build(spark, dir, "event_id")
+    val bits = blooms.select("bits").distinct().collect().map(_.getLong(0))
+    assert(bits.length === 1 && bits(0) >= BloomIndex.MinBloomBits)
+  }
+
   test("unique-key point lookup prunes most files and matches full scan") {
     val blooms = BloomIndex.build(spark, dir, "event_id").localCheckpoint()
     assert(blooms.count() === 16)
