@@ -371,7 +371,7 @@ object Multimodal {
       """WITH m AS (SELECT
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS kind,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |  FROM documents),
         |ct AS (SELECT kind, n_bytes, count(*) AS cnt FROM m GROUP BY 1, 2),
         |cw AS (SELECT kind, n_bytes,
@@ -417,13 +417,20 @@ object Multimodal {
          |  CASE WHEN q_id = doc_id THEN 1 ELSE 0 END AS is_self
          |FROM r WHERE rank <= $CapK""".stripMargin
     },
+    // Byte-length fields across these oracles use octet_length(encode(text))
+    // — byte-exact for ANY text, and unlike CAST(text AS BLOB) it cannot
+    // ERROR (DuckDB rejects VARCHAR→BLOB casts containing non-ASCII).
+    // The two remaining char-based slices — this oracle's 8-grams and
+    // mm_frame_sample's frame_sha — keep the documented ASCII assumption:
+    // this DuckDB's sha256() accepts only VARCHAR, so a byte-slice hash
+    // has no restatement (frame BYTE COUNTS are exact via least()).
     // structurally independent: brute-force ALL pairs at the radius (the
     // dedup_simhash oracle pattern) — proves the key tables lose nothing.
     // ASCII payloads make DuckDB's char-based substr byte-identical to
     // Spark's binary substr.
     "mm_phash_neardup" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, greatest(octet_length(CAST(text AS BLOB)) - 7, 1) + 1),
+         |    range(1, greatest(octet_length(encode(text)) - 7, 1) + 1),
          |    i -> substr(text, CAST(i AS INT), 8))) AS gs FROM documents),
          |hb AS (SELECT doc_id,
          |  list_transform(gs, gk -> ${graft.functions.PortableHash.hexHSql("gk")}) AS hts FROM g),
@@ -438,7 +445,7 @@ object Multimodal {
          |WHERE bit_count(xor(a.sim, b.sim)) <= ${Dedup.SimhashRadius}""".stripMargin,
     "mm_pack" ->
       s"""WITH t AS (SELECT doc_id,
-         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |  FROM documents),
          |c AS (SELECT doc_id, n_bytes,
          |    sum(n_bytes) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -451,32 +458,32 @@ object Multimodal {
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        | octet_length(CAST(text AS BLOB)) AS n_bytes,
+        | octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha,
-        | 64 + octet_length(CAST(text AS BLOB)) % 1216 AS width,
-        | 64 + (octet_length(CAST(text AS BLOB)) * 7) % 656 AS height
+        | 64 + octet_length(encode(text)) % 1216 AS width,
+        | 64 + (octet_length(encode(text)) * 7) % 656 AS height
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH p AS (SELECT doc_id, text,
-         |    CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / $FrameBytes) AS BIGINT) AS n_frames
+         |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS BIGINT) AS n_frames
          |  FROM documents),
          |f AS (SELECT doc_id, n_frames, unnest(list_filter(range(0, n_frames), i -> i % $SampleEvery = 0)) AS frame_idx
          |  FROM p)
          |SELECT f.doc_id, f.n_frames, frame_idx,
          |  sha256(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes)) AS frame_sha,
-         |  octet_length(CAST(substring(p.text, CAST(frame_idx*$FrameBytes + 1 AS INT), $FrameBytes) AS BLOB)) AS frame_bytes
+         |  least($FrameBytes, octet_length(encode(p.text)) - frame_idx*$FrameBytes) AS frame_bytes
          |FROM f JOIN p ON f.doc_id = p.doc_id""".stripMargin,
     "mm_dedup_exact" ->
       """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n_dups,
-        | CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
     "mm_kind_stats" ->
       """WITH m AS (SELECT doc_id,
         |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |   octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |   octet_length(encode(text)) AS n_bytes,
         |   sha256(text) AS sha,
-        |   64 + octet_length(CAST(text AS BLOB)) % 1216 AS width,
-        |   64 + (octet_length(CAST(text AS BLOB)) * 7) % 656 AS height
+        |   64 + octet_length(encode(text)) % 1216 AS width,
+        |   64 + (octet_length(encode(text)) * 7) % 656 AS height
         | FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY sha ORDER BY doc_id) AS dup_rank FROM m)
         |SELECT kind, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

@@ -116,38 +116,60 @@ object TimeSeries {
     * engines truncate identically on downtrends). The median is the LOWER
     * median (element at rank (m+1) div 2 in slope order) so even pair
     * counts need no cross-engine float average — and the rank is found by
-    * the COUNTING method over the slope VALUE frame (per-value counts +
-    * [[Scale.prefixSum]], the orders_fulfillment_latency percentile
-    * discipline): min slope whose cumulative count reaches the rank. The
-    * multiset of slopes alone determines the rank-r value, so this is
+    * a TWO-LEVEL counting method: (1) slopes bucket map-side into
+    * ≤[[TheilsenBuckets]] coarse value ranges (a partial agg whose shuffle
+    * moves buckets-per-mapper rows, never the pair frame — the first
+    * counting attempt grouped by raw slope value, whose ~every-value-
+    * distinct frame shuffled all 3M pairs and read 2.2× the old global
+    * sort), (2) a bounded window over the coarse frame finds the bucket
+    * containing the rank and its preceding-count offset, (3) only that
+    * ONE bucket's values get exact per-value counts + [[Scale.prefixSum]]
+    * (which keeps even a pathologically concentrated bucket distributed).
+    * The multiset of slopes alone determines the rank-r value, so this is
     * exactly the oracle's row_number()-over-(slope,i,j) element without
     * its single-reducer global sort — a 30-year calendar (~60M pairs)
     * medians across the cluster instead of through one task.
     * Scale: pair generation is `explode(sequence(0, idx−1))` + an
     * EQUI-join on the earlier day index (no cartesian); the pair count is
     * days²/2 — calendar-bounded (~3M pairs for a 7-year series at ANY
-    * data volume). No unpartitioned window anywhere (pinned in PlanSpec).
+    * data volume). No pair-frame-sized window or shuffle anywhere (pinned
+    * in PlanSpec: every window is the _tb coarse frame or prefixSum's _pb).
     */
+  val TheilsenBuckets = 4096L
+
   def dailyRevenueTheilsen(s: SparkSession, d: String): DataFrame = {
     val dy = daily(s, d)
     val st = dy.agg(min(col("day")).as("day0"))
     val ix = dy.crossJoin(broadcast(st))
       .select(datediff(col("day"), col("day0")).as("idx"), col("cents"))
     val earlier = ix.select(col("idx").as("i_idx"), col("cents").as("i_cents"))
-    val slopes = ix.filter(col("idx") >= 1)
+    val slopes = Scale.materialize(ix.filter(col("idx") >= 1)
       .withColumn("i_idx", explode(sequence(lit(0), col("idx") - 1)))
       .join(earlier, "i_idx")
-      .select(col("i_idx"), col("idx").as("j_idx"),
-        expr("CAST((CAST(cents AS DECIMAL(38,0)) - i_cents) * 1000000 " +
-          "div (j_idx - i_idx) AS BIGINT)").as("slope_micro"))
-    // counting-method lower median: distributed map-side-partial value
-    // counts, bucketed prefix sum (no global-order window), rank probe.
-    val perValue = slopes.groupBy(col("slope_micro"))
+      .select(expr("CAST((CAST(cents AS DECIMAL(38,0)) - i_cents) * 1000000 " +
+        "div (idx - i_idx) AS BIGINT)").as("slope_micro"))) // 3 consumers
+    val stats = slopes.agg(min(col("slope_micro")).as("mn"),
+      max(col("slope_micro")).as("mx"), count(lit(1)).as("m")) // 1 row
+    // coarse bucket width ≥ 1, ≤ TheilsenBuckets+1 buckets over the range
+    val wExpr = s"greatest((mx - mn) div $TheilsenBuckets + 1, CAST(1 AS BIGINT))"
+    val coarse = slopes.crossJoin(broadcast(stats))
+      .groupBy(expr(s"(slope_micro - mn) div ($wExpr)").as("_tb"),
+        col("mn"), col("mx"), col("m")) // stats are 1-row constants
       .agg(count(lit(1)).as("cnt"))
-    val m = perValue.agg(sum(col("cnt")).as("m")) // 1-row total
-    Scale.prefixSum(perValue, "slope_micro", "cnt")
-      .crossJoin(broadcast(m))
+    val wb = Window.orderBy(col("_tb")) // bounded: ≤ TheilsenBuckets+1 rows
+    val target = coarse
+      .withColumn("cum", sum(col("cnt")).over(wb))
       .filter(col("cum") >= expr("(m + 1) div 2"))
+      .groupBy(col("mn"), col("mx"), col("m"))
+      .agg(min(struct(col("_tb"), (col("cum") - col("cnt")).as("off"))).as("sel"))
+      .select(col("mn"), col("mx"), col("m"),
+        col("sel._tb").as("tb"), col("sel.off").as("off"))
+    val fine = slopes.crossJoin(broadcast(target)) // 1-row target
+      .filter(expr(s"(slope_micro - mn) div ($wExpr)") === col("tb"))
+      .groupBy(col("slope_micro"), col("m"), col("off"))
+      .agg(count(lit(1)).as("cnt"))
+    Scale.prefixSum(fine, "slope_micro", "cnt")
+      .filter(col("off") + col("cum") >= expr("(m + 1) div 2"))
       .groupBy(col("m")) // 1 group — bounded
       .agg(min(col("slope_micro")).as("slope_micro"))
       .crossJoin(broadcast(dy.agg(count(lit(1)).as("n_days")))) // 1 row

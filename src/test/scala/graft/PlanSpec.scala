@@ -393,12 +393,13 @@ class PlanSpec extends AnyFunSuite {
   test("theilsen median is a bucketed counting pass, never a global pair sort") {
     val p = plan(graft.operators.TimeSeries.dailyRevenueTheilsen(spark, sf))
     // the oracle's row_number() OVER (ORDER BY slope,...) must not leak in:
-    // the only windows allowed are prefixSum's — bucket-local cumsums and
-    // the bounded bucket-offsets pass, both carrying the _pb bucket column
+    // the only windows allowed are the ≤4097-row coarse-bucket cum (_tb)
+    // and prefixSum's bucket-scoped passes (_pb) — never a pair-frame sort
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
     assert(winLines.nonEmpty, p)
     winLines.foreach { l =>
-      assert(l.contains("_pb"), s"window not bucket-scoped (global pair sort?): $l")
+      assert(l.contains("_pb") || l.contains("_tb"),
+        s"window not bucket-scoped (global pair sort?): $l")
     }
     assert(!p.contains("row_number"), "no rank pass over the raw pair frame")
   }
