@@ -111,16 +111,28 @@ object Bench {
     Files.createDirectories(Paths.get(outDir))
     val fileName = if (only.isEmpty) "bench.json" else "bench_filtered.json"
     Files.writeString(Paths.get(outDir, fileName), line + "\n")
-    // Print the line BEFORE stop (historical position some tooling greps)…
+    // Capture protocol (consumers anchor here):
+    //   1. `bench.json` on disk is AUTHORITATIVE — the full line with the
+    //      complete per-query map, always intact.
+    //   2. stdout carries the full line EXACTLY ONCE (next print), before
+    //      spark.stop — tooling that greps the full map reads this one.
+    //   3. the ABSOLUTE last bytes on both streams are a COMPACT summary
+    //      line (totals + errors + a pointer to bench.json, no per-query
+    //      map). Rounds 7/9/10 proved a bounded tail capture (the driver
+    //      keeps the final ~2000 chars) can NEVER hold the ~7 KB full
+    //      line — three rounds of re-emission fixes all lost to sbt's
+    //      [success] footer. A line small enough to fit the tail window
+    //      is the only version of this that can work.
     println(line)
-    // …then stop, flush, and print it again as the ABSOLUTE last bytes on
-    // both streams: round-7 and round-9 driver captures truncated the tail
-    // of a long sbt run mid-line ("parsed": null), and Spark's shutdown
-    // noise after a single early print was enough to push it off the end.
     spark.stop()
     Console.out.flush(); Console.err.flush()
-    println(line)
-    System.err.println(line)
+    val nOk = results.count(_.err.isEmpty)
+    val compact = s"""{"metric":"total","value":${results.collect {
+        case Result(_, v, None) => v }.sum},"unit":"sec","errors":${
+        results.count(_.err.isDefined)},"n_queries":$nOk,""" +
+      s""""queries_in":"$fileName","sf":"$sfDir"}"""
+    println(compact)
+    System.err.println(compact)
     Console.out.flush(); Console.err.flush()
   }
 }

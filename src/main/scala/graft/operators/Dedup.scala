@@ -796,12 +796,24 @@ object Dedup {
   val BroadcastBytesLimit: Long = 256L << 20
   private val EmbeddingDims = 64 // embeddings-table contract (TESTDATA.md)
 
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+  /** `maxId` (default: no limit) confines the kernel to `vec_id < maxId` —
+    * the sample-truth mode of the ANN audits
+    * ([[Similarity.TruthSampleIds]]): for a pairwise threshold kernel,
+    * truth-on-a-vec_id-slice ≡ full truth post-filtered to pairs with both
+    * endpoints in the slice (a pair's cosine depends only on its two
+    * vectors), so the audits can bound the quadratic side without changing
+    * its meaning.
+    */
+  def dedupEmbedding(s: SparkSession, d: String, maxId: Long = Long.MaxValue): DataFrame = {
+    val src =
+      if (maxId == Long.MaxValue) Tables.embeddings(s, d)
+      else Tables.embeddings(s, d).filter(col("vec_id") < maxId)
     // Metadata-only parquet count (footers, no data pages) sizes the corpus
     // before any kernel choice — no driver-side collect unless it fits.
-    val n = Tables.embeddings(s, d).count()
+    // (With a maxId slice the count reads the vec_id column — still cheap.)
+    val n = src.count()
     val bytes = n * EmbeddingDims * 8
-    if (bytes <= BroadcastBytesLimit) dedupEmbeddingBroadcast(s, d)
+    if (bytes <= BroadcastBytesLimit) dedupEmbeddingBroadcast(s, src)
     else {
       // peak task memory = 2 blocks; nBlocks ≥ 2·bytes/limit keeps a cell's
       // two blocks within the broadcast budget (replication factor = nBlocks,
@@ -810,14 +822,16 @@ object Dedup {
       val nBlocks = math.max(
         BlockedVectors.blocksForParallelism(s),
         ((2 * bytes + BroadcastBytesLimit - 1) / BroadcastBytesLimit).toInt)
-      BlockedVectors.dedupEmbeddingBlocked(s, d, nBlocks)
+      BlockedVectors.pairwiseCosineBlocked(s,
+        src.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+        tau = 0.40, nBlocks = nBlocks)
     }
   }
 
-  private def dedupEmbeddingBroadcast(s: SparkSession, d: String): DataFrame = {
+  private def dedupEmbeddingBroadcast(s: SparkSession, src: DataFrame): DataFrame = {
     import s.implicits._
     val tau = 0.40
-    val e = Tables.embeddings(s, d)
+    val e = src
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
     def n2(v: Array[Double]): Double = {
@@ -894,7 +908,7 @@ object Dedup {
     "dedup_minhash_auto" -> dedupMinhashAuto,
     "dedup_semantic" -> dedupSemantic,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_embedding_blocked" -> ((s, d) => BlockedVectors.dedupEmbeddingBlocked(s, d)),
   )
 

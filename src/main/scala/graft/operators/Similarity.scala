@@ -1266,11 +1266,43 @@ object Similarity {
     * actual intersection (not assumed = n_ann) so a τ or rounding drift
     * between the two operators would surface here, not ship silently.
     */
+  /** Corpus size above which the EXACT-truth side of the ANN audits runs
+    * over a bounded deterministic sample — the dedup_recall_eval
+    * bounded-sample discipline applied to the quadratic kernel itself
+    * (VERDICT r10 task 6), so the audits stay runnable at deployment scale
+    * instead of quadratic. The sample is the `vec_id < TruthSampleIds`
+    * prefix slice (vec_ids are dense from 0 — TESTDATA.md contract): both
+    * engines state it identically, and for a pairwise threshold kernel
+    * truth-on-the-slice ≡ full truth filtered to pairs with both endpoints
+    * in the slice, so the sampled audit measures the deployed route's
+    * recall on an unbiased fixed pane of the corpus. The ANN side (which
+    * stays linear and runs at FULL scale — the audit samples its output,
+    * not its input) is post-filtered to the same pane so n_true / n_ann /
+    * n_hit all count one pane. Below the cap — including both driver gate
+    * SFs (sf0.01: 500 ids; sf1: 20,000) — nothing changes; above it the
+    * exact kernel is bounded at cap²/2 pairs regardless of corpus size
+    * (sf10 measured, BENCH_sf10.json: dedup_ann_probe_sweep 504.5→112.7 s,
+    * dedup_embedding_ann_recall 156.6→21.2 s).
+    */
+  val TruthSampleIds = 32768L
+
+  /** (exact truth pairs, pane restrictor for the ANN side) per the
+    * [[TruthSampleIds]] dispatch.
+    */
+  private def sampledTruth(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+    val n = Tables.embeddings(s, d).count()
+    if (n <= TruthSampleIds) (Dedup.dedupEmbedding(s, d), identity[DataFrame])
+    else (Dedup.dedupEmbedding(s, d, maxId = TruthSampleIds),
+      (df: DataFrame) => df.filter(
+        col("vec_a") < TruthSampleIds && col("vec_b") < TruthSampleIds))
+  }
+
   def dedupEmbeddingAnnRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = Dedup.dedupEmbedding(s, d).select(col("vec_a"), col("vec_b"))
+    val (truthPairs, pane) = sampledTruth(s, d)
+    val truth = truthPairs.select(col("vec_a"), col("vec_b"))
       .transform(Scale.materialize)
     val ann = dedupEmbeddingAnn(s, d).select(col("vec_a"), col("vec_b"))
-      .transform(Scale.materialize)
+      .transform(pane).transform(Scale.materialize)
     val hit = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val na = ann.agg(count(lit(1)).as("n_ann"))
@@ -1306,11 +1338,13 @@ object Similarity {
     * route's candidate work, all linear, no new quadratic anywhere.
     */
   def dedupAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
-    val truth = Dedup.dedupEmbedding(s, d).select(col("vec_a"), col("vec_b"))
+    val (truthPairs, pane) = sampledTruth(s, d) // [[TruthSampleIds]] dispatch
+    val truth = truthPairs.select(col("vec_a"), col("vec_b"))
       .transform(Scale.materialize) // one exact kernel, |sweep|+1 consumers
     val nt = truth.agg(count(lit(1)).as("n_true"))
     AnnProbeSweep.map { np =>
       val ann = annPairs(s, d, np).select(col("vec_a"), col("vec_b"))
+        .transform(pane)
         .transform(Scale.materialize) // feeds the count AND the hit join
       val na = ann.agg(count(lit(1)).as("n_ann"))
       val nh = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
@@ -2202,8 +2236,8 @@ object Similarity {
     * prefix slice both engines state identically). A fractional slice made
     * the eval quadratic in the corpus (probes ∝ n × scan ∝ n — measured
     * 268 s at sf1, 158× its sf0.1 self, the round-10 suite's worst entry
-    * by 5×); with the cap the audit is one linear broadcast scan at any
-    * corpus size, which is what "run it over a bounded probe sample, not
+    * by 5×); with the cap the audit is one linear corpus scan against the
+    * broadcast probe set at any corpus size, which is what "run it over a bounded probe sample, not
     * the corpus" (the recall-eval discipline) always meant. The cap covers
     * every vector at the sf0.01 gate (≤ 2,560 ids), so gate results are
     * unchanged; statistically, 512 probes put the per-label accuracy's
@@ -2214,18 +2248,87 @@ object Similarity {
   val EvalCap = 512
 
   def embedLabelKnnEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-    val probes = e.filter(col("vec_id") % EvalMod === 0 &&
+    // ≤ EvalCap probes — the bounded deterministic collect contract (same
+    // budget class as the IVF/PQ training samples: 512 × 64 doubles).
+    val probeRows = e.filter(col("vec_id") % EvalMod === 0 &&
         col("vec_id") < lit(EvalCap.toLong * EvalMod))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("label").as("q_label"))
-    val scored = broadcast(probes).join(e)
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
-    val top = Scale.topKPerGroup(
-      scored.select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
-        col("cos")),
+      .as[(Long, Array[Double], Int)].collect().sortBy(_._1)
+    def n2(v: Array[Double]): Double = {
+      var a = 0.0; var i = 0
+      while (i < v.length) { a += v(i) * v(i); i += 1 }
+      a
+    }
+    val bc = s.sparkContext.broadcast(
+      probeRows.map { case (id, v, l) => (id, l, v, n2(v)) })
+    // Probe scan as a mapPartitions primitive-loop kernel (the
+    // dedupEmbeddingBroadcast precedent — rung (d), measured-justified):
+    // the broadcast-join formulation materialized probes × corpus rows
+    // each carrying BOTH 64-double arrays through the join before the
+    // projection could drop them — at sf10 that was 102M array-pair rows
+    // and 462 s of per-row array deserialization + allocation (17.1× per
+    // 10× — the suite's second-worst superlinear wall) for ~6 Gflops of
+    // actual math. Here each corpus partition streams once, every row
+    // scores all probes in a tight double loop (fold order, NaN ordering
+    // via Double.compare, and cos = dot/sqrt(nq·nv) all bit-identical to
+    // NativeVector.cosine / the SQL oracle), and only per-partition
+    // (probe × K) candidate rows ever materialize — the global
+    // topKPerGroup then sees ≤ K·partitions rows per probe. Measured:
+    // sf1 27.0→4.2 s, sf10 462→5.8 s (1.4× per 10× — sublinear;
+    // BENCH_sf10.json).
+    val cand = e.as[(Long, Array[Double], Int)]
+      // fan the single-file scan out first (the dedup_embedding lesson:
+      // 1-2 input splits would run the whole kernel on 1-2 cores)
+      .repartition(s.sparkContext.defaultParallelism * 4)
+      .mapPartitions { it =>
+        val ps = bc.value
+        val np = ps.length
+        // per-probe ≤K candidate lists kept sorted best-first under the
+        // (cos desc, vec_id asc) total order; K=10, so linear insertion
+        val cosB = Array.fill(np)(new Array[Double](K))
+        val idB = Array.fill(np)(new Array[Long](K))
+        val lbB = Array.fill(np)(new Array[Int](K))
+        val cnt = new Array[Int](np)
+        // Spark/DuckDB double sort order: NaN sorts LARGEST (zero-norm
+        // vectors score NaN) — java.lang.Double.compare matches both
+        def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+          val c = java.lang.Double.compare(c1, c2)
+          c > 0 || (c == 0 && i1 < i2)
+        }
+        it.foreach { case (vid, v, lbl) =>
+          val nv = n2(v)
+          var p = 0
+          while (p < np) {
+            val (qid, _, qv, qn) = ps(p)
+            if (vid != qid) {
+              var dot = 0.0; var i = 0
+              while (i < v.length) { dot += qv(i) * v(i); i += 1 }
+              val cos = dot / math.sqrt(qn * nv)
+              val c = cnt(p)
+              var j = 0
+              while (j < c && !better(cos, vid, cosB(p)(j), idB(p)(j))) j += 1
+              if (j < K) {
+                var m = math.min(c, K - 1)
+                while (m > j) {
+                  cosB(p)(m) = cosB(p)(m - 1); idB(p)(m) = idB(p)(m - 1)
+                  lbB(p)(m) = lbB(p)(m - 1); m -= 1
+                }
+                cosB(p)(j) = cos; idB(p)(j) = vid; lbB(p)(j) = lbl
+                if (c < K) cnt(p) = c + 1
+              }
+            }
+            p += 1
+          }
+        }
+        (0 until np).iterator.flatMap { p =>
+          val (qid, qlbl, _, _) = ps(p)
+          (0 until cnt(p)).iterator
+            .map(j => (qid, qlbl, idB(p)(j), lbB(p)(j), cosB(p)(j)))
+        }
+      }.toDF("q_id", "q_label", "vec_id", "label", "cos")
+    val top = Scale.topKPerGroup(cand,
       Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
       k = K, saltSrc = col("vec_id"))
     val votes = top.groupBy(col("q_id"), col("q_label"), col("label"))
@@ -2741,17 +2844,33 @@ object Similarity {
        |FROM sc WHERE cos >= $SemTau""".stripMargin
   }
 
+  /** The audits' [[TruthSampleIds]] pane as SQL: above the cap both pair
+    * sets post-filter to endpoints inside the vec_id prefix slice —
+    * semantically exact for the truth side (a pair's membership depends
+    * only on its two vectors, so truth-on-the-slice ≡ post-filtered full
+    * truth), and a no-op below the cap (both driver gate SFs).
+    */
+  private val paneLimSql: String =
+    s"""lim AS (SELECT CASE WHEN count(*) > $TruthSampleIds
+       |  THEN $TruthSampleIds ELSE 9223372036854775807 END AS m
+       |  FROM embeddings)""".stripMargin
+
+  private val paneWhereSql: String =
+    "WHERE vec_a < (SELECT m FROM lim) AND vec_b < (SELECT m FROM lim)"
+
   /** The recall audit restated by composing the exact-kernel oracle and the
-    * ANN oracle as nested-WITH subqueries (the recallEvalOracleSql shape).
+    * ANN oracle as nested-WITH subqueries (the recallEvalOracleSql shape),
+    * both restricted to the [[TruthSampleIds]] pane.
     */
   private def annDedupRecallOracleSql(cents: Array[Array[Double]],
       truthSql: String, fast: Boolean = false): String =
-    s"""WITH truth AS (SELECT vec_a, vec_b FROM (
+    s"""WITH $paneLimSql,
+       |truth AS (SELECT vec_a, vec_b FROM (
        |$truthSql
-       |)),
+       |) $paneWhereSql),
        |ann AS (SELECT vec_a, vec_b FROM (
        |${annDedupOracleSql(cents, fast)}
-       |)),
+       |) $paneWhereSql),
        |nt AS (SELECT count(*) AS n_true FROM truth),
        |na AS (SELECT count(*) AS n_ann FROM ann),
        |nh AS (SELECT count(*) AS n_hit FROM ann JOIN truth USING (vec_a, vec_b))
@@ -2773,7 +2892,7 @@ object Similarity {
     val pers = AnnProbeSweep.map { np =>
       s"""ann$np AS MATERIALIZED (SELECT vec_a, vec_b FROM (
          |${annDedupOracleSql(cents, fast, np)}
-         |)),
+         |) $paneWhereSql),
          |na$np AS (SELECT count(*) AS n_ann FROM ann$np),
          |nh$np AS (SELECT count(*) AS n_hit FROM ann$np
          |  JOIN truth USING (vec_a, vec_b))""".stripMargin
@@ -2784,9 +2903,10 @@ object Similarity {
          |    ELSE CAST(0 AS BIGINT) END AS recall_ppm
          |FROM nt, na$np, nh$np""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH truth AS MATERIALIZED (SELECT vec_a, vec_b FROM (
+    s"""WITH $paneLimSql,
+       |truth AS MATERIALIZED (SELECT vec_a, vec_b FROM (
        |$truthSql
-       |)),
+       |) $paneWhereSql),
        |nt AS (SELECT count(*) AS n_true FROM truth),
        |$pers
        |$branches""".stripMargin

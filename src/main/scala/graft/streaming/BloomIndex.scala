@@ -70,10 +70,14 @@ object BloomIndex {
   def build(s: SparkSession, dir: String, keyCol: String): DataFrame = {
     // size to the densest file: one cheap metadata-column pass (the build
     // scan below re-reads the data anyway; a 2× read of one key column)
-    val maxRows = s.read.parquet(dir)
+    val maxRowsRow = s.read.parquet(dir)
       .groupBy(col("_metadata.file_path")).count()
-      .agg(max(col("count"))).head.getLong(0)
-    val bits = bitsFor(maxRows)
+      .agg(max(col("count"))).head
+    // zero files/rows → max(count) is NULL; fail with a real message, not
+    // the bare NullPointerException getLong would throw
+    require(!maxRowsRow.isNullAt(0),
+      s"BloomIndex.build: no rows under $dir — nothing to index")
+    val bits = bitsFor(maxRowsRow.getLong(0))
     val positions =
       (0 until BloomHashes).map(i => pos(i, col(keyCol), lit(bits)))
     s.read.parquet(dir)
@@ -93,6 +97,12 @@ object BloomIndex {
     * correct even over a union of indexes built at different widths.
     */
   def candidateFiles(blooms: DataFrame, key: Long): Seq[String] = {
+    // index-frame version check: a frame persisted by the pre-adaptive
+    // build (no `bits` column) would otherwise surface as an opaque
+    // AnalysisException at probe time — fail with the actual remedy
+    require(blooms.columns.contains("bits"),
+      "BloomIndex.candidateFiles: index frame has no 'bits' column — " +
+        "built by a pre-adaptive-sizing version; rebuild with BloomIndex.build")
     val withPos = (0 until BloomHashes).foldLeft(blooms) { (df, i) =>
       df.withColumn(s"_p$i", pos(i, lit(key), col("bits")))
     }

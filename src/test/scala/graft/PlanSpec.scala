@@ -222,6 +222,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by") || p.contains("partial_max"), p.linesIterator.take(6).mkString("\n"))
   }
 
+  test("cdc snapshot delta is one dual-state aggregate — no snapshot join") {
+    val p = plan(graft.cdc.CdcQueries.snapshotDelta(spark, sf))
+    // both table states (as-of-t1 and latest) come out of ONE per-key
+    // max_by aggregate; the round-≤10 two-snapshots + full-outer plan
+    // (the sf10 suite's worst superlinear wall, 220 s) must not come back
+    assert(!p.contains("FullOuter") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_max_by") || p.contains("partial_max"), p)
+    // the only non-broadcast exchanges: the id-keyed aggregate shuffle and
+    // the ≤4-row class rollup — never three snapshot-sized shuffles
+    val ex = "hashpartitioning\\(([a-z_0-9#]+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(ex.toSet.subsetOf(Set("id", "change")), ex.mkString(","))
+  }
+
   test("knn top-k is two-phase bucketed — no corpus-sized single-reducer sort") {
     for (q <- Seq(Similarity.knnBrute(spark, sf), Similarity.knnLsh(spark, sf),
         Similarity.knnIvf(spark, sf), Similarity.knnPq(spark, sf),

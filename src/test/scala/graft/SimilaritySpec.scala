@@ -310,9 +310,13 @@ class SimilaritySpec extends AnyFunSuite {
     for (c <- Seq("n_true", "n_ann", "n_hit", "recall_ppm"))
       assert(dep.getAs[Long](c) === single.getAs[Long](c),
         s"$c drifted between sweep and single-width audit")
-    // widening the probe list can only ADD candidate pairs (every narrower
-    // probe list is a prefix of the wider one), so n_ann, n_hit and recall
-    // are monotone nondecreasing in the width — the lever's defining shape
+    // widening the probe list can only ADD candidate pairs: every narrower
+    // probe list is a prefix of the wider one BY CONSTRUCTION, not by data
+    // luck — argTopKDot ranks cells under the (score desc, cell asc) TOTAL
+    // order (a dot-product tie at the cut keeps the lowest cell id on both
+    // widths), so the prefix property holds on any corpus, ties included.
+    // Hence n_ann, n_hit and recall are monotone nondecreasing in the
+    // width — the lever's defining shape
     val ordered = Similarity.AnnProbeSweep.map(rows)
     ordered.sliding(2).foreach { case Seq(lo, hi) =>
       assert(hi.getAs[Long]("n_ann") >= lo.getAs[Long]("n_ann"))

