@@ -70,9 +70,8 @@ object CdcQueries {
     * max_by does strictly less work than touched-key's "cheap pass +
     * confined snapshots + join" at every scale, with the simpler plan.
     *
-    * Measured: sf1 14.5→16.8 s (the dual conditional max_by is heavier
-    * per row than one unconditional set — the right trade, the join is
-    * gone), sf10 220→158.5 s in suite context (BENCH_sf10.json) and
+    * Measured: sf1 14.5→13.2 s (full-suite; 16.8 s in a cold filtered
+    * run), sf10 220→158.5 s in suite context (BENCH_sf10.json) and
     * 80-99 s isolated. The remaining sf10 floor is the SIMULATED
     * changelog itself: to_json+from_json generation measures ~55 s at
     * sf10 (cdc_snapshot_latest, one agg over one parse: 58 s) — a real

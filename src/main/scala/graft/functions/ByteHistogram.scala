@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst byte histogram over a `binary` column: array<long>[256]
+  * with `out[v]` = occurrences of byte value `v` in the payload.
+  *
+  * This is the byte-distribution primitive the multimodal audits need
+  * (payload entropy / Simpson diversity): the declarative alternative —
+  * `explode(transform(sequence(1, octet_length(p)), i -> substring(p, i,
+  * 1)))` — materializes ONE ROW PER PAYLOAD BYTE before the aggregate
+  * (mm_payload_entropy's old plan: the sf10 smoke's worst per-10× ratio at
+  * 7.6×, 50.3 s — pure explode amplification: gigabytes of 1-byte rows
+  * through a hash aggregate). A histogram is a bounded 256-slot loop per
+  * payload inside whole-stage codegen; downstream the per-doc frame is 256
+  * rows max (posexplode + filter c>0), independent of payload size.
+  * Counting algebra downstream is unchanged — same (kind, byte) count
+  * groups, same oracle.
+  */
+case class ByteHistogram(child: Expression) extends UnaryExpression {
+
+  // Input must be binary (call sites guarantee it; no ExpectsInputTypes —
+  // AbstractDataType is private[sql], the ArrayDot precedent).
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_byte_histogram"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1L; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val counts = ctx.freshName("counts")
+      s"""
+         |long[] $counts = new long[256];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $counts[$b[$i] & 0xff] += 1L;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(ByteHistogram(GraftSqlBridge.expression(c)))
+}

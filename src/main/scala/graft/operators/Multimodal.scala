@@ -291,15 +291,25 @@ object Multimodal {
     * buffers); a full 256-value alphabet at high diversity = already-
     * compressed or encrypted payloads a transcoder shouldn't re-touch.
     * Rational and integer-exact (DECIMAL(38): Σc² at 100 TB per kind is
-    * ~10²⁸). The per-byte explode is linear map-side amplification feeding
-    * a (kind, byte) partial agg — the mm_phash 8-gram precedent, at 1×.
+    * ~10²⁸).
+    *
+    * Plan (r11): the per-payload byte distribution comes from the native
+    * [[graft.functions.ByteHistogram]] codegen expression (one bounded
+    * 256-slot loop per payload inside the stage), posexploded to ≤256
+    * (byte, count) rows per doc — NOT one row per byte. The old
+    * `explode(transform(sequence(...)))` form was the sf10 smoke's worst
+    * per-10× ratio (7.6×, 50.3 s): payload-sized row amplification through
+    * the hash aggregate. Same (kind, byte) count groups, same oracle;
+    * measured sf1 6.6→1.1 s, sf10 50.3→2.7 s (2.5× per 10× — sublinear;
+    * BENCH_sf10.json).
     */
   def mmPayloadEntropy(s: SparkSession, d: String): DataFrame =
     withPayload(s, d)
       .select(kind.as("kind"),
-        explode(expr("transform(sequence(1, octet_length(payload)), " +
-          "i -> substring(payload, i, 1))")).as("b"))
-      .groupBy(col("kind"), col("b")).agg(count(lit(1)).as("c"))
+        posexplode(graft.functions.ByteHistogram(col("payload")))
+          .as(Seq("b", "c0")))
+      .filter(col("c0") > 0)
+      .groupBy(col("kind"), col("b")).agg(sum(col("c0")).as("c"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_distinct"),
         sum(col("c")).as("n_bytes"),

@@ -236,6 +236,14 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.toSet.subsetOf(Set("id", "change")), ex.mkString(","))
   }
 
+  test("payload entropy uses the native byte histogram — never per-byte rows") {
+    val p = plan(graft.operators.Multimodal.mmPayloadEntropy(spark, sf))
+    assert(p.contains("graft_byte_histogram"), p)
+    // the old plan exploded transform(sequence(1, octet_length(payload)))
+    // into one row per payload byte — the sf10 smoke's worst per-10× ratio
+    assert(!p.contains("sequence("), p)
+  }
+
   test("knn top-k is two-phase bucketed — no corpus-sized single-reducer sort") {
     for (q <- Seq(Similarity.knnBrute(spark, sf), Similarity.knnLsh(spark, sf),
         Similarity.knnIvf(spark, sf), Similarity.knnPq(spark, sf),
