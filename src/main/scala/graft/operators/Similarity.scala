@@ -2150,6 +2150,56 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Recall@[[K]] of the PQ search (ADC shortlist + exact rerank) against
+    * the exact brute ground truth — completes the codec recall-audit
+    * family: hamming/sq8/ivf each publish their recall as a first-class
+    * query, while PQ's measured 1.00 lived only in a spec assertion. Same
+    * composition as [[knnRecallEval]]: the hit join is on (q_id, nn_id)
+    * result frames (queries × K rows), queries with zero hits still get a
+    * row.
+    */
+  def knnPqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(knnPq(s, d))(s, d)
+
+  /** Recall@[[K]] of the composed IVFADC (IVF cells + residual PQ) search
+    * vs exact brute — the billion-scale layout's monitoring number
+    * ([[knnPqRecall]] discipline).
+    */
+  def knnIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(knnIvfPq(s, d))(s, d)
+
+  private def recallOf(route: DataFrame)(s: SparkSession, d: String): DataFrame = {
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+    val r = route.select(col("q_id"), col("nn_id"))
+    val hits = brute.join(r, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
+          .as("recall"))
+  }
+
+  /** The recall audits' shared oracle shape: exact brute + the route's own
+    * oracle as CTEs, hit join, per-query recall (the recallEvalOracleSql
+    * twin, parametric in the route SQL).
+    */
+  private def recallOfOracleSql(routeSql: String): String =
+    s"""WITH brute AS (SELECT * FROM (
+       |$bruteOracleSql
+       |)),
+       |rt AS (SELECT * FROM (
+       |$routeSql
+       |)),
+       |h AS (SELECT b.q_id, count(*) AS n_hits
+       |  FROM brute b JOIN rt ON rt.q_id = b.q_id AND rt.nn_id = b.nn_id
+       |  GROUP BY 1),
+       |qs AS (SELECT DISTINCT q_id FROM brute)
+       |SELECT q_id, coalesce(n_hits, 0) AS n_hits,
+       |  floor(CAST(coalesce(n_hits, 0) AS DOUBLE) / $K * 1e4)/1e4 AS recall
+       |FROM qs LEFT JOIN h USING (q_id)""".stripMargin
+
   private def sq8RecallOracleSql(fast: Boolean = false): String =
     s"""WITH $sq8ShortlistCte,
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2590,6 +2640,8 @@ object Similarity {
     "embed_silhouette" -> embedSilhouette,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
+    "knn_pq_recall" -> knnPqRecall,
+    "knn_ivfpq_recall" -> knnIvfPqRecall,
     "knn_ivf_probe_sweep" -> knnIvfProbeSweep,
   )
 
@@ -3251,12 +3303,16 @@ object Similarity {
       val cfg = tuneCache.values.iterator.next()
       withIvf + ("knn_lsh_auto" -> lshOracleSqlFor(cfg.numTables, cfg.sigBits))
     } else withIvf
-    val withPq = if (pqCache.size == 1)
-      withTune + ("knn_pq" -> pqOracleSql(pqCache.values.iterator.next()))
-    else withTune
-    val all = if (ivfPqCache.size == 1)
-      withPq + ("knn_ivfpq" -> ivfPqOracleSql(ivfPqCache.values.iterator.next()))
-    else withPq
+    val withPq = if (pqCache.size == 1) {
+      val pqSql = pqOracleSql(pqCache.values.iterator.next())
+      withTune + ("knn_pq" -> pqSql) +
+        ("knn_pq_recall" -> recallOfOracleSql(pqSql))
+    } else withTune
+    val all = if (ivfPqCache.size == 1) {
+      val ivfPqSql = ivfPqOracleSql(ivfPqCache.values.iterator.next())
+      withPq + ("knn_ivfpq" -> ivfPqSql) +
+        ("knn_ivfpq_recall" -> recallOfOracleSql(ivfPqSql))
+    } else withPq
     all ++ withPca
   }
 }
