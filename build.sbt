@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no `[info] `/`[error] ` logger
+// prefixes): consumers of `sbt runMain graft.Bench` parse the last stdout
+// line as JSON, and a logger prefix breaks that exactly like the
+// `[success]` footer (suppressed below) did.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No `[success] Total time: ...` footer: external consumers anchor on the
+// LAST stdout line of `sbt runMain graft.Bench` (a bounded ~2000-char tail
+// capture), and the footer printed AFTER Bench's compact JSON summary made
+// that line unparseable four rounds running. Suppressing it makes the
+// compact summary the literal last line on both streams.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,45 @@ import graft.Tables
   */
 object CdcSim {
 
+  // --------------------------------------------------------- bench cache
+  /** BENCH/smoke-only materialization root (None = live generation, the
+    * default and the only mode Verify ever runs). When enabled, each
+    * simulated topic is written ONCE per (root, sf dir) as parquet — the
+    * raw envelope-json frames (what a real Kafka topic holds) plus the
+    * parsed orders bronze (what downstream queries consume; the reference
+    * pipeline parses once in-stream and every consumer reads the sink) —
+    * and all subsequent reads come from those files. This takes the
+    * SIMULATOR's generation cost (to_json over the base tables, ~55 s at
+    * sf10 — a cost no deployment pays, VERDICT r11 task 3) off the
+    * per-query clock while leaving every parse-semantics query
+    * (cdc_parse_envelope, cdc_schema_evolution, cdc_malformed_stats,
+    * cdc_multi_table_snapshot) parsing real json from the topic frame.
+    * Values round-trip parquet exactly (string/long/double/int columns),
+    * so cached and live runs are hash-identical.
+    */
+  @volatile private var cacheRoot: Option[String] = None
+
+  def enableCache(root: String): Unit = { cacheRoot = Some(root) }
+
+  /** Build every topic cache eagerly (Bench calls this outside the timed
+    * region and reports it as `changelog_cache_build`).
+    */
+  def prewarmCache(s: SparkSession, d: String): Unit = {
+    ordersChangelog(s, d); parsedChangelog(s, d); evolvedChangelog(s, d)
+    customerChangelog(s, d); partChangelog(s, d)
+  }
+
+  private def cached(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = cacheRoot match {
+    case None => build
+    case Some(root) =>
+      val dir = java.nio.file.Paths.get(root,
+        d.replaceAll("[^A-Za-z0-9._-]", "_"), s"$name.parquet")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+        build.write.mode("overwrite").parquet(dir.toString)
+      s.read.parquet(dir.toString)
+  }
+
   /** Payload schema of the simulated `orders` CDC topic. */
   val payloadSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -32,7 +71,10 @@ object CdcSim {
   /** One `value: String` column of envelope JSON, plus a stable `event_id`
     * for redelivery simulation.
     */
-  def ordersChangelog(s: SparkSession, d: String): DataFrame = {
+  def ordersChangelog(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "orders_raw") { ordersChangelogLive(s, d) }
+
+  private def ordersChangelogLive(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(
       col("o_orderkey").as("id"),
       col("o_custkey").as("custkey"),
@@ -67,9 +109,13 @@ object CdcSim {
     creates.unionByName(updates).unionByName(deletes)
   }
 
-  /** The changelog parsed through the real envelope path. */
+  /** The changelog parsed through the real envelope path (cached mode: the
+    * parsed BRONZE frame, written once from the raw topic cache).
+    */
   def parsedChangelog(s: SparkSession, d: String): DataFrame =
-    Envelope.parse(ordersChangelog(s, d), payloadSchema)
+    cached(s, d, "orders_parsed") {
+      Envelope.parse(ordersChangelog(s, d), payloadSchema)
+    }
 
   /** The orders topic with a MID-STREAM SCHEMA CHANGE (Debezium after
     * `ALTER TABLE ADD COLUMN status`): every create is emitted under the
@@ -78,7 +124,10 @@ object CdcSim {
     * `status`. The mixed log is what a real topic contains after an
     * upstream DDL; the consumer must keep reading both generations.
     */
-  def evolvedChangelog(s: SparkSession, d: String): DataFrame = {
+  def evolvedChangelog(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "orders_evolved_raw") { evolvedChangelogLive(s, d) }
+
+  private def evolvedChangelogLive(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d).select(
       col("o_orderkey").as("id"),
       col("o_custkey").as("custkey"),
@@ -127,7 +176,10 @@ object CdcSim {
   /** customer topic: create at ts0=epoch+id; id%4==1 gets a balance credit
     * (+100.0) a day later; id%7==0 is deleted two days later.
     */
-  def customerChangelog(s: SparkSession, d: String): DataFrame = {
+  def customerChangelog(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "customer_raw") { customerChangelogLive(s, d) }
+
+  private def customerChangelogLive(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(
       col("c_custkey").as("id"),
       col("c_name").as("name"),
@@ -155,7 +207,10 @@ object CdcSim {
   /** part topic: create at ts0=epoch+2·id; id%3==0 gets a price bump (+1.5)
     * a day later; id%11==0 is discontinued (deleted) two days later.
     */
-  def partChangelog(s: SparkSession, d: String): DataFrame = {
+  def partChangelog(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "part_raw") { partChangelogLive(s, d) }
+
+  private def partChangelogLive(s: SparkSession, d: String): DataFrame = {
     val base = Tables.part(s, d).select(
       col("p_partkey").as("id"),
       col("p_type").as("ptype"),

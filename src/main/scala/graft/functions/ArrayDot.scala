@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -53,6 +53,53 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native integer dot over two `array<long>` code columns — the int8-GEMM
+  * role in the SQ8 shortlist scan. The HOF formulation
+  * (`aggregate(zip_with(qcs, cs, _*_), 0L, _+_)`) allocates a 64-slot
+  * intermediate array and folds it through per-element lambda eval for
+  * every (query, candidate) PAIR — measured as knn_sq8_rerank's whole sf10
+  * wall (24.5 s for ~2M pairs; 8.4× per 10×, the worst non-cdc ratio in
+  * BENCH_sf10.json r11). This is one primitive `long` loop inside
+  * whole-stage codegen. Integer adds are exact, so any fold order gives
+  * bit-identical results to the oracle's list_reduce; sequential kept for
+  * symmetry with [[ArrayDot]].
+  */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
     copy(left = newLeft, right = newRight)
 }
 
@@ -367,6 +414,10 @@ object NativeVector {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(ArrayDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Integer dot over two `array<long>` code columns (SQ8 shortlist scan). */
+  def dotLong(a: Column, b: Column): Column =
+    GraftSqlBridge.column(ArrayDotLong(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   def norm2(a: Column): Column = dot(a, a)
 
   /** cos = dot/sqrt(n2a*n2b) — same shape as VectorFunctions.cosine and the
@@ -409,6 +460,13 @@ object NativeVector {
     case _ => throw new IllegalArgumentException("graft_dot takes exactly 2 arguments")
   }
 
+  private val dotLongInfo =
+    new ExpressionInfo(classOf[ArrayDotLong].getName, "graft_dot_long")
+  private def dotLongBuilder(children: Seq[Expression]): Expression = children match {
+    case Seq(a, b) => ArrayDotLong(a, b)
+    case _ => throw new IllegalArgumentException("graft_dot_long takes exactly 2 arguments")
+  }
+
   private val argmaxInfo =
     new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot")
   private def argmaxBuilder(children: Seq[Expression]): Expression = children match {
@@ -447,6 +505,7 @@ object NativeVector {
   /** Register the native vector functions into a live session's registry. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot", info, builder)
+    GraftSqlBridge.registerFunction(spark, "graft_dot_long", dotLongInfo, dotLongBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_argmax_dot", argmaxInfo, argmaxBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_argtopk_dot", argtopkInfo, argtopkBuilder)
     GraftSqlBridge.registerFunction(spark, "graft_pq_encode", pqInfo, pqBuilder)
@@ -464,6 +523,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
         (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dot_long"),
+        new ExpressionInfo(classOf[ArrayDotLong].getName, "graft_dot_long"),
+        (children: Seq[Expression]) => ArrayDotLong(children(0), children(1))))
     ext.injectFunction(
       (FunctionIdentifier("graft_argmax_dot"),
         new ExpressionInfo(classOf[ArgmaxScaledDot].getName, "graft_argmax_dot"),

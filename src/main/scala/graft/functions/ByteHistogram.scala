@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Native Catalyst byte histogram over a `binary` column: array<long>[256]
   * with `out[v]` = occurrences of byte value `v` in the payload.
@@ -23,8 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class ByteHistogram(child: Expression) extends UnaryExpression {
 
-  // Input must be binary (call sites guarantee it; no ExpectsInputTypes —
-  // AbstractDataType is private[sql], the ArrayDot precedent).
+  // No ExpectsInputTypes (AbstractDataType is private[sql], the ArrayDot
+  // precedent) — checkInputDataTypes below supplies the same analysis-time
+  // gate: a non-binary child fails with a named message at plan time, not
+  // a ClassCastException / javac error deep in codegen.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_byte_histogram"
 

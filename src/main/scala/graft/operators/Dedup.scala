@@ -804,14 +804,17 @@ object Dedup {
     * vectors), so the audits can bound the quadratic side without changing
     * its meaning.
     */
-  def dedupEmbedding(s: SparkSession, d: String, maxId: Long = Long.MaxValue): DataFrame = {
+  def dedupEmbedding(s: SparkSession, d: String, maxId: Long = Long.MaxValue,
+      knownN: Long = -1L): DataFrame = {
     val src =
       if (maxId == Long.MaxValue) Tables.embeddings(s, d)
       else Tables.embeddings(s, d).filter(col("vec_id") < maxId)
     // Metadata-only parquet count (footers, no data pages) sizes the corpus
     // before any kernel choice — no driver-side collect unless it fits.
     // (With a maxId slice the count reads the vec_id column — still cheap.)
-    val n = src.count()
+    // Callers that already counted (Similarity.sampledTruth dispatches on
+    // the same number) pass it in via knownN so the scan isn't repeated.
+    val n = if (knownN >= 0L) knownN else src.count()
     val bytes = n * EmbeddingDims * 8
     if (bytes <= BroadcastBytesLimit) dedupEmbeddingBroadcast(s, src)
     else {

@@ -1019,13 +1019,12 @@ object Similarity {
     * and keeps GraphProbe) and the cell-assigned corpus. GraphProbe < NProbe
     * because graph consumers want high-cos edges, not exhaustive top-10.
     *
-    * Scale: the cell join's parallelism is bounded by the cell count —
-    * NumCells fixes 32 here (right for the test corpus; the deployment
-    * rule is cells ∝ √n, the standard IVF sizing, which keeps both cell
-    * width AND join parallelism scaling with the corpus). Per-cell work is
-    * width², the measured-balanced widths in ScaleStress; the final top-k
-    * is the two-phase bucketed operator — never a per-vector single
-    * reducer.
+    * Scale: the cell join's parallelism is bounded by the cell count,
+    * which [[cellsFor]] sizes ∝ √n (floored at NumCells=32, UNCAPPED above
+    * — the standard IVF rule, pinned in CentroidPlanSpec), so cell width
+    * AND join parallelism both grow ∝ √n and the per-cell width² work
+    * stays Θ(n) per cell round — subquadratic in total. The final top-k is
+    * the two-phase bucketed operator — never a per-vector single reducer.
     */
   val GraphK = 5
   val GraphProbe = 4
@@ -1290,9 +1289,14 @@ object Similarity {
     * [[TruthSampleIds]] dispatch.
     */
   private def sampledTruth(s: SparkSession, d: String): (DataFrame, DataFrame => DataFrame) = {
+    // one counting pass: the count here IS the kernel-dispatch count inside
+    // dedupEmbedding, so hand it down (sliced mode: vec_ids are dense from
+    // 0 — the TruthSampleIds contract — so the slice holds exactly the cap)
     val n = Tables.embeddings(s, d).count()
-    if (n <= TruthSampleIds) (Dedup.dedupEmbedding(s, d), identity[DataFrame])
-    else (Dedup.dedupEmbedding(s, d, maxId = TruthSampleIds),
+    if (n <= TruthSampleIds)
+      (Dedup.dedupEmbedding(s, d, knownN = n), identity[DataFrame])
+    else (Dedup.dedupEmbedding(s, d, maxId = TruthSampleIds,
+        knownN = TruthSampleIds),
       (df: DataFrame) => df.filter(
         col("vec_a") < TruthSampleIds && col("vec_b") < TruthSampleIds))
   }
@@ -2071,11 +2075,16 @@ object Similarity {
     val q = cd.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("cs").as("qcs"))
     val c = cd.filter(col("vec_id") >= NumQueries)
+    // NativeVector.dotLong, not aggregate(zip_with(...)): the HOF pair
+    // scorer allocated a 64-slot array + lambda fold per (query, candidate)
+    // pair OUTSIDE codegen — measured as this query's whole sf10 wall
+    // (24.5 s / 8.4× per 10×, BENCH_sf10.json r11). The native loop keeps
+    // the scan in one whole-stage-codegen pass; integer dot, so the scores
+    // are bit-identical by arithmetic, not by fold-order discipline.
     Scale.topKPerGroup(
         broadcast(q).join(c)
           .select(col("q_id"), col("vec_id"),
-            aggregate(zip_with(col("qcs"), col("cs"), (a, b) => a * b),
-              lit(0L), (acc, x) => acc + x).as("d8")),
+            NativeVector.dotLong(col("qcs"), col("cs")).as("d8")),
         Seq("q_id"), Seq(col("d8").desc, col("vec_id")),
         k = Sq8R, saltSrc = col("vec_id"))
       .select(col("q_id"), col("vec_id"))
@@ -2137,18 +2146,8 @@ object Similarity {
     * saving in lost neighbors (the [[knnHammingRecall]] discipline; a
     * 256-level code should shortlist strictly better than 1-bit signs).
     */
-  def knnSq8Recall(s: SparkSession, d: String): DataFrame = {
-    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
-    val rr = knnSq8Rerank(s, d).select(col("q_id"), col("nn_id"))
-    val hits = brute.join(rr, Seq("q_id", "nn_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
-    brute.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left_outer")
-      .select(col("q_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
-          .as("recall"))
-  }
+  def knnSq8Recall(s: SparkSession, d: String): DataFrame =
+    recallOf(knnSq8Rerank(s, d))(s, d)
 
   /** Recall@[[K]] of the PQ search (ADC shortlist + exact rerank) against
     * the exact brute ground truth — completes the codec recall-audit
@@ -2169,8 +2168,13 @@ object Similarity {
     recallOf(knnIvfPq(s, d))(s, d)
 
   private def recallOf(route: DataFrame)(s: SparkSession, d: String): DataFrame = {
+    // both frames have two consumers (hit join + denominator / the route's
+    // own rerank lineage) — materialize so the exact-truth kernel and the
+    // route run once, the shared-frame discipline of the other audits
     val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+      .transform(Scale.materialize)
     val r = route.select(col("q_id"), col("nn_id"))
+      .transform(Scale.materialize)
     val hits = brute.join(r, Seq("q_id", "nn_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     brute.select(col("q_id")).distinct()

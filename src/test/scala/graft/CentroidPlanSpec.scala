@@ -39,6 +39,16 @@ class CentroidPlanSpec extends AnyFunSuite {
       math.sqrt(acc)
     }.toIndexedSeq
 
+  test("cellsFor is the uncapped √n rule (floor NumCells, no MaxCells clamp)") {
+    // the exact sizing knnGraph/semdedup Scaladoc promises: max(32, ⌈√n⌉)
+    for (n <- Seq(1L, 100L, 1024L, 20000L, 200000L, 20000000L))
+      assert(Similarity.cellsFor(n) ==
+        math.max(Similarity.NumCells, math.ceil(math.sqrt(n.toDouble)).toInt),
+        s"cellsFor($n)")
+    assert(Similarity.cellsFor(20000000L) > Similarity.MaxCells,
+      "no ceiling: cells keep growing ∝ √n past the literal-transport clamp")
+  }
+
   test("dispatch: ≤ MaxCells attaches nothing (literal plan, no join)") {
     val cc = Similarity.centColsOf(spark, cents.take(Similarity.NumCells))
     val df = cc.cleanup(cc.attach(vecs)

@@ -16,7 +16,16 @@ import json, sys, os
 root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sf1 = json.load(open(os.path.join(root, "BENCH_sf1.json")))["queries"]
 
+# Merge-not-replace: a partial re-bench must extend the existing artifact,
+# not silently drop the ops a previous run recorded. New inputs win on
+# duplicate op names (a re-measurement supersedes), with a warning.
+out_path = os.path.join(root, "BENCH_sf10.json")
 ops, rc = {}, 0
+if os.path.exists(out_path):
+    prev = json.load(open(out_path))
+    ops = dict(prev.get("ops", {}))
+    print(f"[mk_bench_sf10] merging into existing artifact ({len(ops)} ops)",
+          file=sys.stderr)
 for path in sys.argv[1:]:
     try:
         data = json.load(open(path))
@@ -25,6 +34,9 @@ for path in sys.argv[1:]:
         rc = 1
         continue
     for op, v in data.get("queries", {}).items():
+        if op in ops:
+            print(f"[mk_bench_sf10] {op}: overwriting previous entry "
+                  f"({ops[op]}) with this run's", file=sys.stderr)
         if isinstance(v, dict):  # {"err": ...}
             ops[op] = {"sf10_s": None, "err": v.get("err"), "rc": 1}
             rc = 1
@@ -36,8 +48,10 @@ for path in sys.argv[1:]:
             entry["ratio_per_10x"] = round(v / s1, 1)
         ops[op] = entry
 
+# rc covers THIS invocation's inputs; a previous run's err rows keep their
+# per-op rc=1 so the artifact can't launder an old failure.
+rc = max(rc, max((o.get("rc", 0) for o in ops.values()), default=0))
 out = {"sf": 10, "vs": "BENCH_sf1.json", "rc": rc, "n_ops": len(ops),
        "ops": dict(sorted(ops.items()))}
-path = os.path.join(root, "BENCH_sf10.json")
-json.dump(out, open(path, "w"), indent=1)
-print(f"[mk_bench_sf10] wrote {path}: {len(ops)} ops, rc={rc}")
+json.dump(out, open(out_path, "w"), indent=1)
+print(f"[mk_bench_sf10] wrote {out_path}: {len(ops)} ops, rc={rc}")
