@@ -131,6 +131,68 @@ object Lifecycle {
        |    AS hazard_ppm
        |FROM rk""".stripMargin
 
+  /** Kaplan–Meier survival CURVE over the churn-hazard life table — the
+    * product-limit estimator itself as a gated query (round 12; the life
+    * table's Scaladoc above deferred the survival product to a driver-side
+    * spec because a float product has no cross-engine story). The product
+    * is made engine-exact by DEFINING the statistic in integer fixed point:
+    * S₀ = 10⁶ and S_k = (S_{k-1} · (n_k − d_k)) div n_k — one truncating
+    * integer division PER STEP, so the fold is a sequence of exact BIGINT
+    * operations with no float and no association hazard (each step's
+    * truncation is part of the estimator, not error). The fold itself is
+    * inherently sequential, but it runs over the BOUNDED bucket frame
+    * (≤ maxTenure/30 rows at any corpus size — a corpus statistic, never
+    * corpus-sized): the frame collapses to one sorted struct array and a
+    * single `aggregate` lambda emits the running product per bucket (the
+    * stats_bootstrap bounded-fold discipline). The oracle restates the
+    * recursion as a recursive CTE over the same life table — both engines
+    * execute the identical integer recurrence, hash-exact.
+    * Overflow: S ≤ 10⁶ and n_at_risk ≤ |customers|, so each product is
+    * ≤ 10⁶·n < 2⁶³ up to ~9·10¹² customers — comfortable at 100 TB.
+    */
+  def customerSurvivalCurve(s: SparkSession, d: String): DataFrame = {
+    val lt = customerChurnHazard(s, d)
+    lt.agg(sort_array(collect_list(struct(
+        col("tenure_bucket"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"), col("hazard_ppm")))).as("rows"))
+      .withColumn("sv", expr(
+        """aggregate(rows,
+          |  struct(CAST(1000000 AS BIGINT) AS s,
+          |         CAST(array() AS ARRAY<BIGINT>) AS out),
+          |  (acc, x) -> struct(
+          |    (acc.s * (x.n_at_risk - x.n_churned)) div x.n_at_risk AS s,
+          |    array_append(acc.out,
+          |      (acc.s * (x.n_at_risk - x.n_churned)) div x.n_at_risk) AS out),
+          |  acc -> acc.out)""".stripMargin))
+      .select(explode(arrays_zip(col("rows"), col("sv"))).as("z"))
+      .select(col("z.rows.tenure_bucket").as("tenure_bucket"),
+        col("z.rows.n_at_risk").as("n_at_risk"),
+        col("z.rows.n_churned").as("n_churned"),
+        col("z.rows.n_censored").as("n_censored"),
+        col("z.rows.hazard_ppm").as("hazard_ppm"),
+        col("z.sv").as("surv_ppm"))
+  }
+
+  private def survivalOracleSql: String =
+    s"""WITH RECURSIVE base AS ($hazardOracleSql),
+       |lt AS (SELECT *, row_number() OVER (ORDER BY tenure_bucket) AS rn
+       |  FROM base),
+       |r AS (
+       |  SELECT rn, tenure_bucket, n_at_risk, n_churned, n_censored,
+       |    hazard_ppm,
+       |    CAST((1000000 * (n_at_risk - n_churned)) // n_at_risk AS BIGINT)
+       |      AS surv_ppm
+       |  FROM lt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT lt.rn, lt.tenure_bucket, lt.n_at_risk, lt.n_churned,
+       |    lt.n_censored, lt.hazard_ppm,
+       |    CAST((r.surv_ppm * (lt.n_at_risk - lt.n_churned)) // lt.n_at_risk
+       |      AS BIGINT)
+       |  FROM r JOIN lt ON lt.rn = r.rn + 1)
+       |SELECT tenure_bucket, n_at_risk, n_churned, n_censored, hazard_ppm,
+       |  surv_ppm
+       |FROM r""".stripMargin
+
   /** Heavy-changer report size. */
   val HeavyChangeK = 50
 
@@ -736,6 +798,7 @@ object Lifecycle {
     "events_gini" -> eventsGini,
     "daily_revenue_ewma" -> dailyRevenueEwma,
     "customer_churn_hazard" -> customerChurnHazard,
+    "customer_survival_curve" -> customerSurvivalCurve,
     "events_heavy_change" -> eventsHeavyChange,
     "events_active_streaks" -> eventsActiveStreaks,
     "orders_order_gap_dist" -> ordersOrderGapDist,
@@ -751,6 +814,7 @@ object Lifecycle {
     "events_gini" -> giniOracleSql,
     "daily_revenue_ewma" -> ewmaOracleSql,
     "customer_churn_hazard" -> hazardOracleSql,
+    "customer_survival_curve" -> survivalOracleSql,
     "events_heavy_change" -> heavyChangeOracleSql,
     "events_active_streaks" -> streaksOracleSql,
     "orders_order_gap_dist" -> gapDistOracleSql,

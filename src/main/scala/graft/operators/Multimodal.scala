@@ -179,6 +179,76 @@ object Multimodal {
     }
   }
 
+  /** Constellation fingerprint matching (Wang 2003, the Shazam landmark
+    * algorithm) — TIME-OFFSET-ROBUST payload matching, the audio sibling
+    * of `mm_phash_neardup` (which fingerprints the WHOLE payload and is
+    * blind to "clip B is a segment of track A"). The decode seam is the
+    * usual stub: a real deployment's STFT peak extractor is replaced by a
+    * deterministic per-frame "peak bin" = portable-hash of each 16-byte
+    * frame mod 65521; everything downstream — landmark pairing, inverted
+    * key index, offset-histogram voting — is the real algorithm.
+    *
+    * Landmarks: for each frame t and fan-out j ∈ {1,2,3}, key =
+    * (peak[t]·65521 + peak[t+j])·4 + j (a ~1.7·10¹⁰ key space, so chance
+    * collisions stay negligible at any corpus size — the key space must
+    * outgrow the landmark count or df-filtering collapses with scale).
+    * A match between two payloads is a VOTE at their frame offset
+    * δ = t_a − t_b; pairs where one offset accumulates ≥ [[ConstMinVotes]]
+    * votes match AT that offset — byte-identical copies vote at δ = 0
+    * with every landmark, a grid-aligned excerpt votes at its start frame.
+    *
+    * Scale: landmark generation is pure map-side (one flatten-transform
+    * per payload, frames never materialize as rows); the postings
+    * self-join is confined by (a) dropping keys seen in < 2 docs (cannot
+    * match — the bulk of the index) and (b) capping key doc-frequency at
+    * [[ConstMaxDf]] (the standard too-common-landmark suppression; also
+    * the hot-postings quadratic guard, same role as PPJoin's prefix
+    * bound). Votes aggregate map-side-partially on (a, b, δ).
+    */
+  val ConstWindow = 16
+  val ConstPeakMod = 65521L // 16-bit prime "frequency bin" alphabet
+  val ConstFanout = 3
+  val ConstMaxDf = 64
+  val ConstMinVotes = 8
+
+  def mmConstellationFp(s: SparkSession, d: String): DataFrame =
+    constellationOf(withPayload(s, d))
+
+  /** The kernel over an explicit (doc_id, payload) frame — parameterized so
+    * MultimodalSpec can prove the δ-offset voting and the df suppression on
+    * constructed corpora (grid-aligned excerpts, >ConstMaxDf dup storms)
+    * that the synthetic testdata never exercises.
+    */
+  private[graft] def constellationOf(payloads: DataFrame): DataFrame = {
+    val posts = payloads
+      .withColumn("nf", (octet_length(col("payload")) / ConstWindow).cast("long"))
+      .filter(col("nf") >= 2)
+      .withColumn("peaks", transform(
+        sequence(lit(0L), col("nf") - 1),
+        t => graft.functions.PortableHash.hexH(
+          col("payload").substr((t * ConstWindow + 1).cast("int"), lit(ConstWindow)))
+          % ConstPeakMod))
+      .select(col("doc_id"), explode(flatten(transform(
+        sequence(lit(0L), col("nf") - 2),
+        t => transform(
+          filter(sequence(lit(1L), lit(ConstFanout.toLong)), j => t + j <= col("nf") - 1),
+          j => struct(t.as("t"),
+            ((element_at(col("peaks"), (t + 1).cast("int")) * ConstPeakMod
+              + element_at(col("peaks"), (t + j + 1).cast("int"))) * 4 + j).as("key")))))).as("lm"))
+      .select(col("doc_id"), col("lm.t").as("t"), col("lm.key").as("key"))
+    val matchable = posts.groupBy(col("key"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ConstMaxDf)
+      .select(col("key"))
+    val pp = posts.join(matchable, Seq("key"), "left_semi")
+    val a = pp.select(col("key"), col("doc_id").as("media_a"), col("t").as("ta"))
+    val b = pp.select(col("key"), col("doc_id").as("media_b"), col("t").as("tb"))
+    a.join(b, a("key") === b("key") && col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"), (col("ta") - col("tb")).as("dt"))
+      .agg(count(lit(1)).as("n_votes"))
+      .filter(col("n_votes") >= ConstMinVotes)
+  }
+
   def mmPhashNeardup(s: SparkSession, d: String): DataFrame = {
     val n = Tables.documents(s, d).count()
     val (widths, combos) = Dedup.simhashGeometry(n)
@@ -353,6 +423,7 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample,
     "mm_dedup_exact" -> mmDedupExact,
     "mm_phash_neardup" -> mmPhashNeardup,
+    "mm_constellation_fp" -> mmConstellationFp,
     "mm_kind_stats" -> mmKindStats,
     "mm_pack" -> mmPack,
     "mm_caption_retrieval" -> mmCaptionRetrieval,
@@ -453,6 +524,33 @@ object Multimodal {
          |  bit_count(xor(a.sim, b.sim)) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= ${Dedup.SimhashRadius}""".stripMargin,
+    // Same documented ASCII assumption as mm_frame_sample/mm_phash_neardup:
+    // DuckDB's char-based substr ≡ Spark's binary substr on this corpus,
+    // and md5 of the same 16 bytes agrees. The landmark algebra is pure
+    // integer arithmetic restated verbatim.
+    "mm_constellation_fp" -> {
+      val pk = graft.functions.PortableHash.hexHSql(
+        s"substr(text, CAST(t*$ConstWindow + 1 AS INT), $ConstWindow)")
+      s"""WITH p AS (SELECT doc_id, text,
+         |    octet_length(encode(text)) // $ConstWindow AS nf
+         |  FROM documents WHERE octet_length(encode(text)) // $ConstWindow >= 2),
+         |f AS (SELECT doc_id, unnest(range(0, nf)) AS t, text, nf FROM p),
+         |pk AS (SELECT doc_id, t, nf, $pk % $ConstPeakMod AS peak FROM f),
+         |lm AS (SELECT a.doc_id, a.t AS t,
+         |    (a.peak * $ConstPeakMod + b.peak) * 4 + j.j AS key
+         |  FROM pk a
+         |  JOIN (VALUES (1), (2), (3)) j(j) ON TRUE
+         |  JOIN pk b ON b.doc_id = a.doc_id AND b.t = a.t + j.j),
+         |kd AS (SELECT key FROM (SELECT key, count(DISTINCT doc_id) AS df
+         |    FROM lm GROUP BY 1) WHERE df BETWEEN 2 AND $ConstMaxDf),
+         |pp AS (SELECT lm.* FROM lm JOIN kd USING (key))
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |  CAST(a.t - b.t AS BIGINT) AS dt,
+         |  CAST(count(*) AS BIGINT) AS n_votes
+         |FROM pp a JOIN pp b ON a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3
+         |HAVING count(*) >= $ConstMinVotes""".stripMargin
+    },
     "mm_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

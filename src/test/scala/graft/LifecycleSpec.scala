@@ -93,6 +93,28 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("customer_survival_curve equals the driver-side KM integer recurrence") {
+    val lt = Lifecycle.customerChurnHazard(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    var s = 1000000L
+    val expected = lt.map { case (b, n, d, c, h) =>
+      s = s * (n - d) / n // truncating: all terms nonnegative
+      (b, n, d, c, h, s)
+    }.toSet
+    val got = Lifecycle.customerSurvivalCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+    // survival is monotone nonincreasing over buckets and starts ≤ 10⁶
+    val sv = got.toSeq.sortBy(_._1).map(_._6)
+    assert(sv.head <= 1000000L)
+    sv.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, "KM survival must be nonincreasing")
+      case _ => ()
+    }
+  }
+
   test("events_heavy_change equals a driver-side split re-count") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"))

@@ -39,6 +39,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.values.toSet.size === 7)
   }
 
+  test("constellation: exact copies vote at δ=0 with the full constellation") {
+    import spark.implicits._
+    val W = Multimodal.ConstWindow
+    // two byte-identical payloads of 10 full frames + one unrelated doc
+    val base = (0 until 10).map(i => f"frame-$i%02d-content".padTo(W, 'x').take(W)).mkString
+    assert(base.length === 10 * W)
+    val other = "z" * (10 * W)
+    val df = Seq((1L, base.getBytes("UTF-8")), (2L, base.getBytes("UTF-8")),
+      (7L, other.getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val m = Multimodal.constellationOf(df).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L && r.getLong(2) === 0L)
+    // full constellation: Σ_{t=0..nf-2} |{j ∈ 1..3 : t+j ≤ nf-1}| = 3·nf − 6
+    assert(r.getLong(3) === 3L * 10 - 6)
+  }
+
+  test("constellation: a grid-aligned excerpt matches at its start-frame offset") {
+    import spark.implicits._
+    val W = Multimodal.ConstWindow
+    val frames = (0 until 16).map(i => f"aud-$i%03d-".padTo(W, ('a' + i % 26).toChar).take(W))
+    val full = frames.mkString                     // 16 frames
+    val excerpt = frames.drop(4).take(8).mkString  // frames 4..11 of the original
+    val df = Seq((1L, full.getBytes("UTF-8")), (2L, excerpt.getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val m = Multimodal.constellationOf(df).collect()
+    assert(m.length === 1)
+    val r = m.head
+    // the full track's frame t+4 aligns with the excerpt's frame t
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L && r.getLong(2) === 4L)
+    // shared span = 8 frames ⇒ its full constellation votes
+    assert(r.getLong(3) === 3L * 8 - 6)
+  }
+
+  test("constellation: too-common landmarks (df > cap) are suppressed") {
+    import spark.implicits._
+    val W = Multimodal.ConstWindow
+    val body = (0 until 8).map(i => f"dup-$i%04d-fr".padTo(W, 'q').take(W)).mkString
+    val n = Multimodal.ConstMaxDf + 6 // every landmark's df exceeds the cap
+    val df = (1L to n.toLong).map(i => (i, body.getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.constellationOf(df).count() === 0)
+  }
+
   test("frame sampling keeps every 4th frame") {
     val frames = Multimodal.mmFrameSample(spark, sf)
     assert(frames.filter(col("frame_idx") % Multimodal.SampleEvery =!= 0).count() === 0)
