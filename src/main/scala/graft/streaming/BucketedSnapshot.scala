@@ -1,0 +1,234 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.cdc.{CdcOps, Envelope}
+
+/** Hash-bucketed incrementally-maintained current-state table — the
+  * O(touched)-write upgrade of [[IncrementalSnapshot]], which re-reads and
+  * REWRITES the whole snapshot every micro-batch. That full rewrite is the
+  * streaming store's real 100 TB wall: a 1 GB/s writer spends 28 hours per
+  * micro-batch on a 100 TB table no matter how small the batch is. Here the
+  * store is split into a fixed number of hash buckets on the merge key
+  * (`pmod(xxhash64(key), buckets)` — the layout Spark's own bucketing and
+  * every upsert lake format use), and a batch merges ONLY the buckets its
+  * keys land in: read cost = touched/buckets of the store, write cost the
+  * same, and untouched buckets are not opened at all. A CDC feed whose
+  * batches touch a small key range (the common case — recent keys cluster)
+  * pays per-batch work proportional to the batch, not to history; the
+  * worst case (keys spraying every bucket) degenerates to exactly the old
+  * full rewrite, never worse.
+  *
+  * Layout: `dir/bucket=<b>/v=<batchId>` holds bucket b's rows as of the
+  * batch that last touched it — buckets version INDEPENDENTLY, so "the
+  * snapshot at batch v" = for each bucket, its newest committed version
+  * ≤ v. A bucket whose keys all died still commits an (empty) version dir
+  * — otherwise readers would fall back to its stale previous rows.
+  *
+  * Exactly-once: the same marker-then-pointer protocol as
+  * [[IncrementalSnapshot]], adapted to many dirs per commit — all touched
+  * buckets' version dirs are moved into place BEFORE the global manifest
+  * marker is created, so the marker atomically commits the whole batch;
+  * readers and merges resolve versions through committed markers only,
+  * which makes half-moved crash leftovers invisible (orphan dirs are
+  * overwritten by the replay). The bucket count is pinned in a `_BUCKETS`
+  * file at creation — a store's bucketing is part of its identity (changing
+  * it means a rewrite), exactly like a bucketed Hive/Iceberg table.
+  *
+  * Plain-store semantics only (tombstones applied and forgotten, the
+  * [[CdcOps.snapshotLatest]] merge); the retention-mode twin would swap in
+  * logCompact per bucket unchanged. Ref: cdc_processor.py:100-124 (the
+  * sink this keeps in current-state shape), init-clickhouse.sql (the
+  * ReplacingMergeTree role).
+  */
+object BucketedSnapshot {
+
+  val DefaultBuckets = 16
+
+  /** The bucket of a key tuple. Deterministic and engine-internal only —
+    * nothing downstream depends on WHICH bucket a key lands in, only that
+    * the assignment is stable for the store's lifetime.
+    */
+  def bucketOf(keyCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
+
+  private def bucketsOf(dir: String): Option[Int] = {
+    val p = Paths.get(dir, "_BUCKETS")
+    if (Files.exists(p)) Files.readString(p).trim.toIntOption else None
+  }
+
+  /** Global commit markers — a marker is created only after every touched
+    * bucket's version dir is in place, so marker = batch fully committed.
+    */
+  private def committed(dir: String): Seq[Long] = {
+    val manifest = Paths.get(dir, "_manifest")
+    if (!Files.isDirectory(manifest)) Seq.empty
+    else {
+      val s = Files.list(manifest)
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption).toSeq
+      finally s.close()
+    }
+  }
+
+  /** Bucket b's version dirs (committed or orphaned). */
+  private def bucketVersions(dir: String, b: Long): Seq[Long] = {
+    val bd = Paths.get(dir, s"bucket=$b")
+    if (!Files.isDirectory(bd)) Seq.empty
+    else {
+      val s = Files.list(bd)
+      try s.iterator().asScala
+        .flatMap(p => Option(p.getFileName.toString)
+          .filter(_.startsWith("v="))
+          .flatMap(_.stripPrefix("v=").toLongOption))
+        .toSeq
+      finally s.close()
+    }
+  }
+
+  /** Bucket b's newest committed version ≤ cap — crash orphans (dir
+    * without marker) are invisible by construction.
+    */
+  private def bucketLatest(dir: String, b: Long, comm: Set[Long],
+      cap: Long): Option[Long] =
+    bucketVersions(dir, b).filter(v => comm.contains(v) && v <= cap).maxOption
+
+  private def allBuckets(dir: String): Seq[Long] = {
+    if (!Files.isDirectory(Paths.get(dir))) Seq.empty
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala
+        .flatMap(p => Option(p.getFileName.toString)
+          .filter(_.startsWith("bucket="))
+          .flatMap(_.stripPrefix("bucket=").toLongOption))
+        .toSeq
+      finally s.close()
+    }
+  }
+
+  /** Version dirs that actually hold rows (an emptied bucket's committed
+    * version dir has no parquet part files — it contributes nothing, and
+    * must NOT make the reader fall back to an older version).
+    */
+  private def partFiles(p: Path): Seq[String] = {
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
+  }
+
+  private def resolvePaths(dir: String, cap: Long): Seq[String] = {
+    val comm = committed(dir).toSet
+    allBuckets(dir).flatMap { b =>
+      bucketLatest(dir, b, comm, cap)
+        .toSeq.flatMap(v => partFiles(Paths.get(dir, s"bucket=$b/v=$v")))
+    }
+  }
+
+  def latestVersion(dir: String): Option[Long] = committed(dir).maxOption
+
+  /** The live snapshot: every bucket at its newest committed version. */
+  def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
+    latestVersion(dir).flatMap(v => readSnapshotAsOf(s, dir, v))
+
+  /** VERSION AS OF over the bucketed store: per bucket, the newest
+    * committed version ≤ v — O(#buckets) dir listings, no log replay.
+    */
+  def readSnapshotAsOf(s: SparkSession, dir: String, v: Long): Option[DataFrame] = {
+    if (!committed(dir).exists(_ <= v)) None
+    else {
+      val paths = resolvePaths(dir, v)
+      if (paths.isEmpty) None else Some(s.read.parquet(paths: _*))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val files = Files.walk(p)
+      try files.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally files.close()
+    }
+
+  /** Merge one micro-batch of flattened signed change rows: union the
+    * TOUCHED buckets' current state with the batch, re-run the one-shuffle
+    * snapshotLatest merge, write back partitioned by bucket, and move only
+    * the touched buckets' new version dirs into place.
+    */
+  def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String],
+      buckets: Int = DefaultBuckets)(batch: DataFrame, batchId: Long): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val nb = bucketsOf(dir).getOrElse {
+      Files.writeString(Paths.get(dir, "_BUCKETS"), buckets.toString)
+      buckets
+    }
+    require(nb == buckets,
+      s"store is bucketed at $nb, caller asked for $buckets — bucketing is " +
+        "fixed at store creation (changing it is a rewrite)")
+    val manifest = Paths.get(dir, "_manifest")
+    Files.createDirectories(manifest)
+    val marker = manifest.resolve(batchId.toString)
+    if (Files.exists(marker)) {
+      if (!IncrementalSnapshot.pointerVersion(dir).exists(_ >= batchId))
+        IncrementalSnapshot.flipLatest(dir, batchId)
+      return
+    }
+    val s = batch.sparkSession
+    val comm = committed(dir).filter(_ < batchId).toSet
+    // touched buckets: one bounded collect (≤ #buckets rows)
+    val touched = batch.select(bucketOf(keyCols, nb).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) { // empty batch still commits (replay bookkeeping)
+      Files.createFile(marker)
+      IncrementalSnapshot.flipLatest(dir, batchId)
+      return
+    }
+    val statePaths = touched.flatMap { b =>
+      bucketLatest(dir, b, comm, batchId - 1)
+        .toSeq.flatMap(v => partFiles(Paths.get(dir, s"bucket=$b/v=$v")))
+    }
+    val state =
+      if (statePaths.isEmpty) None
+      else Some(s.read.parquet(statePaths: _*)
+        .withColumn("op", lit("r")).withColumn("sign", lit(1)))
+    val all = state.map(batch.unionByName(_)).getOrElse(batch)
+    val next = CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
+      .withColumn("bucket", bucketOf(keyCols, nb))
+    val stage = Paths.get(dir, s"_stage/$batchId")
+    deleteRecursively(stage)
+    next.write.mode("overwrite").partitionBy("bucket")
+      .parquet(stage.toString)
+    touched.foreach { b =>
+      val src = stage.resolve(s"bucket=$b")
+      val target = Paths.get(dir, s"bucket=$b/v=$batchId")
+      deleteRecursively(target) // crash-replay leftovers
+      Files.createDirectories(target.getParent)
+      if (Files.isDirectory(src)) Files.move(src, target)
+      else Files.createDirectories(target) // bucket emptied: commit it empty
+    }
+    deleteRecursively(stage)
+    Files.createFile(marker)
+    IncrementalSnapshot.flipLatest(dir, batchId)
+  }
+
+  /** Stream a CDC source into a maintained bucketed snapshot directory. */
+  def start(s: SparkSession, src: CdcPipeline.Source, payloadSchema: StructType,
+      keyCols: Seq[String], dir: String, checkpointDir: String,
+      buckets: Int = DefaultBuckets,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val payloadCols = payloadSchema.fieldNames.toSeq.filterNot(keyCols.contains)
+    Envelope.parse(CdcPipeline.read(s, src), payloadSchema)
+      .writeStream
+      .foreachBatch(merge(dir, keyCols, payloadCols, buckets) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcQueries, CdcSim}
+import graft.streaming.{BucketedSnapshot, CdcPipeline, IncrementalSnapshot}
+
+/** The bucketed store must be OUTPUT-IDENTICAL to IncrementalSnapshot while
+  * writing only touched buckets per batch — the O(touched) property is
+  * asserted on the filesystem itself (untouched buckets gain no version
+  * dirs), and the crash/replay/emptied-bucket seams the multi-dir commit
+  * introduces are each forced explicitly.
+  */
+class BucketedSnapshotSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private val keys = Seq("id")
+  private def bucketIdOf(id: Long, nb: Int): Long = {
+    // driver-side twin of bucketOf, for constructing single-bucket batches
+    import spark.implicits._
+    Seq(id).toDF("id")
+      .select(BucketedSnapshot.bucketOf(keys, nb)).head().getLong(0)
+  }
+
+  test("bucketed snapshot equals the monolithic store across batches") {
+    val tmp = Files.createTempDirectory("graft_bsnap").toString
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    val mid = ch.agg(expr("percentile_approx(ts_ms, 0.5)")).head().getLong(0)
+    val slices = Seq(ch.filter(col("ts_ms") <= mid), ch.filter(col("ts_ms") > mid))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      BucketedSnapshot.merge(s"$tmp/b", keys, CdcQueries.payloadCols)(b, i.toLong)
+      IncrementalSnapshot.merge(s"$tmp/m", keys, CdcQueries.payloadCols)(b, i.toLong)
+      val got = BucketedSnapshot.readSnapshot(spark, s"$tmp/b").get
+      val want = IncrementalSnapshot.readSnapshot(spark, s"$tmp/m").get
+        .select(got.columns.map(col): _*)
+      assert(got.exceptAll(want).count() === 0, s"batch $i: extra rows")
+      assert(want.exceptAll(got).count() === 0, s"batch $i: missing rows")
+    }
+    // and the final state equals the batch-semantics snapshot
+    val fin = BucketedSnapshot.readSnapshot(spark, s"$tmp/b").get
+    val expected = CdcQueries.snapshotLatest(spark, sf)
+      .select(fin.columns.map(col): _*)
+    assert(fin.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(fin).count() === 0)
+  }
+
+  test("a single-bucket batch writes ONLY that bucket's version dir") {
+    val tmp = Files.createTempDirectory("graft_btouch").toString
+    val dir = s"$tmp/b"
+    val nb = BucketedSnapshot.DefaultBuckets
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    def versionDirs(b: Long): Set[String] = {
+      val p = Paths.get(dir, s"bucket=$b")
+      if (!Files.isDirectory(p)) Set.empty
+      else {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+    }
+    val before = (0L until nb.toLong).map(b => b -> versionDirs(b)).toMap
+    // batch 1: rows for one bucket only
+    val one = ch.filter(BucketedSnapshot.bucketOf(keys, nb) === 0L)
+    assert(one.count() > 0, "slice must be non-empty to exercise the write")
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(one, 1L)
+    assert(versionDirs(0L) === before(0L) + "v=1")
+    (1L until nb.toLong).foreach { b =>
+      assert(versionDirs(b) === before(b), s"untouched bucket $b was written")
+    }
+    // and the snapshot is still globally correct
+    val got = BucketedSnapshot.readSnapshot(spark, dir).get
+    val want = CdcQueries.snapshotLatest(spark, sf).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("a bucket emptied by tombstones serves zero rows, not stale state") {
+    val tmp = Files.createTempDirectory("graft_bempty").toString
+    val dir = s"$tmp/b"
+    val nb = BucketedSnapshot.DefaultBuckets
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    val snap0 = BucketedSnapshot.readSnapshot(spark, dir).get
+    val inB = snap0.filter(BucketedSnapshot.bucketOf(keys, nb) === 3L)
+    assert(inB.count() > 0, "bucket 3 must hold keys for the test to bite")
+    val maxTs = ch.agg(max(col("ts_ms"))).head().getLong(0)
+    // a tombstone for EVERY key in bucket 3, newer than all history
+    val tombs = inB.select(col("id"),
+      lit(null).cast("long").as("custkey"),
+      lit(null).cast("double").as("price"),
+      lit(null).cast("string").as("status"),
+      lit("d").as("op"), lit(maxTs + 1).as("ts_ms"), lit(-1).as("sign"))
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(tombs, 1L)
+    // the bucket committed an (empty) v=1 and the reader honors it
+    assert(Files.isDirectory(Paths.get(dir, "bucket=3/v=1")))
+    val snap1 = BucketedSnapshot.readSnapshot(spark, dir).get
+    assert(snap1.filter(BucketedSnapshot.bucketOf(keys, nb) === 3L).count() === 0)
+    assert(snap1.count() === snap0.count() - inB.count())
+    // time travel still sees the pre-delete bucket
+    val asOf0 = BucketedSnapshot.readSnapshotAsOf(spark, dir, 0L).get
+    assert(asOf0.filter(BucketedSnapshot.bucketOf(keys, nb) === 3L).count()
+      === inB.count())
+  }
+
+  test("replay is a no-op and a crash orphan is overwritten, never read") {
+    val tmp = Files.createTempDirectory("graft_bcrash").toString
+    val dir = s"$tmp/b"
+    val ch = CdcSim.parsedChangelog(spark, sf).limit(500).localCheckpoint()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    val want = BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet
+    // committed replay: marker present → merge must not touch state
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet === want)
+    // crash window of batch 1: an orphan version dir with GARBAGE rows and
+    // no marker — invisible to readers, overwritten by the replay
+    val someBucket = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .find(_.startsWith("bucket=")).get
+      finally s.close()
+    }
+    val orphan = Paths.get(dir, s"$someBucket/v=1")
+    Files.createDirectories(orphan)
+    BucketedSnapshot.readSnapshot(spark, dir).get // resolvable with orphan present
+    assert(BucketedSnapshot.latestVersion(dir) === Some(0L))
+    // replayed batch 1 = the same feed again (idempotent upsert)
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 1L)
+    assert(BucketedSnapshot.latestVersion(dir) === Some(1L))
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet === want)
+  }
+
+  test("streamed file drops land the batch semantics through start()") {
+    val tmp = Files.createTempDirectory("graft_bstream").toString
+    val in = s"$tmp/in"; Files.createDirectories(Paths.get(in))
+    val ch = CdcSim.ordersChangelog(spark, sf)
+    ch.select("value").coalesce(1).write.mode("overwrite").text(s"$tmp/stage")
+    val src = new java.io.File(s"$tmp/stage").listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    Files.copy(src.toPath, Paths.get(in, "a.txt"))
+    val q = BucketedSnapshot.start(spark, CdcPipeline.Files(in),
+      CdcSim.payloadSchema, keys, s"$tmp/snap", s"$tmp/chk")
+    q.awaitTermination()
+    val got = BucketedSnapshot.readSnapshot(spark, s"$tmp/snap").get
+    val want = CdcQueries.snapshotLatest(spark, sf).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+}
