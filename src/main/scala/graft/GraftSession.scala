@@ -21,6 +21,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // Cross-scale parallelism: AQE coalesces DOWN from the initial count
+      // but never splits a non-skewed stage up, so the initial number is
+      // the ceiling on reduce-side parallelism. Big-SF runs (the sf10
+      // smoke) export SPARK_GRAFT_INIT_PARTS to raise the ceiling — small
+      // SFs coalesce back to ~64 MB tasks either way; the default stays
+      // `cpus` so gate/bench plans at the driver SFs are byte-identical to
+      // prior rounds.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       // testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark 4 only
       // reads it via this escape hatch (as LongType nanos — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

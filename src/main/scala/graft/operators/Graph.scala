@@ -27,12 +27,14 @@ import graft.Tables
   * bounded by the same > [[Analytics.MaxBasket]] wholesale-basket guard
   * part_cosim uses (restated in both oracles, dormant at test scale:
   * sf0.1's widest basket is ~7 lines); a guarded-out part keeps its node
-  * (it dangles and keeps teleport mass) but contributes no edges. Each
-  * superstep shuffles edges once on
-  * src and once on dst, both SF-scaled keys with no hot node beyond
-  * co-purchase degree; dangling parts (single-item orders only) keep the
-  * teleport mass and drop out of the contribution join. The final top-k
-  * routes through the two-phase bucketed operator.
+  * (it dangles and keeps teleport mass) but contributes no edges. The
+  * graph lives as node-keyed ADJACENCY rows (src, degree, dsts[]) built in
+  * one shuffle and materialized once; each superstep then moves only the
+  * node-sized rank frame onto it and the map-side-combined (dst, partial
+  * contribution) rows out of it — the edge relation itself never travels
+  * again. Dangling parts (single-item orders only) keep the teleport mass
+  * and drop out of the contribution join. The final top-k routes through
+  * the two-phase bucketed operator.
   */
 object Graph {
 
@@ -49,32 +51,38 @@ object Graph {
       .transform(Scale.materialize)
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     val bs = basketGuarded(li)
-    // Degree rides ON the edge list as a window count over the src
-    // partition — the same shuffle that hash-partitions the edges on src,
-    // so one pass builds (src, dst, d) already laid out for the loop: the
-    // per-superstep rank join then moves only the node-sized rank frame
-    // and the big edge relation never travels again across all PrIters
-    // supersteps (localCheckpoint preserves the partitioning). This fuses
-    // the former build (distinct → materialize → degree agg → join →
-    // repartition → materialize) into a single materialized pass — one
-    // fewer full scan of the edge relation, which is the term that
-    // dominates at cluster scale.
-    val edges = bs.as("a").join(bs.as("b"),
+    // ADJACENCY-LIST layout (r12 — the GraphX/Pregel edge-partition shape):
+    // the distinct directed edge frame collapses to one (src, d, dsts[])
+    // row per source in the SAME groupBy shuffle that computes the degree.
+    // Two things follow at scale: (1) the materialized loop state is
+    // node-sized rows of packed long arrays — ~10× smaller in cache than
+    // row-per-edge (at sf10 the 213M-row edge frame held deserialized blew
+    // the storage pool and every superstep re-read disk-spilled blocks:
+    // 583 s; the array layout keeps the whole graph resident); (2) each
+    // superstep's rank join probes |nodes| rows instead of |edges| rows —
+    // the edge fan-out happens AFTER the join as a map-side explode feeding
+    // the partially-aggregated contribution shuffle, so per superstep only
+    // the node-sized rank frame and the combined (dst, partial-sum) rows
+    // ever travel. Degree skew is bounded by co-purchase fan-out (a hot
+    // part's array is |neighbors| longs on one row — megabytes at worst,
+    // never a partition).
+    val adj = bs.as("a").join(bs.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-      .withColumn("d", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("d"), collect_list(col("dst")).as("dsts"))
       .transform(Scale.materialize)
     // Rank init is one map over the materialized nodes — no checkpoint of
     // its own (lineage depth 1; superstep 1 reads it once).
     var ranks = nodes.join(broadcast(nn))
       .select(col("p"), expr(s"$PrScale div n_nodes").as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges.join(ranks, col("src") === col("p"))
+      val contrib = adj.join(ranks, col("src") === col("p"))
+        .select(explode(col("dsts")).as("dst"), expr("r div d").as("rc"))
         .groupBy(col("dst"))
-        .agg(sum(expr("r div d")).as("c"))
+        .agg(sum(col("rc")).as("c"))
       ranks = nodes.join(broadcast(nn))
         .join(contrib, col("p") === col("dst"), "left_outer")
         .select(col("p"),
