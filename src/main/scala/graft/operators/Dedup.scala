@@ -205,8 +205,14 @@ object Dedup {
     * length filter as [[ppjoinAt]]); shared by the fixed-τ query and the
     * auto-tuned dispatch.
     */
-  private def plainJaccardAt(s: SparkSession, d: String, tau: Double): DataFrame = {
-    val postings = shinglePostings(s, d)
+  private def plainJaccardAt(s: SparkSession, d: String, tau: Double): DataFrame =
+    plainJaccardOf(Tables.documents(s, d), tau)
+
+  /** The same exact kernel over an explicit (doc_id, text) frame — the
+    * recall audit's truth side runs it on the [[DocPaneIds]] pane.
+    */
+  private def plainJaccardOf(docs: DataFrame, tau: Double): DataFrame = {
+    val postings = shinglePostingsOf(docs)
       .select(col("doc_id"), col("n"), xxhash64(col("sh")).as("h"))
       .transform(Scale.materialize)
     val shared = postings.as("a").join(postings.as("b"),
@@ -876,10 +882,38 @@ object Dedup {
     * guarded identically in both engines (DuckDB `// 0` errors where Spark
     * `div` returns NULL).
     */
-  def dedupRecallEval(s: SparkSession, d: String): DataFrame = {
-    val truth = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+  /** Doc-count cap above which the recall audit runs on the
+    * `doc_id < DocPaneIds` pane (the [[Similarity.TruthSampleIds]]
+    * discipline applied to the document side): the audit's truth is the
+    * quadratic-by-design exact jaccard, so above the cap BOTH sides
+    * compute over the pane — semantically exact per pair (a pair's
+    * jaccard and its minhash signatures depend only on its two docs), so
+    * the paned audit is the banding's recall/precision measured on a
+    * uniform 2^16-doc sample, which is what a deployment monitor runs at
+    * 100 TB. Below the cap — including every driver gate SF (sf0.01: 1.4k
+    * docs; sf0.1: 5k; sf1: 50k) — nothing changes. sf10 (500k docs)
+    * measured: the audit bounds at pane²/2 truth work regardless of
+    * corpus size.
+    */
+  val DocPaneIds = 65536L
+
+  def dedupRecallEval(s: SparkSession, d: String): DataFrame =
+    dedupRecallEvalAt(s, d, DocPaneIds)
+
+  /** Pane-parametric body so DedupSpec can force the pane on a tiny
+    * corpus and pin paned ≡ slice-recomputed.
+    */
+  private[graft] def dedupRecallEvalAt(s: SparkSession, d: String,
+      pane: Long): DataFrame = {
+    val all = Tables.documents(s, d)
+    val paned = all.count() > pane
+    // the generated oracle bakes THIS dispatch — only the registered
+    // query's pane feeds it (spec-forced panes must not leak into dumps)
+    if (pane == DocPaneIds) recallPaneCache.put(d, Boolean.box(paned))
+    val docs = if (paned) all.filter(col("doc_id") < pane) else all
+    val truth = plainJaccardOf(docs, 0.5).select(col("doc_a"), col("doc_b"))
       .transform(Scale.materialize)
-    val postings = shinglePostings(s, d)
+    val postings = shinglePostingsOf(docs)
       .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
       .transform(Scale.materialize)
     val m = minhashSignatures(postings, Bands * RowsPerBand)
@@ -922,9 +956,31 @@ object Dedup {
     s"""list_distinct(CASE WHEN len(toks) >= 3
        | THEN list_transform(range(0, len(toks)-2), i -> array_to_string(list_slice(toks, i+1, i+3), ' '))
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
-  private val docShinglesSql =
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  private val docShinglesSql = docShinglesSqlWhere("")
+
+  /** [[DocPaneIds]] as a GENERATED-oracle decision (the mhTuneCache
+    * contract): the registered query records whether this dir dispatched
+    * to the pane, and the oracle dump — which Verify runs AFTER the
+    * queries — bakes the corresponding literal WHERE. Below the cap the
+    * emitted SQL is byte-identical to the unpaned oracle (no lim CTE, no
+    * per-row subquery overhead on the driver's gate budget).
+    */
+  private[graft] val recallPaneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def recallPaneWhere: String =
+    if (recallPaneCache.size == 1 &&
+        recallPaneCache.values.iterator.next().booleanValue)
+      s"WHERE doc_id < $DocPaneIds"
+    else ""
+
+  /** The shingles CTE with an optional documents filter — the recall
+    * audit's paned oracle slices here; every other caller passes "".
+    */
+  private def docShinglesSqlWhere(where: String): String = {
+    val w = if (where.isEmpty) "" else s" $where"
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents$w),
        |s AS (SELECT doc_id, toks, $shsSql AS shs FROM t)""".stripMargin
+  }
   private def jaccSql(a: String, b: String) =
     s"(CAST(len(list_intersect($a,$b)) AS DOUBLE) / (len($a)+len($b)-len(list_intersect($a,$b))))"
 
@@ -947,9 +1003,10 @@ object Dedup {
     * `lshCandidatePairs`, shared by the jaccard-verified and the
     * embedding-verified oracles.
     */
-  private def lshPairsCte(bands: Int, rowsPerBand: Int): String = {
+  private def lshPairsCte(bands: Int, rowsPerBand: Int,
+      docWhere: String = ""): String = {
     val numHashes = bands * rowsPerBand
-    s"""$docShinglesSql,
+    s"""${docShinglesSqlWhere(docWhere)},
        |${mhSqlFor(numHashes)},
        |bands AS (SELECT doc_id, k,
        |    array_to_string(list_slice(mh, k*$rowsPerBand+1, k*$rowsPerBand+$rowsPerBand), ',') AS sig
@@ -1011,8 +1068,11 @@ object Dedup {
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
     "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
+    // paned above DocPaneIds (no-op at every gate SF — the emitted SQL is
+    // then byte-identical to the unpaned oracle): the generated WHERE
+    // slices the documents BOTH sides read, restating the query's dispatch
     "dedup_recall_eval" ->
-      s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+      s"""WITH ${lshPairsCte(Bands, RowsPerBand, recallPaneWhere)},
          |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
          |  WHERE ${jaccSql("a.shs", "b.shs")} >= 0.5),
@@ -1187,7 +1247,7 @@ object Dedup {
       // same metrics, truth set restated through the postings join instead
       // of the all-pairs list_intersect (the postingsJaccardSqlAt discipline)
       "dedup_recall_eval" ->
-        s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+        s"""WITH ${lshPairsCte(Bands, RowsPerBand, recallPaneWhere)},
            |n AS (SELECT doc_id, len(shs) AS n FROM s),
            |p AS (SELECT doc_id, unnest(shs) AS sh FROM s),
            |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

