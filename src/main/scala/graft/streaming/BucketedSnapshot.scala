@@ -144,6 +144,7 @@ object BucketedSnapshot {
     */
   def readSnapshotAsOf(s: SparkSession, dir: String, v: Long): Option[DataFrame] = {
     if (!committed(dir).exists(_ <= v)) None
+    else if (horizon(dir).exists(v < _)) None // vacuumed away
     else {
       val paths = resolvePaths(dir, v)
       if (paths.isEmpty) None else Some(s.read.parquet(paths: _*))
@@ -156,6 +157,50 @@ object BucketedSnapshot {
       try files.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
       finally files.close()
     }
+
+  /** The vacuum horizon: time travel below it returns None (its bucket
+    * versions may be gone). Absent = never vacuumed.
+    */
+  private def horizon(dir: String): Option[Long] = {
+    val p = Paths.get(dir, "_HORIZON")
+    if (Files.exists(p)) Files.readString(p).trim.toLongOption else None
+  }
+
+  /** Retention over the bucketed store (the monolithic store's `vacuum`
+    * adapted to independent bucket versioning): keep the newest `keep`
+    * committed batches readable AS OF, drop everything each bucket no
+    * longer needs below that cutoff. A bucket dir older than the cutoff
+    * is still REFERENCED if it is the bucket's newest version ≤ cutoff
+    * (it carries the bucket's state for every retained batch until the
+    * bucket's next write), so per bucket the rule is: delete versions
+    * strictly older than its newest version ≤ cutoff. Global markers are
+    * never deleted — they are bytes, not storage, and resolution needs
+    * them for the referenced old dirs. The horizon is persisted so
+    * `readSnapshotAsOf` below it refuses (None) instead of silently
+    * serving buckets whose dirs were dropped. Returns the deleted
+    * (bucket, version) pairs.
+    */
+  def vacuum(dir: String, keep: Int): Seq[(Long, Long)] = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val comm = committed(dir).sorted
+    if (comm.size <= keep) return Seq.empty
+    val cutoff = comm.takeRight(keep).head
+    val commSet = comm.toSet
+    val dropped = allBuckets(dir).flatMap { b =>
+      val vs = bucketVersions(dir, b).filter(commSet.contains).sorted
+      val needed = vs.filter(_ <= cutoff).lastOption
+      vs.filter(v => v < cutoff && !needed.contains(v)).map { v =>
+        deleteRecursively(Paths.get(dir, s"bucket=$b/v=$v"))
+        (b, v)
+      }
+    }
+    val tmp = Paths.get(dir, "_HORIZON.tmp")
+    Files.writeString(tmp, cutoff.toString)
+    Files.move(tmp, Paths.get(dir, "_HORIZON"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dropped
+  }
 
   /** Merge one micro-batch of flattened signed change rows: union the
     * TOUCHED buckets' current state with the batch, re-run the one-shuffle

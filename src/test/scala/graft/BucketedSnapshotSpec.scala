@@ -134,6 +134,39 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     assert(BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet === want)
   }
 
+  test("vacuum drops only unreferenced bucket versions; horizon guards asOf") {
+    val tmp = Files.createTempDirectory("graft_bvac").toString
+    val dir = s"$tmp/b"
+    val nb = BucketedSnapshot.DefaultBuckets
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    // batch 0: everything; batches 1 and 2: single-bucket touches, so most
+    // buckets' state for the retained window still lives in v=0 dirs
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(
+      ch.filter(BucketedSnapshot.bucketOf(keys, nb) === 0L), 1L)
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(
+      ch.filter(BucketedSnapshot.bucketOf(keys, nb) === 1L), 2L)
+    val liveBefore = BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet
+    val asOf1Before = BucketedSnapshot.readSnapshotAsOf(spark, dir, 1L).get
+      .collect().toSet
+
+    val dropped = BucketedSnapshot.vacuum(dir, keep = 2) // retain batches 1, 2
+    // bucket 0's v=0 became unreferenced at cutoff 1 (superseded by v=1);
+    // every OTHER bucket's v=0 is still its state for the retained window
+    assert(dropped === Seq((0L, 0L)))
+    assert(!Files.isDirectory(Paths.get(dir, "bucket=0/v=0")))
+    assert(Files.isDirectory(Paths.get(dir, "bucket=1/v=0")))
+    // retained reads are byte-identical to pre-vacuum
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get.collect().toSet
+      === liveBefore)
+    assert(BucketedSnapshot.readSnapshotAsOf(spark, dir, 1L).get.collect().toSet
+      === asOf1Before)
+    // below the horizon time travel refuses instead of serving stale holes
+    assert(BucketedSnapshot.readSnapshotAsOf(spark, dir, 0L).isEmpty)
+    // vacuum is idempotent
+    assert(BucketedSnapshot.vacuum(dir, keep = 2).isEmpty)
+  }
+
   test("streamed file drops land the batch semantics through start()") {
     val tmp = Files.createTempDirectory("graft_bstream").toString
     val in = s"$tmp/in"; Files.createDirectories(Paths.get(in))
