@@ -119,16 +119,27 @@ object CdcQueries {
   }
 
   /** Time travel against the MAINTAINED store (VERSION AS OF), not the
-    * event log: the changelog replays into an IncrementalSnapshot store as
-    * [[StoreBatches]] deterministic time-sliced micro-batches (batch of an
-    * event = ((ts − min_ts) · B) div (max_ts − min_ts + 1), integer-exact
-    * and restated verbatim in the oracle), then the query reads version
-    * [[StoreAsOfVersion]] back. The build runs once per JVM per dataset
-    * into a fresh temp dir through the real commit protocol (marker +
-    * pointer flip); the READ is the point — one parquet dir, no log scan:
-    * the Delta/Iceberg `VERSION AS OF` role, oracle-checked against the
-    * equivalent log-prefix snapshot (store-fold ≡ log-snapshot algebra is
-    * separately pinned in IncrementalSnapshotSpec / CdcPropertySpec).
+    * event log: the changelog replays into a [[graft.streaming.BucketedSnapshot]]
+    * store as [[StoreBatches]] deterministic time-sliced micro-batches
+    * (batch of an event = ((ts − min_ts) · B) div (max_ts − min_ts + 1),
+    * integer-exact and restated verbatim in the oracle), then the query
+    * reads version [[StoreAsOfVersion]] back. The build runs once per JVM
+    * per dataset into a fresh temp dir through the real commit protocol
+    * (per-bucket version dirs + global marker); the READ is the point —
+    * parquet dirs resolved per bucket, no log scan: the Delta/Iceberg
+    * `VERSION AS OF` role, oracle-checked against the equivalent
+    * log-prefix snapshot. Store-fold ≡ log-snapshot algebra and
+    * bucketed ≡ monolithic parity are separately pinned in
+    * IncrementalSnapshotSpec / CdcPropertySpec / BucketedSnapshotSpec.
+    *
+    * The store here is the BUCKETED one — the store you'd deploy at
+    * 100 TB (per-batch write cost = touched buckets, not history). Note
+    * this bench feed is the bucketed store's documented worst case: the
+    * batches are TIME slices and the orders keys are uniform over the id
+    * space, so every batch touches every bucket and the build degenerates
+    * by construction to the monolithic full rewrite (never worse). A real
+    * CDC feed whose recent keys cluster pays per-batch work proportional
+    * to the batch — that case is what BucketedSnapshotSpec pins.
     */
   val StoreBatches = 8
   val StoreAsOfVersion = 3
@@ -144,19 +155,19 @@ object CdcQueries {
       val t0 = bounds.getLong(0)
       val span = bounds.getLong(1) - t0 + 1
       for (k <- 0 until StoreBatches)
-        graft.streaming.IncrementalSnapshot.merge(dir, Seq("id"), payloadCols)(
+        graft.streaming.BucketedSnapshot.merge(dir, Seq("id"), payloadCols)(
           ch.filter(expr(s"((ts_ms - $t0) * $StoreBatches) div $span = $k")), k.toLong)
       dir
     })
 
-  /** Build (or reuse) the incremental store for `d` eagerly — Bench calls
+  /** Build (or reuse) the bucketed store for `d` eagerly — Bench calls
     * this outside the timed region so the 8 sequential merges are reported
     * as `store_build`, not charged to the first store query.
     */
   def prewarmStore(s: SparkSession, d: String): Unit = builtStore(s, d)
 
   def snapshotAsOfStore(s: SparkSession, d: String): DataFrame =
-    graft.streaming.IncrementalSnapshot
+    graft.streaming.BucketedSnapshot
       .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
 
   /** Anti-entropy consistency audit — the reconciliation a production CDC
@@ -174,7 +185,7 @@ object CdcQueries {
     * job that buys trust in the incremental path.
     */
   def consistencyCheck(s: SparkSession, d: String): DataFrame = {
-    val store = graft.streaming.IncrementalSnapshot
+    val store = graft.streaming.BucketedSnapshot
       .readSnapshot(s, builtStore(s, d)).get
       .select(col("id"), col("custkey").as("s_custkey"), col("price").as("s_price"),
         col("status").as("s_status"), col("ts_ms").as("s_ts"))

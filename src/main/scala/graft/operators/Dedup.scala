@@ -906,7 +906,19 @@ object Dedup {
   private[graft] def dedupRecallEvalAt(s: SparkSession, d: String,
       pane: Long): DataFrame = {
     val all = Tables.documents(s, d)
-    val paned = all.count() > pane
+    // one bounded pass prices BOTH the dispatch (total docs) and the pane's
+    // ACTUAL size — `doc_id < pane` equals a uniform pane-sized sample only
+    // while ids are dense and 0-based; on an offset/sparse id space the
+    // slice silently shrinks, so an empty pane must abort, not audit nothing
+    val counts = all.agg(count(lit(1)).as("n"),
+      sum(when(col("doc_id") < pane, 1L).otherwise(0L)).as("np")).head()
+    val total = counts.getLong(0)
+    val paneN = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val paned = total > pane
+    require(!paned || paneN > 0,
+      s"recall-audit pane doc_id < $pane matched 0 of $total docs — the " +
+        "corpus ids are not dense/0-based; densify (row_number over doc_id) " +
+        "or lower the pane before auditing")
     // the generated oracle bakes THIS dispatch — only the registered
     // query's pane feeds it (spec-forced panes must not leak into dumps)
     if (pane == DocPaneIds) recallPaneCache.put(d, Boolean.box(paned))
@@ -967,11 +979,20 @@ object Dedup {
     */
   private[graft] val recallPaneCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def recallPaneWhere: String =
-    if (recallPaneCache.size == 1 &&
-        recallPaneCache.values.iterator.next().booleanValue)
-      s"WHERE doc_id < $DocPaneIds"
-    else ""
+
+  /** The paned WHERE for the generated recall oracle — None when the cache
+    * is empty or ambiguous (a JVM that ran ≥2 dirs), in which case the
+    * oracle entry is OMITTED entirely (the mhTuneCache discipline): a
+    * silently-unpaned fallback would dump a quadratic full-corpus truth
+    * query for a paned dir — a guaranteed mismatch, worse than the
+    * driver's weaker rows-only check.
+    */
+  private def recallPaneWhereOpt: Option[String] =
+    if (recallPaneCache.size != 1) None
+    else Some(
+      if (recallPaneCache.values.iterator.next().booleanValue)
+        s"WHERE doc_id < $DocPaneIds"
+      else "")
 
   /** The shingles CTE with an optional documents filter — the recall
     * audit's paned oracle slices here; every other caller passes "".
@@ -1037,7 +1058,29 @@ object Dedup {
        |         THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS sim
        |  FROM hb)""".stripMargin
 
-  def oracles: Map[String, String] = maybeAutoOracle ++ Map(
+  // paned above DocPaneIds (no-op at every gate SF — the emitted SQL is
+  // then byte-identical to the unpaned oracle): the generated WHERE slices
+  // the documents BOTH sides read, restating the query's dispatch. Emitted
+  // only when the pane cache is unambiguous (see recallPaneWhereOpt).
+  private def maybeRecallOracle: Map[String, String] =
+    recallPaneWhereOpt.map { w =>
+      "dedup_recall_eval" ->
+        s"""WITH ${lshPairsCte(Bands, RowsPerBand, w)},
+           |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE ${jaccSql("a.shs", "b.shs")} >= 0.5),
+           |nt AS (SELECT count(*) AS n_true FROM tp),
+           |nc AS (SELECT count(*) AS n_cand FROM pairs),
+           |nh AS (SELECT count(*) AS n_hit FROM pairs JOIN tp USING (doc_a, doc_b))
+           |SELECT n_true, n_cand, n_hit,
+           |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
+           |    ELSE CAST(0 AS BIGINT) END AS recall_ppm,
+           |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+           |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
+           |FROM nt, nc, nh""".stripMargin
+    }.toMap
+
+  def oracles: Map[String, String] = maybeAutoOracle ++ maybeRecallOracle ++ Map(
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
@@ -1068,23 +1111,6 @@ object Dedup {
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
     "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
-    // paned above DocPaneIds (no-op at every gate SF — the emitted SQL is
-    // then byte-identical to the unpaned oracle): the generated WHERE
-    // slices the documents BOTH sides read, restating the query's dispatch
-    "dedup_recall_eval" ->
-      s"""WITH ${lshPairsCte(Bands, RowsPerBand, recallPaneWhere)},
-         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE ${jaccSql("a.shs", "b.shs")} >= 0.5),
-         |nt AS (SELECT count(*) AS n_true FROM tp),
-         |nc AS (SELECT count(*) AS n_cand FROM pairs),
-         |nh AS (SELECT count(*) AS n_hit FROM pairs JOIN tp USING (doc_a, doc_b))
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_true > 0 THEN n_hit * 1000000 // n_true
-         |    ELSE CAST(0 AS BIGINT) END AS recall_ppm,
-         |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
-         |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
-         |FROM nt, nc, nh""".stripMargin,
     "dedup_semantic" ->
       s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1243,11 +1269,13 @@ object Dedup {
         Map("dedup_jaccard_auto" ->
           postingsJaccardSqlAt(jaccTauCache.values.iterator.next()))
       else Map.empty[String, String]
-    auto ++ Map(
-      // same metrics, truth set restated through the postings join instead
-      // of the all-pairs list_intersect (the postingsJaccardSqlAt discipline)
+    // same metrics, truth set restated through the postings join instead
+    // of the all-pairs list_intersect (the postingsJaccardSqlAt discipline);
+    // same generated-oracle contract as the driver-gate entry (omitted
+    // when the pane cache is ambiguous)
+    val recall = recallPaneWhereOpt.map { w =>
       "dedup_recall_eval" ->
-        s"""WITH ${lshPairsCte(Bands, RowsPerBand, recallPaneWhere)},
+        s"""WITH ${lshPairsCte(Bands, RowsPerBand, w)},
            |n AS (SELECT doc_id, len(shs) AS n FROM s),
            |p AS (SELECT doc_id, unnest(shs) AS sh FROM s),
            |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -1265,7 +1293,9 @@ object Dedup {
            |    ELSE CAST(0 AS BIGINT) END AS recall_ppm,
            |  CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
            |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
-           |FROM nt, nc, nh""".stripMargin,
+           |FROM nt, nc, nh""".stripMargin
+    }.toMap
+    auto ++ recall ++ Map(
       "dedup_ngram_jaccard" -> postings,
       "dedup_jaccard_ppjoin" -> postings,
       "dedup_source_overlap" -> sourceOverlapOracleFrom(postings),

@@ -141,14 +141,32 @@ object BucketedSnapshot {
 
   /** VERSION AS OF over the bucketed store: per bucket, the newest
     * committed version ≤ v — O(#buckets) dir listings, no log replay.
+    *
+    * A committed store whose buckets are ALL empty (every key tombstoned)
+    * reads as an empty DataFrame under the persisted `_SCHEMA`, not None —
+    * "store is legitimately empty" and "store does not exist / version
+    * vacuumed away" are different answers and callers need to tell them
+    * apart (the [[IncrementalSnapshot]] contract).
     */
   def readSnapshotAsOf(s: SparkSession, dir: String, v: Long): Option[DataFrame] = {
     if (!committed(dir).exists(_ <= v)) None
     else if (horizon(dir).exists(v < _)) None // vacuumed away
     else {
       val paths = resolvePaths(dir, v)
-      if (paths.isEmpty) None else Some(s.read.parquet(paths: _*))
+      if (paths.nonEmpty) Some(s.read.parquet(paths: _*))
+      else storedSchema(dir).map(sch =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
     }
+  }
+
+  /** The store's row schema, pinned at creation alongside `_BUCKETS` so an
+    * emptied store still knows its shape.
+    */
+  private def storedSchema(dir: String): Option[StructType] = {
+    val p = Paths.get(dir, "_SCHEMA")
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+      .asInstanceOf[StructType])
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -246,6 +264,10 @@ object BucketedSnapshot {
     val all = state.map(batch.unionByName(_)).getOrElse(batch)
     val next = CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
       .withColumn("bucket", bucketOf(keyCols, nb))
+    val schemaFile = Paths.get(dir, "_SCHEMA")
+    if (!Files.exists(schemaFile))
+      Files.writeString(schemaFile,
+        StructType(next.schema.filterNot(_.name == "bucket")).json)
     val stage = Paths.get(dir, s"_stage/$batchId")
     deleteRecursively(stage)
     next.write.mode("overwrite").partitionBy("bucket")

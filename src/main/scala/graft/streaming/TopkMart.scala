@@ -58,6 +58,18 @@ object TopkMart {
       (batch: DataFrame, batchId: Long): Boolean = {
     IncrementalMart.merge(snapDir, martDir, keyCols, payloadCols, groupCol,
       valueCol)(batch, batchId)
+    // k is part of the view's identity, pinned at creation like
+    // BucketedSnapshot's _BUCKETS: the candidate path tops up from stored-k
+    // ∪ touched groups, which is only sufficient for the SAME k — a raised
+    // k against an existing store would silently return short/wrong rows.
+    Files.createDirectories(Paths.get(topkDir))
+    val kFile = Paths.get(topkDir, "_K")
+    val storedK =
+      if (Files.exists(kFile)) Files.readString(kFile).trim.toInt
+      else { Files.writeString(kFile, k.toString); k }
+    require(storedK == k,
+      s"top-k store is pinned at k=$storedK, caller asked for k=$k — k is " +
+        "fixed at store creation (changing it means rebuilding the view)")
     val manifest = Paths.get(topkDir, "_manifest")
     Files.createDirectories(manifest)
     val marker = manifest.resolve(batchId.toString)

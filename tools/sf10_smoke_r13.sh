@@ -25,6 +25,7 @@ du -sh testdata-sf1 testdata-sf10
 
 echo "=== Bench: the documented floors, isolated ==="
 SPARK_GRAFT_SF_DIR=testdata-sf10 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_INIT_PARTS=256 \
   SPARK_DRIVER_MEM=48g SPARK_GRAFT_OUT=$LOG/floors sbt -batch \
   "runMain graft.Bench dedup_jaccard_ppjoin,part_cosim,mm_phash_neardup" \
   > $LOG/bench_floors.log 2>&1
