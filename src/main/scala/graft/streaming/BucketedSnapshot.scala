@@ -40,11 +40,12 @@ import graft.cdc.{CdcOps, Envelope}
   * file at creation — a store's bucketing is part of its identity (changing
   * it means a rewrite), exactly like a bucketed Hive/Iceberg table.
   *
-  * Plain-store semantics only (tombstones applied and forgotten, the
-  * [[CdcOps.snapshotLatest]] merge); the retention-mode twin would swap in
-  * logCompact per bucket unchanged. Ref: cdc_processor.py:100-124 (the
-  * sink this keeps in current-state shape), init-clickhouse.sql (the
-  * ReplacingMergeTree role).
+  * Two tombstone disciplines, pinned at creation: plain (tombstones
+  * applied and forgotten, the [[CdcOps.snapshotLatest]] merge) and
+  * retention (tombstones persist as rows via [[CdcOps.logCompact]] per
+  * bucket — the no-resurrection guard under at-least-once redelivery).
+  * Ref: cdc_processor.py:100-124 (the sink this keeps in current-state
+  * shape), init-clickhouse.sql (the ReplacingMergeTree role).
   */
 object BucketedSnapshot {
 
@@ -135,6 +136,16 @@ object BucketedSnapshot {
 
   def latestVersion(dir: String): Option[Long] = committed(dir).maxOption
 
+  /** A stored version as the LIVE-ROWS view: retention-mode stores keep
+    * delete tombstones as rows (op='d') so redelivered pre-tombstone
+    * changes cannot resurrect a deleted key; readers see live rows only.
+    * Plain stores have no `op` column and pass through untouched (the
+    * [[IncrementalSnapshot]] discipline).
+    */
+  private def liveView(df: DataFrame): DataFrame =
+    if (df.columns.contains("op")) df.filter(col("op") =!= "d").drop("op")
+    else df
+
   /** The live snapshot: every bucket at its newest committed version. */
   def readSnapshot(s: SparkSession, dir: String): Option[DataFrame] =
     latestVersion(dir).flatMap(v => readSnapshotAsOf(s, dir, v))
@@ -153,9 +164,9 @@ object BucketedSnapshot {
     else if (horizon(dir).exists(v < _)) None // vacuumed away
     else {
       val paths = resolvePaths(dir, v)
-      if (paths.nonEmpty) Some(s.read.parquet(paths: _*))
-      else storedSchema(dir).map(sch =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+      if (paths.nonEmpty) Some(liveView(s.read.parquet(paths: _*)))
+      else storedSchema(dir).map(sch => liveView(
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)))
     }
   }
 
@@ -222,11 +233,27 @@ object BucketedSnapshot {
 
   /** Merge one micro-batch of flattened signed change rows: union the
     * TOUCHED buckets' current state with the batch, re-run the one-shuffle
-    * snapshotLatest merge, write back partitioned by bucket, and move only
-    * the touched buckets' new version dirs into place.
+    * merge, write back partitioned by bucket, and move only the touched
+    * buckets' new version dirs into place.
+    *
+    * `tombstoneRetention` (version units, e.g. ms) opts into the
+    * ClickHouse-sign-row / Kafka-`delete.retention.ms` store shape, ported
+    * per bucket from [[IncrementalSnapshot.merge]] unchanged: the state
+    * folds through [[CdcOps.logCompact]] instead of
+    * [[CdcOps.snapshotLatest]], so delete tombstones persist AS ROWS until
+    * they age past the retention horizon — an at-least-once redelivery of
+    * a pre-delete change in a later batch cannot resurrect the key (the
+    * Bootstrap seam's guarantee, now available on bucketed stores).
+    * Per-bucket nuance: the compaction head is the max ts over (touched
+    * bucket state ∪ batch), so an untouched bucket's aged tombstones
+    * survive until its next write — retention can only run LONG, never
+    * short, which is the safe direction for a resurrection guard. The mode
+    * is pinned in `_MODE` at creation (crossing plain↔retention would
+    * corrupt state: a plain merge stamps op='r' over stored tombstones).
     */
   def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String],
-      buckets: Int = DefaultBuckets)(batch: DataFrame, batchId: Long): Unit = {
+      buckets: Int = DefaultBuckets, tombstoneRetention: Option[Long] = None)
+      (batch: DataFrame, batchId: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val nb = bucketsOf(dir).getOrElse {
       Files.writeString(Paths.get(dir, "_BUCKETS"), buckets.toString)
@@ -235,6 +262,14 @@ object BucketedSnapshot {
     require(nb == buckets,
       s"store is bucketed at $nb, caller asked for $buckets — bucketing is " +
         "fixed at store creation (changing it is a rewrite)")
+    val mode = if (tombstoneRetention.isDefined) "retention" else "plain"
+    val modeFile = Paths.get(dir, "_MODE")
+    val storedMode =
+      if (Files.exists(modeFile)) Files.readString(modeFile).trim
+      else { Files.writeString(modeFile, mode); mode }
+    require(storedMode == mode,
+      s"store was created in $storedMode mode, caller asked for $mode — " +
+        "tombstone handling is fixed at store creation (changing it is a rewrite)")
     val manifest = Paths.get(dir, "_manifest")
     Files.createDirectories(manifest)
     val marker = manifest.resolve(batchId.toString)
@@ -257,13 +292,21 @@ object BucketedSnapshot {
       bucketLatest(dir, b, comm, batchId - 1)
         .toSeq.flatMap(v => partFiles(Paths.get(dir, s"bucket=$b/v=$v")))
     }
-    val state =
-      if (statePaths.isEmpty) None
-      else Some(s.read.parquet(statePaths: _*)
-        .withColumn("op", lit("r")).withColumn("sign", lit(1)))
-    val all = state.map(batch.unionByName(_)).getOrElse(batch)
-    val next = CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
-      .withColumn("bucket", bucketOf(keyCols, nb))
+    def stateRaw = if (statePaths.isEmpty) None else Some(s.read.parquet(statePaths: _*))
+    val merged = tombstoneRetention match {
+      case None =>
+        val state = stateRaw
+          .map(_.withColumn("op", lit("r")).withColumn("sign", lit(1)))
+        val all = state.map(batch.unionByName(_)).getOrElse(batch)
+        CdcOps.snapshotLatest(all, keyCols, "ts_ms", payloadCols)
+      case Some(ret) =>
+        // state rows already carry op + ts_ms; sign is derivable from op,
+        // so the union drops it and logCompact keys retention off op alone
+        val b = batch.drop("sign")
+        val all = stateRaw.map(b.unionByName(_)).getOrElse(b)
+        CdcOps.logCompact(all, keyCols, "ts_ms", payloadCols, ret)
+    }
+    val next = merged.withColumn("bucket", bucketOf(keyCols, nb))
     val schemaFile = Paths.get(dir, "_SCHEMA")
     if (!Files.exists(schemaFile))
       Files.writeString(schemaFile,
@@ -289,11 +332,12 @@ object BucketedSnapshot {
   def start(s: SparkSession, src: CdcPipeline.Source, payloadSchema: StructType,
       keyCols: Seq[String], dir: String, checkpointDir: String,
       buckets: Int = DefaultBuckets,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      tombstoneRetention: Option[Long] = None): StreamingQuery = {
     val payloadCols = payloadSchema.fieldNames.toSeq.filterNot(keyCols.contains)
     Envelope.parse(CdcPipeline.read(s, src), payloadSchema)
       .writeStream
-      .foreachBatch(merge(dir, keyCols, payloadCols, buckets) _)
+      .foreachBatch(merge(dir, keyCols, payloadCols, buckets, tombstoneRetention) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

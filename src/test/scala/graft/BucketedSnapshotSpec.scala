@@ -167,6 +167,46 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     assert(BucketedSnapshot.vacuum(dir, keep = 2).isEmpty)
   }
 
+  test("retention mode blocks resurrection and matches the monolithic retention store") {
+    val tmp = Files.createTempDirectory("graft_bret").toString
+    val bDir = s"$tmp/b"; val mDir = s"$tmp/m"
+    // retention horizon far beyond the changelog's ts spread: every
+    // tombstone stays a stored row for the whole test
+    val ret = 1L << 50
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    BucketedSnapshot.merge(bDir, keys, CdcQueries.payloadCols,
+      tombstoneRetention = Some(ret))(ch, 0L)
+    IncrementalSnapshot.merge(mDir, keys, CdcQueries.payloadCols, Some(ret))(ch, 0L)
+    // at-least-once redelivery of every PRE-delete event of the deleted
+    // keys (the sim tombstones id % 10 == 0): against a plain store these
+    // arrive as the keys' only events and resurrect them; the stored
+    // tombstone rows must outvote them
+    val redelivered = ch.filter(col("id") % 10 === 0 && col("op") =!= "d")
+      .localCheckpoint()
+    assert(redelivered.count() > 0, "need pre-delete events to redeliver")
+    BucketedSnapshot.merge(bDir, keys, CdcQueries.payloadCols,
+      tombstoneRetention = Some(ret))(redelivered, 1L)
+    IncrementalSnapshot.merge(mDir, keys, CdcQueries.payloadCols, Some(ret))(
+      redelivered, 1L)
+    val got = BucketedSnapshot.readSnapshot(spark, bDir).get
+    assert(got.filter(col("id") % 10 === 0).count() === 0, "resurrected keys")
+    // live view parity with the monolithic retention store…
+    val want = IncrementalSnapshot.readSnapshot(spark, mDir).get
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // …and with the plain batch snapshot (retention changes what is STORED,
+    // never what readers see)
+    val plain = CdcQueries.snapshotLatest(spark, sf).select(got.columns.map(col): _*)
+    assert(got.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(got).count() === 0)
+    // the discipline is pinned: a plain merge against a retention store
+    // refuses instead of stamping op='r' over stored tombstones
+    intercept[IllegalArgumentException] {
+      BucketedSnapshot.merge(bDir, keys, CdcQueries.payloadCols)(ch, 2L)
+    }
+  }
+
   test("streamed file drops land the batch semantics through start()") {
     val tmp = Files.createTempDirectory("graft_bstream").toString
     val in = s"$tmp/in"; Files.createDirectories(Paths.get(in))

@@ -32,6 +32,9 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.TextQueries.textQualityModel(spark, sf).count()
     // text_bm25's idf/avgdl stats follow the same generated-oracle contract
     graft.operators.Search.textBm25(spark, sf).count()
+    // dedup_recall_eval's oracle bakes the pane dispatch the query recorded
+    // (round 13: omitted when the cache is ambiguous, like the tuners)
+    graft.operators.Dedup.dedupRecallEval(spark, sf).count()
     // order-independence: the centroid-family oracles are emitted only when
     // EXACTLY ONE dir has trained (the Verify contract — one sf per run).
     // Suites run in parallel in this JVM, and SimilaritySpec's sf0.01
@@ -39,6 +42,8 @@ class VerifyParitySpec extends AnyFunSuite {
     // cleans up after itself — so retain only our dir before reading the
     // oracle map.
     graft.operators.Similarity.centroidCache.keySet
+      .retainAll(java.util.Collections.singleton(sf))
+    graft.operators.Dedup.recallPaneCache.keySet
       .retainAll(java.util.Collections.singleton(sf))
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
