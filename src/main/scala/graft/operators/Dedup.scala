@@ -310,6 +310,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs at or above this normalized edit similarity (ppm)
+    * survive the edit-distance verification.
+    */
+  val EditSimTauPpm = 500000L
+
+  /** Edit-distance near-dup verification — the third verification signal in
+    * the dedup stack next to exact Jaccard (dedup_minhash_lsh) and embedding
+    * cosine (dedup_semantic): the SAME MinHash-LSH band blocking produces
+    * candidates, and each pair is scored by Levenshtein distance over the
+    * normalized text — the right arbiter for short-edit duplicates (typo
+    * farms, template fills, boilerplate with one swapped entity) whose
+    * shingle sets diverge superlinearly in the edit count while the edit
+    * distance itself stays tiny. Similarity is the standard normalized form
+    * 1 − lev/max(|a|,|b|), kept INTEGER (ppm with div) so the gate is
+    * hash-exact; both engines run their NATIVE levenshtein (same
+    * unit-cost character-level recurrence).
+    *
+    * Scale: candidate volume is the bounded band join (≤ MaxBandWidth² per
+    * bucket, stop-band capped); the O(|a|·|b|) per-pair recurrence is
+    * confined to those candidates exactly like the exact-Jaccard verify —
+    * never an all-pairs surface. Ref: the reference keeps only byte-exact
+    * ReplacingMergeTree dedup; this is the near-dup generalization its
+    * pipeline would need at corpus scale.
+    */
+  def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
+    val postings = shinglePostings(s, d)
+      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
+    val pairs = lshCandidatePairs(minhashSignatures(postings), Bands, RowsPerBand)
+    val nt = Tables.documents(s, d)
+      .select(col("doc_id"), normalize(col("text")).as("nt"))
+    pairs
+      .join(nt.toDF("doc_a", "ta"), "doc_a")
+      .join(nt.toDF("doc_b", "tb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("ml"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("CASE WHEN ml > 0 THEN 1000000 - (lev * 1000000 div ml) " +
+          "ELSE CAST(1000000 AS BIGINT) END").as("sim_ppm"))
+      .filter(col("sim_ppm") >= EditSimTauPpm)
+  }
+
   /** Cross-modal dedup arbitration: the SAME MinHash-LSH text blocking as
     * `dedup_minhash_lsh` (band buckets, stop-band cap), but every candidate
     * pair is scored by embedding cosine over the paired `embeddings` table
@@ -956,6 +998,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_minhash_auto" -> dedupMinhashAuto,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "dedup_embedding_blocked" -> ((s, d) => BlockedVectors.dedupEmbeddingBlocked(s, d)),
@@ -1111,6 +1154,21 @@ object Dedup {
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
     "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
+    // both engines' NATIVE levenshtein over the same normalized text;
+    // similarity stays integer ppm so the comparison is hash-exact
+    "dedup_edit_distance" ->
+      s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
+         |d AS (SELECT doc_id, $normSql AS nt FROM documents),
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+         |    CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS ml
+         |  FROM pairs JOIN d a ON doc_a = a.doc_id JOIN d b ON doc_b = b.doc_id),
+         |sim AS (SELECT doc_a, doc_b, lev,
+         |    CASE WHEN ml > 0 THEN 1000000 - (lev * 1000000 // ml)
+         |         ELSE CAST(1000000 AS BIGINT) END AS sim_ppm
+         |  FROM j)
+         |SELECT doc_a, doc_b, lev, sim_ppm FROM sim
+         |WHERE sim_ppm >= $EditSimTauPpm""".stripMargin,
     "dedup_semantic" ->
       s"""WITH ${lshPairsCte(Bands, RowsPerBand)},
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

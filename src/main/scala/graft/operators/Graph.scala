@@ -42,7 +42,16 @@ object Graph {
   val PrIters = 5
   val PrTopK = 100
 
-  def partPagerank(s: SparkSession, d: String): DataFrame = {
+  /** PageRank's settled pre-loop state — split from the loop so the sf10
+    * attribution probe (tools/GraphAttrib) can time edge build vs
+    * supersteps on the exact production frames.
+    */
+  private[graft] case class PrState(nodes: DataFrame, nn: DataFrame, adj: DataFrame)
+
+  def partPagerank(s: SparkSession, d: String): DataFrame =
+    pagerankLoop(pagerankState(s, d))
+
+  private[graft] def pagerankState(s: SparkSession, d: String): PrState = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
@@ -74,6 +83,11 @@ object Graph {
       .groupBy(col("src"))
       .agg(count(lit(1)).as("d"), collect_list(col("dst")).as("dsts"))
       .transform(Scale.materialize)
+    PrState(nodes, nn, adj)
+  }
+
+  private[graft] def pagerankLoop(st: PrState): DataFrame = {
+    val PrState(nodes, nn, adj) = st
     // Rank init is one map over the materialized nodes — no checkpoint of
     // its own (lineage depth 1; superstep 1 reads it once).
     var ranks = nodes.join(broadcast(nn))
@@ -137,8 +151,13 @@ object Graph {
         org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))))
       .filter(col("_bsz") <= Analytics.MaxBasket).drop("_bsz")
 
-  def partCommunities(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /** LPA's settled pre-loop state — the same probe seam as [[PrState]]. */
+  private[graft] case class LpState(nodes: DataFrame, edges: DataFrame)
+
+  def partCommunities(s: SparkSession, d: String): DataFrame =
+    communitiesLoop(communitiesState(s, d))
+
+  private[graft] def communitiesState(s: SparkSession, d: String): LpState = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
@@ -153,6 +172,12 @@ object Graph {
       .agg(count(lit(1)).as("ew"))
       .filter(col("ew") >= LpMinWeight)
       .transform(Scale.materialize)
+    LpState(nodes, edges)
+  }
+
+  private[graft] def communitiesLoop(st: LpState): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val LpState(nodes, edges) = st
     var labels = nodes.select(col("p"), col("p").as("lbl"))
     for (_ <- 1 to LpIters) {
       val best = edges.join(labels, col("src") === col("p"))

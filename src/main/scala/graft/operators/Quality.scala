@@ -285,6 +285,15 @@ object Quality {
   /** Greedy rounds for supplier set cover. */
   val SetCoverRounds = 8
 
+  /** The covered set rides the anti-join as a BROADCAST while it holds at
+    * most this many partkeys (32 MB of longs): the set is bounded by
+    * Σ n_new ≤ K · max-parts-per-supplier, a few hundred keys on any
+    * TPC-H-shaped graph, so the hint virtually always applies — past the
+    * budget the round falls back to the shuffle anti-join unhinted (AQE
+    * decides), never to a driver-killing broadcast.
+    */
+  val CoverBroadcastRows = 4L * 1000 * 1000
+
   /** Greedy supplier set cover over the supplier→part bipartite graph (the
     * classic (1−1/e) sourcing-consolidation question: which K suppliers
     * cover the most distinct parts?): each round counts UNCOVERED parts
@@ -292,10 +301,21 @@ object Quality {
     * map-side-partial agg), picks the argmax (ties to the lowest suppkey),
     * and folds its parts into the covered set. Driver state is the K picks
     * only — bounded like embed_kcenter's centers; the covered frame stays
-    * distributed and is re-materialized per round so round r+1's anti-join
-    * reads a settled subtree, not an r-deep plan chain. Rounds stop early
-    * when coverage exhausts — the oracle's round-r CTE is empty in exactly
-    * that case, so both engines emit the same rows.
+    * distributed (a tiny partkey register, re-materialized per round so
+    * round r+1 reads a settled subtree, not an r-deep plan chain).
+    *
+    * The big side never shuffles: `covered` is bounded by Σ n_new (the
+    * picks' own coverage counts — known values, not an estimate), so the
+    * per-round uncovered filter is a BROADCAST anti-join over one columnar
+    * scan of the edge frame. The round-12 shape instead exchanged the full
+    * SF-scaled edge relation on partkey every round AND re-distinct'ed the
+    * covered set (K big shuffles + K distincts); it was the slowest
+    * registry query at every SF (115 s / 6.0× per 10× at sf10). The
+    * distinct also drops: remaining's parts are disjoint from covered by
+    * construction, and one supplier's partkeys are unique in a distinct
+    * edge frame. Rounds stop early when coverage exhausts — the oracle's
+    * round-r CTE is empty in exactly that case, so both engines emit the
+    * same rows.
     */
   def supplierSetCover(s: SparkSession, d: String): DataFrame = {
     // DURABLE (parquet) checkpoint for the edge frame, not localCheckpoint:
@@ -311,7 +331,9 @@ object Quality {
     var chosen = Vector.empty[(Int, Long, Long, Long)]
     var done = false
     for (r <- 1 to SetCoverRounds if !done) {
-      val remaining = edges.join(covered, Seq("partkey"), "left_anti")
+      val nCovered = chosen.lastOption.map(_._4).getOrElse(0L)
+      val rhs = if (nCovered <= CoverBroadcastRows) broadcast(covered) else covered
+      val remaining = edges.join(rhs, Seq("partkey"), "left_anti")
       val best = remaining.groupBy(col("suppkey"))
         .agg(count(lit(1)).as("n_new"))
         .orderBy(col("n_new").desc, col("suppkey").asc)
@@ -319,15 +341,14 @@ object Quality {
       if (best.isEmpty) done = true
       else {
         val (sk, nNew) = (best(0).getLong(0), best(0).getLong(1))
-        chosen = chosen :+
-          ((r, sk, nNew, chosen.lastOption.map(_._4).getOrElse(0L) + nNew))
+        chosen = chosen :+ ((r, sk, nNew, nCovered + nNew))
         // superseded rounds' local-checkpoint blocks are reclaimed by the
         // ContextCleaner once the old `covered` reference drops (an explicit
         // Dataset.unpersist would be a no-op here — it clears CacheManager
         // entries, not checkpoint blocks); the frames are partkey-only, so
         // at most K small registers are ever live between GCs
         covered = Scale.materialize(covered.unionByName(
-          edges.filter(col("suppkey") === sk).select(col("partkey"))).distinct())
+          remaining.filter(col("suppkey") === sk).select(col("partkey"))))
       }
     }
     import s.implicits._

@@ -462,9 +462,9 @@ object Similarity {
   private def trainCentroids(c: DataFrame, cells: Int): Array[Array[Double]] = {
     // ≥ 8 training points per cell: the sample grows with the cell count
     // (cells ∝ √n ⇒ sample ∝ √n — still a bounded deterministic collect,
-    // ~8·√n vectors; past ~100M vectors you would train the quantizer
-    // distributed, which changes none of the plans downstream of the
-    // centroid array).
+    // ~8·√n vectors; past DistTrainVectors, centroidsFor dispatches to
+    // trainCentroidsDistributed, which changes none of the plans
+    // downstream of the centroid array).
     val sampleN = math.max(TrainSample, 8 * cells)
     val sample = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select(col("v")).collect()
@@ -514,11 +514,90 @@ object Similarity {
     cents
   }
 
+  /** Corpus size above which [[centroidsFor]] trains the coarse quantizer
+    * DISTRIBUTED instead of on a driver sample: past ~64M vectors the
+    * driver trainer's ~8·√n sample collect stops being "bounded" in any
+    * honest sense (at 10B vectors it is ~800k vectors of payload), while
+    * the distributed trainer's driver state stays exactly one centroid
+    * matrix — the budget every downstream plan pays anyway. Every gate SF
+    * (sf10 holds ~200k vectors) stays on the driver trainer, so oracles
+    * and recall floors are unchanged.
+    */
+  val DistTrainVectors = 64L * 1000 * 1000
+
+  /** Fixed-point scale for the distributed Lloyd accumulators: unit-vector
+    * components are in [-1, 1], so per-(cell, dim) LONG sums stay exact up
+    * to ~2^42 vectors per cell, and INTEGER addition is order-independent —
+    * the trained centroids are bit-identical across partitionings and runs
+    * (the PrScale discipline applied to k-means; a double sum would make
+    * the quantizer nondeterministic across cluster layouts, which poisons
+    * every generated oracle downstream). The 2^-21 per-element rounding is
+    * three orders below any assignment boundary k-means cares about.
+    */
+  val LloydFp = 1L << 20
+
+  /** Distributed spherical-k-means refinement — the > [[DistTrainVectors]]
+    * scale path. Seeding is the hash-ordered first `cells` vectors (one
+    * collect of exactly one centroid matrix); each Lloyd step is (1) the
+    * same map-side [[NativeVector.argmaxDot]] cell assignment every IVF
+    * kernel uses (literal or broadcast centroids via [[centColsOf]] — no
+    * join, no shuffle), (2) one (cell, dim)-keyed fixed-point partial-sum
+    * aggregate (shuffle volume = partitions × cells × dims combiner rows,
+    * never corpus-sized), (3) a cells×dims collect that renormalizes on
+    * the driver. Empty cells keep their seed, exactly like the driver
+    * trainer. DistTrainSpec pins bit-identity against a driver-side
+    * reference of the same recipe AND across repartitionings.
+    */
+  private[graft] def trainCentroidsDistributed(c: DataFrame, cells: Int,
+      iters: Int = LloydIters): Array[Array[Double]] = {
+    val s = c.sparkSession
+    def norm(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      val inv = 1.0 / math.sqrt(n); v.map(_ * inv)
+    }
+    var cents = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cells)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray).map(norm)
+    val dims = cents(0).length
+    // unit vectors once per step — summed mass must be the normalized one
+    // (spherical k-means), same as the driver trainer's xs = sample.map(norm).
+    // multiply-by-reciprocal, NOT x/sqrt: the bit pattern must equal the
+    // driver norm() so DistTrainSpec can pin bit-identity with no tolerance
+    val cn = c
+      .withColumn("_n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .withColumn("vn", expr("transform(v, x -> x * (1.0D / sqrt(_n2)))"))
+      .select(col("vec_id"), col("vn"))
+    for (_ <- 1 to iters) {
+      val cc = centColsOf(s, cents)
+      val assigned = cc.cleanup(cc.attach(cn)
+        .withColumn("cell", NativeVector.argmaxDot(col("vn"), cc.flat, cc.sn)))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vn")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(floor(col("x") * LloydFp + 0.5).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .collect() // bounded: ≤ cells × dims rows — the centroid matrix
+      val acc = Array.fill(cells)(new Array[Double](dims))
+      val counts = new Array[Long](cells)
+      sums.foreach { r =>
+        val cell = r.getInt(0); val i = r.getInt(1)
+        acc(cell)(i) = r.getLong(2).toDouble / LloydFp.toDouble
+        counts(cell) = r.getLong(3)
+      }
+      cents = cents.indices.map { k =>
+        if (counts(k) == 0) cents(k) else norm(acc(k))
+      }.toArray
+    }
+    cents
+  }
+
   /** Centroids per sf dir: trained once per JVM (the quantizer is
-    * deterministic given the data, so re-training would reproduce them
-    * bit-identically — the cache just saves the sample collect). When
-    * exactly one dir has trained, `oracles` embeds these exact doubles as
-    * SQL literals.
+    * deterministic given the data — the driver trainer trivially, the
+    * distributed trainer by fixed-point construction — so re-training
+    * would reproduce them bit-identically; the cache just saves the
+    * collect). When exactly one dir has trained, `oracles` embeds these
+    * exact doubles as SQL literals.
     */
   private[graft] val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
@@ -526,7 +605,9 @@ object Similarity {
   private def centroidsFor(s: SparkSession, d: String): Array[Array[Double]] =
     centroidCache.computeIfAbsent(d, _ => {
       val c = split(s, d)._2
-      trainCentroids(c, cellsFor(c.count()))
+      val n = c.count()
+      if (n <= DistTrainVectors) trainCentroids(c, cellsFor(n))
+      else trainCentroidsDistributed(c, cellsFor(n))
     })
 
   /** Sequential sum of squares — the exact fold order of norm2Sql, so the

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.Graph
+
+/** sf10 attribution probe for the iterative graph queries: splits each
+  * query's wall into EDGE BUILD (the per-order self-join + groupBy that
+  * materializes the settled graph state) vs the SUPERSTEP LOOP, on the
+  * exact production frames (Graph.pagerankState / communitiesState are the
+  * query's own pre-loop state — nothing is re-implemented here). The point
+  * is the floor-note question the round-12 verdict asked: if the loop is
+  * linear and the superlinearity lives in the one-shot edge build's spill,
+  * that is the part_cosim floor argument (same self-join, same frames); if
+  * a superstep itself is superlinear, it is a fix, not a floor.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.GraphAttrib testdata-sf10"
+  */
+object GraphAttrib {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[attrib] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // state builders end in Scale.materialize, so forcing any count settles
+    // the whole build; the loop then starts from cached frames
+    val pr = t("pagerank_edge_build") {
+      val st = Graph.pagerankState(spark, d); st.adj.count(); st
+    }
+    t("pagerank_supersteps")(Graph.pagerankLoop(pr).count())
+    val lp = t("communities_edge_build") {
+      val st = Graph.communitiesState(spark, d); st.edges.count(); st
+    }
+    t("communities_supersteps")(Graph.communitiesLoop(lp).count())
+    spark.stop()
+  }
+}

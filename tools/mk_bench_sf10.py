@@ -24,11 +24,14 @@ FLOORS = {
         "within-order pairs 21M->213M per 10x); the ratio is single-box "
         "shuffle+spill of ~200M-row co-pair frames on 48GB/local[32] — a "
         "cluster holds them in aggregate memory. AQE ceiling raise bought "
-        "only ~13% (spill-bound, not parallelism-bound).",
+        "only ~13% (spill-bound, not parallelism-bound); r13 serialized-"
+        "materialize A/B: 196.6 -> 197.8 s, no win — lever crossed off.",
     "dedup_jaccard_ppjoin": "gram blocking measured exactly linear "
         "(3-gram postings 260k->26M rows per 100x docs, pair work "
         "sum c(c-1)/2 = 1.27M->126.6M, max df 25->112, zero cross-copy "
-        "collisions); remainder is single-box sort/spill constants.",
+        "collisions); remainder is single-box sort/spill constants. r13 "
+        "serialized-materialize A/B: 307.4 -> 293.8 s (-4%, within "
+        "jitter) — lever crossed off.",
     "mm_phash_neardup": "the growth term is the PUBLISHED Manku "
         "geometry: key-table combinations widen with log(n) to hold the "
         "hamming-radius guarantee, so keys-per-doc grow with corpus "
@@ -36,6 +39,22 @@ FLOORS = {
     "knn_ivfpq_recall": "small-base ratio (4.6s sf1): the composed "
         "IVFADC route + exact-brute truth at 39.9s absolute; the truth "
         "side is the sample-paned kernel above TruthSampleIds.",
+}
+
+# Attribution notes for watch items under the 8x line (VERDICT r12 task 5:
+# pagerank/communities needed an edge-build-vs-superstep split either way).
+# Applied regardless of ratio — they explain, they don't excuse.
+NOTES = {
+    "part_pagerank": "r13 attribution (tools/GraphAttrib, isolated): "
+        "edge/adjacency build 24.5 -> 166.5 s per 10x (6.8x) vs all 5 "
+        "supersteps 14.0 -> 76.7 s (5.5x, ~15 s/superstep at sf10). The "
+        "dominant term is the one-shot within-order self-join + "
+        "collect_list spill — part_cosim's documented floor argument; "
+        "the loop itself is edge-linear.",
+    "part_communities": "r13 attribution (tools/GraphAttrib, isolated): "
+        "edge build 10.8 -> 50.2 s per 10x (4.6x) vs all 4 supersteps "
+        "4.9 -> 11.7 s (2.4x). Build-dominated; the LPA loop scales "
+        "cleanly.",
 }
 
 # Merge-not-replace: a partial re-bench must extend the existing artifact,
@@ -78,6 +97,8 @@ for op, o in ops.items():
         o["floor"] = FLOORS[op]
     else:
         o.pop("floor", None)
+    if op in NOTES:
+        o["note"] = NOTES[op]
 out = {"sf": 10, "vs": "BENCH_sf1.json", "rc": rc, "n_ops": len(ops),
        "ops": dict(sorted(ops.items()))}
 json.dump(out, open(out_path, "w"), indent=1)
