@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-13 attestation (attest_r12 protocol + this round's deltas):
+#   a) EXPLAINS.md refresh at sf0.001
+#   b) full Verify + DuckDB check at sf0.01 (the driver-gate rehearsal)
+#   c) full Verify at sf1 + check_one --oracles=scale --json (CORRECTNESS_sf1)
+#   d) full single-rep 32-core bench at sf1 -> BENCH_sf1.json
+#      (NOTE r13: store_build now builds the BUCKETED store — its sf1 base
+#       moves ~14 -> ~29 s by design; the sf10 ratio drops 9.3x -> ~4.7x)
+#   e) sf10 rows that changed this round: dedup_edit_distance (new) — the
+#      filtered run also re-measures store_build on the bucketed path
+#   f) BENCH_sf10.json merge from THIS round's isolated sf10 measures
+#      (set_cover fix, cosim/ppjoin A/B control legs, bucketed store, new op)
+#   g) full 3-rep 32-core bench at sf0.1 (the driver-comparable layout)
+# Sequential on purpose: concurrent sbt batch runs race on target/ AND
+# contaminate each other's walls (r13 lesson: they do NOT hard-lock).
+set -uo pipefail
+cd /root/repo
+LOG=/tmp/attest_r13
+mkdir -p $LOG
+
+echo "=== [a] ExplainDump sf0.001 ==="
+sbt -batch "runMain graft.tools.ExplainDump /root/testdata/sf0.001 EXPLAINS.md" \
+  > $LOG/explains.log 2>&1
+tail -2 $LOG/explains.log
+
+echo "=== [b] full Verify sf0.01 + check ==="
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_full" \
+  > $LOG/verify001.log 2>&1
+grep '\[verify\]' $LOG/verify001.log || echo "(no per-query failures)"
+python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_full \
+  > $LOG/check001.log 2>&1
+tail -3 $LOG/check001.log
+
+echo "=== [c] full Verify sf1 + check_one scale oracles ==="
+SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify testdata-sf1 /tmp/verify_sf1" \
+  > $LOG/verify_sf1.log 2>&1
+grep '\[verify\]' $LOG/verify_sf1.log || echo "(no per-query failures)"
+python3 tools/check_one.py --oracles=scale --json=$LOG/corr_sf1.json \
+  testdata-sf1 /tmp/verify_sf1 300 > $LOG/check_sf1.log 2>&1
+grep -c PASS $LOG/check_sf1.log; grep -E "FAIL|TIMEOUT" $LOG/check_sf1.log || echo "(no FAIL/TIMEOUT)"
+cp $LOG/corr_sf1.json CORRECTNESS_sf1.json
+
+echo "=== [d] BENCH sf1 single-rep 32-core ==="
+SPARK_GRAFT_SF_DIR=testdata-sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_DRIVER_MEM=48g SPARK_GRAFT_OUT=$LOG sbt -batch "runMain graft.Bench" \
+  > $LOG/bench_sf1.log 2>&1
+cp $LOG/bench.json BENCH_sf1.json
+ls -la BENCH_sf1.json
+
+echo "=== [e] sf10: new-op row (isolated) ==="
+SPARK_GRAFT_SF_DIR=testdata-sf10 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_INIT_PARTS=256 SPARK_DRIVER_MEM=48g SPARK_GRAFT_OUT=$LOG/ed10 \
+  sbt -batch "runMain graft.Bench dedup_edit_distance,supplier_set_cover" \
+  > $LOG/bench_ed10.log 2>&1
+grep -h '"schema":"full"' $LOG/ed10/bench_filtered.json
+
+echo "=== [f] BENCH_sf10.json merge (this round's isolated measures) ==="
+python3 tools/mk_bench_sf10.py \
+  /tmp/r13/store_sf10/bench_filtered.json \
+  /tmp/r13/ab_ctl/bench_filtered.json \
+  $LOG/ed10/bench_filtered.json
+
+echo "=== [g] full BENCH sf0.1, 3-rep (driver-comparable layout) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_OUT=$LOG/sf01 sbt -batch "runMain graft.Bench" \
+  > $LOG/bench_sf01.log 2>&1
+echo "=== attest_r13 done; final line = full sf0.1 bench.json ==="
+cat $LOG/sf01/bench.json

@@ -55,6 +55,14 @@ NOTES = {
         "edge build 10.8 -> 50.2 s per 10x (4.6x) vs all 4 supersteps "
         "4.9 -> 11.7 s (2.4x). Build-dominated; the LPA loop scales "
         "cleanly.",
+    "dedup_ann_probe_sweep": "by design ~4x one ANN search: the sweep "
+        "measures 4 probe widths to publish the recall curve — cost is "
+        "the sum of its panes, not a scaling defect.",
+    "store_build": "bucketed store (r13): this bench feed is the "
+        "documented worst case — time-sliced batches spray keys across "
+        "every bucket, degenerating to the full-rewrite bound; a "
+        "key-clustered CDC feed pays per-batch work proportional to the "
+        "batch (BucketedSnapshotSpec pins the O(touched) property).",
 }
 
 # Merge-not-replace: a partial re-bench must extend the existing artifact,
