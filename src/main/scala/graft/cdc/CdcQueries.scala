@@ -170,6 +170,48 @@ object CdcQueries {
     graft.streaming.BucketedSnapshot
       .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
 
+  /** Change-data-feed read between two committed STORE versions — the
+    * Delta CDF / Iceberg incremental-changelog-scan role: "what changed
+    * between version [[StoreAsOfVersion]] and now?", answered from the
+    * MAINTAINED bucketed store alone (two version reads through the
+    * per-bucket resolution protocol, one co-keyed full-outer join — the
+    * event log is never rescanned). Every key is classed added / removed /
+    * changed — `changed` compares the full stored row INCLUDING ts_ms, the
+    * row-version semantics a CDF consumer keys its downstream merge on —
+    * and unchanged keys are NOT emitted (a change feed carries changes);
+    * the rollup is the ≤3-row class frame with key ranges. The oracle
+    * restates both sides from log prefixes under the same deterministic
+    * time-slice rule the store builder used, so a store that drifted from
+    * the log fails the hash gate here too, independently of
+    * cdc_consistency_check.
+    *
+    * Scale: both version reads are bucket-resolved parquet scans (no log
+    * replay); the diff is one key-partitioned full-outer join + a bounded
+    * rollup — the cheap "incremental consumers catch up from the store"
+    * path a lake table serves.
+    */
+  def storeCdf(s: SparkSession, d: String): DataFrame = {
+    val dir = builtStore(s, d)
+    val v1 = graft.streaming.BucketedSnapshot
+      .readSnapshotAsOf(s, dir, StoreAsOfVersion.toLong).get
+      .select(col("id"), col("custkey").as("c1"), col("price").as("p1"),
+        col("status").as("st1"), col("ts_ms").as("t1"))
+    val v2 = graft.streaming.BucketedSnapshot.readSnapshot(s, dir).get
+      .select(col("id"), col("custkey").as("c2"), col("price").as("p2"),
+        col("status").as("st2"), col("ts_ms").as("t2"))
+    v1.join(v2, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("c1") <=> col("c2") && col("p1") <=> col("p2") &&
+            col("st1") <=> col("st2") && col("t1") <=> col("t2"), "unchanged")
+          .otherwise("changed").as("change"))
+      .filter(col("change") =!= "unchanged") // a change feed carries changes
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("id")).as("min_key"), max(col("id")).as("max_key"))
+  }
+
   /** Anti-entropy consistency audit — the reconciliation a production CDC
     * team runs between the MAINTAINED store (built incrementally through
     * the commit protocol) and the ground-truth log snapshot (one-shot
@@ -409,6 +451,7 @@ object CdcQueries {
     "cdc_snapshot_asof" -> snapshotAsOf,
     "cdc_log_compact" -> logCompact,
     "cdc_snapshot_asof_store" -> snapshotAsOfStore,
+    "cdc_store_cdf" -> storeCdf,
     "cdc_scd2_dim_join" -> scd2DimJoin,
     "cdc_scd2_history" -> scd2History,
     "cdc_changelog_stats" -> changelogStats,
@@ -537,6 +580,37 @@ object CdcQueries {
          |    arg_max(sign, ts_ms) AS sign, max(ts_ms) AS ts_ms
          |  FROM f GROUP BY id)
          |SELECT id, custkey, price, status, ts_ms FROM snap WHERE sign = 1""".stripMargin,
+    // both sides restated from log prefixes under the builder's time-slice
+    // rule: v1 = snapshot over batches 0..StoreAsOfVersion, v2 = the full
+    // log (the last batch closes the log by construction). 'changed'
+    // compares the row INCLUDING ts_ms (row-version CDF semantics).
+    "cdc_store_cdf" ->
+      s"""$C,
+         |t AS (SELECT min(ts_ms) AS t0, max(ts_ms) - min(ts_ms) + 1 AS span FROM ev),
+         |f1 AS (SELECT ev.* FROM ev, t
+         |  WHERE ((ev.ts_ms - t.t0) * $StoreBatches) // t.span <= $StoreAsOfVersion),
+         |g1 AS (SELECT id, arg_max(custkey, ts_ms) AS c1, arg_max(price, ts_ms) AS p1,
+         |    arg_max(status, ts_ms) AS st1, arg_max(sign, ts_ms) AS sg1,
+         |    max(ts_ms) AS t1
+         |  FROM f1 GROUP BY id),
+         |a1 AS (SELECT * FROM g1 WHERE sg1 = 1),
+         |g2 AS (SELECT id, arg_max(custkey, ts_ms) AS c2, arg_max(price, ts_ms) AS p2,
+         |    arg_max(status, ts_ms) AS st2, arg_max(sign, ts_ms) AS sg2,
+         |    max(ts_ms) AS t2
+         |  FROM ev GROUP BY id),
+         |a2 AS (SELECT * FROM g2 WHERE sg2 = 1),
+         |j AS (SELECT coalesce(a1.id, a2.id) AS id,
+         |    CASE WHEN a1.id IS NULL THEN 'added'
+         |         WHEN a2.id IS NULL THEN 'removed'
+         |         WHEN a1.c1 IS NOT DISTINCT FROM a2.c2
+         |          AND a1.p1 IS NOT DISTINCT FROM a2.p2
+         |          AND a1.st1 IS NOT DISTINCT FROM a2.st2
+         |          AND a1.t1 = a2.t2 THEN 'unchanged'
+         |         ELSE 'changed' END AS change
+         |  FROM a1 FULL JOIN a2 ON a2.id = a1.id)
+         |SELECT change, count(*) AS n_keys, min(id) AS min_key,
+         |  max(id) AS max_key
+         |FROM j WHERE change <> 'unchanged' GROUP BY 1""".stripMargin,
     // structurally independent oracle: explicit disjoint-interval join over
     // the SCD2 validity windows (valid_from <= ts < valid_to), sign=1 rows
     // only. Deliberately NOT an ASOF JOIN + post-filter: DuckDB pushes a

@@ -235,15 +235,61 @@ object TimeSeries {
        |    // (CAST(tot AS HUGEINT) * n_days) AS BIGINT) AS index_ppm
        |FROM per, tot""".stripMargin
 
+  // ------------------------------------------------------------------ stl
+  /** Additive seasonal decomposition of daily revenue (STL-lite — the
+    * trend/seasonal/residual split every KPI dashboard plots): trend =
+    * centered 7-ROW moving average over the observed days (partial frames
+    * at the series edges, the standard convention, restated in the
+    * oracle), seasonal = per-day-of-week floored mean deviation from
+    * trend (the [[EpochSunday]] dow so both engines agree), residual =
+    * the remainder — rev = trend + seasonal + residual EXACTLY, because
+    * everything is integer cents with `div` means (truncation is part of
+    * the stated statistic; both engines truncate toward zero, see the
+    * family header). Scale: one orders aggregate to the calendar-bounded
+    * daily frame; the global-order window and the ≤7-row seasonal rollup
+    * are bounded model work like every operator in this family.
+    */
+  def dailyRevenueStl(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = daily(s, d)
+      .withColumn("win_sum", sum(col("cents")).over(w))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .select(col("day"), col("cents"),
+        expr("win_sum div win_n").as("trend_c"),
+        pmod(datediff(col("day"), to_date(lit(EpochSunday))), lit(7))
+          .cast("long").as("dow"))
+    val seas = t.groupBy(col("dow"))
+      .agg(expr("sum(cents - trend_c) div count(1)").as("seas_c"))
+    t.join(broadcast(seas), "dow") // ≤7 rows
+      .select(col("day"), col("cents"), col("trend_c"), col("seas_c"),
+        (col("cents") - col("trend_c") - col("seas_c")).as("resid_c"))
+  }
+
+  private def stlOracleSql: String =
+    s"""WITH daily AS ($dailySql),
+       |t AS (SELECT day, cents,
+       |    CAST(sum(cents) OVER w // count(*) OVER w AS BIGINT) AS trend_c,
+       |    CAST(datediff('day', DATE '$EpochSunday', day) % 7 AS BIGINT) AS dow
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |se AS (SELECT dow, CAST(sum(cents - trend_c) // count(*) AS BIGINT)
+       |    AS seas_c
+       |  FROM t GROUP BY 1)
+       |SELECT t.day, t.cents, t.trend_c, se.seas_c,
+       |  t.cents - t.trend_c - se.seas_c AS resid_c
+       |FROM t JOIN se USING (dow)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "daily_revenue_acf" -> dailyRevenueAcf,
     "daily_revenue_theilsen" -> dailyRevenueTheilsen,
     "daily_revenue_dow_index" -> dailyRevenueDowIndex,
+    "daily_revenue_stl" -> dailyRevenueStl,
   )
 
   val oracles: Map[String, String] = Map(
     "daily_revenue_acf" -> acfOracleSql,
     "daily_revenue_theilsen" -> theilsenOracleSql,
     "daily_revenue_dow_index" -> dowOracleSql,
+    "daily_revenue_stl" -> stlOracleSql,
   )
 }
