@@ -403,6 +403,62 @@ case class PqLut(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Native orthogonal-rotation / matrix-vector product: out[r] =
+  * dot(flatMatrix[r·n .. r·n+n), v) for r in 0 until rows, rows =
+  * |flatMatrix| / |v| — the OPQ rotation kernel (64 sequential-fold dots
+  * composed as 64 separate ArrayDot columns unroll past janino's method
+  * budget; this is ONE primitive nested loop in whole-stage codegen).
+  * Per-row folds are sequential left-to-right, matching [[ArrayDot]] and
+  * the oracle's unrolled per-row dot literals bit-for-bit.
+  */
+case class MatVec(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayTypes.doubleArray
+  override def prettyName: String = "graft_matvec"
+
+  override protected def nullSafeEval(a: Any, m: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val mat = m.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val rows = if (n == 0) 0 else mat.numElements() / n
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0; var j = 0; val off = r * n
+      while (j < n) { acc += mat.getDouble(off + j) * x.getDouble(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m) => {
+      val r = ctx.freshName("r"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val rows = ctx.freshName("rows")
+      val off = ctx.freshName("off"); val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int $rows = $n == 0 ? 0 : $m.numElements() / $n;
+         |double[] $out = new double[$rows];
+         |for (int $r = 0; $r < $rows; $r++) {
+         |  double $acc = 0.0; int $off = $r * $n;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $m.getDouble($off + $j) * $a.getDouble($j);
+         |  }
+         |  $out[$r] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatVec =
+    copy(left = newLeft, right = newRight)
+}
+
 private object ArrayTypes {
   val intArray: DataType = org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
   val doubleArray: DataType = org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
@@ -446,6 +502,13 @@ object NativeVector {
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(v),
       GraftSqlBridge.expression(flatCodebook), GraftSqlBridge.expression(bias),
       GraftSqlBridge.expression(numSub)))
+
+  /** Rotation / mat-vec: out[r] = dot(flatMatrix row r, v) — rows =
+    * |flatMatrix|/|v|. One codegen'd nested loop (the OPQ rotation).
+    */
+  def matVec(v: Column, flatMatrix: Column): Column =
+    GraftSqlBridge.column(MatVec(GraftSqlBridge.expression(v),
+      GraftSqlBridge.expression(flatMatrix)))
 
   /** ADC table of `v` against a flattened [m][k][subDim] codebook:
     * array<double> with lut[m·K + k] = dot(v_m, C[m][k]).

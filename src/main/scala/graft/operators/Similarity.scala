@@ -1827,6 +1827,116 @@ object Similarity {
       .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
   }
 
+  // ----------------------------------------------------------------- OPQ
+  /** Optimized Product Quantization, parametric variant (OPQ_P — Ge et
+    * al., CVPR 2013 §4.1): rotate the normalized vectors by a learned
+    * ORTHOGONAL matrix before product-quantizing. Plain PQ slices the
+    * vector on arbitrary coordinate boundaries, so correlated/unbalanced
+    * dimensions waste codebook capacity; OPQ_P rotates into the
+    * second-moment eigenbasis and allocates the eigen-directions to the
+    * [[PqSub]] subspaces balancing the per-subspace VARIANCE PRODUCT
+    * (greedy: dims by eigenvalue desc, each to the non-full subspace with
+    * the smallest log-product — the paper's allocation), so every
+    * codebook quantizes comparable mass. Orthogonality means
+    * dot(R·a, R·b) = dot(a, b): the ADC score approximates the SAME
+    * cosine, and the exact rerank is unchanged — the rotation costs one
+    * codegen'd [[NativeVector.matVec]] per vector at encode time and one
+    * per query, nothing at scan time (codes are scored by table lookups
+    * exactly as in [[knnPq]]).
+    */
+  final case class OpqModel(rot: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]])
+
+  private[graft] val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, OpqModel]()
+
+  private def trainOpq(c: DataFrame): OpqModel = {
+    val xs = sampleNormalized(c)
+    val dim = xs(0).length
+    // second-moment matrix about the ORIGIN: unit-sphere data carries no
+    // meaningful mean term, and the encode path must apply the identical
+    // rotation with no mean subtraction
+    val cov = Array.ofDim[Double](dim, dim)
+    xs.foreach { x =>
+      var a = 0
+      while (a < dim) {
+        var b = a
+        while (b < dim) { cov(a)(b) += x(a) * x(b); b += 1 }
+        a += 1
+      }
+    }
+    for (a <- 0 until dim; b <- a until dim) {
+      cov(a)(b) /= xs.length; cov(b)(a) = cov(a)(b)
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(j => (-evals(j), j))
+    val sub = dim / PqSub
+    val logs = new Array[Double](PqSub)
+    val buckets = Array.fill(PqSub)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    for (j <- order) {
+      val m = (0 until PqSub).filter(buckets(_).size < sub)
+        .minBy(i => (logs(i), i))
+      buckets(m) += j
+      logs(m) += math.log(math.max(evals(j), 1e-12))
+    }
+    // rows of R (in subspace-allocation order): rotated coordinate r of x
+    // is dot(rot(r), x); sign fixed like pcaTrain so R is deterministic
+    val rot = buckets.flatMap(_.iterator).map { j =>
+      val col0 = Array.tabulate(dim)(i0 => evecs(i0)(j))
+      val piv = (0 until dim).maxBy(i0 => (math.abs(col0(i0)), -i0))
+      if (col0(piv) < 0) col0.map(-_) else col0
+    }
+    val rxs = xs.map { x =>
+      rot.map { r =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += r(i) * x(i); i += 1 }
+        acc
+      }
+    }
+    OpqModel(rot, pqKmeans(rxs))
+  }
+
+  private[graft] def opqFor(s: SparkSession, d: String): OpqModel =
+    opqCache.computeIfAbsent(d, _ => trainOpq(split(s, d)._2))
+
+  def knnOpq(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val m = opqFor(s, d)
+    val rotFlat = typedlit(m.rot.flatten.toIndexedSeq)
+    val flat = typedlit(m.cb.flatten.flatten.toIndexedSeq)
+    val bias = typedlit(m.cb.flatMap(_.map(cv => -n2Seq(cv) / 2)).toIndexedSeq)
+    val codes = c
+      .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("rv", NativeVector.matVec(col("nv"), rotFlat))
+      .withColumn("codes", NativeVector.pqEncode(col("rv"), flat, bias, lit(PqSub)))
+      .select(col("vec_id"), col("codes"))
+    val qlut = q
+      .withColumn("nrm", sqrt(NativeVector.norm2(col("qv"))))
+      .withColumn("nqv", transform(col("qv"), x => x / col("nrm")))
+      .withColumn("rqv", NativeVector.matVec(col("nqv"), rotFlat))
+      .select(col("q_id"), NativeVector.pqLut(col("rqv"), flat, lit(PqSub)).as("lut"))
+    val approx = (0 until PqSub).map(m0 =>
+      element_at(col("lut"), lit(m0 * PqK + 1) + element_at(col("codes"), m0 + 1)))
+      .reduce(_ + _)
+    val cand = Scale.topKPerGroup(
+        broadcast(qlut).join(codes)
+          .select(col("q_id"), col("vec_id"), approx.as("approx")),
+        Seq("q_id"), Seq(col("approx").desc, col("vec_id")),
+        k = PqR, saltSrc = col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    topK(c.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"))), "q_id")
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v"))))
+  }
+
+  /** Recall@[[K]] of the OPQ route vs exact brute ([[knnPqRecall]]
+    * discipline) — published next to knn_pq_recall so the rotation's
+    * value (or cost) on this corpus is a measured number, not a claim.
+    */
+  def knnOpqRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(knnOpq(s, d))(s, d)
+
   // -------------------------------------------------------------- IVF-PQ
   /** The composed billion-scale layout (IVFADC, Jégou et al., TPAMI 2011):
     * the coarse quantizer routes each vector to a cell, PQ encodes the
@@ -2716,6 +2826,8 @@ object Similarity {
     "knn_graph" -> knnGraph,
     "knn_recall_eval" -> knnRecallEval,
     "knn_pq" -> knnPq,
+    "knn_opq" -> knnOpq,
+    "knn_opq_recall" -> knnOpqRecall,
     "knn_ivfpq" -> knnIvfPq,
     "knn_hamming" -> knnHamming,
     "knn_hamming_rerank" -> knnHammingRerank,
@@ -3129,6 +3241,62 @@ object Similarity {
        |FROM r WHERE rank <= $K""".stripMargin
   }
 
+  /** knn_opq restated in DuckDB: the learned rotation ROWS and the
+    * rotated-space codebooks embed as literal doubles; rotated coordinates
+    * are per-row sequential-fold dots (the same left-to-right order
+    * [[graft.functions.MatVec]] generates), then encode/LUT/ADC/rerank
+    * restate [[pqOracleSql]]'s total orders over the rotated vectors —
+    * the exact rerank stays on the RAW cosine.
+    */
+  private def opqOracleSql(m: OpqModel): String = {
+    val cb = m.cb
+    val sub = cb(0)(0).length
+    def rowSql(r: Array[Double]): String =
+      r.map(_.toString).mkString("([", ",", "]::DOUBLE[])")
+    def rotList(src: String): String =
+      m.rot.map(r => dotSql(src, rowSql(r))).mkString("[", ",\n    ", "]")
+    def cvSql(mm: Int, k: Int): String =
+      cb(mm)(k).map(_.toString).mkString("([", ",", "]::DOUBLE[])")
+    val cbRows = (for (mm <- 0 until PqSub; k <- 0 until PqK) yield
+      s"SELECT $mm AS m, $k AS k, ${cvSql(mm, k)} AS cv, ${-n2Seq(cb(mm)(k)) / 2} AS bias"
+    ).mkString("\nUNION ALL ")
+    val lutExprs = (for (mm <- 0 until PqSub; k <- 0 until PqK) yield
+      dotSql(s"(rqv[${mm * sub + 1}:${(mm + 1) * sub}])", cvSql(mm, k))
+    ).mkString("[", ",\n    ", "]")
+    val codePivot = (0 until PqSub)
+      .map(mm => s"max(CASE WHEN m = $mm THEN code END) AS c$mm").mkString(", ")
+    val approx = (0 until PqSub).map(mm => s"ql.lut[${mm * PqK + 1} + cp.c$mm]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, sqrt(${norm2Sql("v")}) AS nrm
+       |  FROM e WHERE vec_id < $NumQueries),
+       |q1 AS (SELECT q_id, qv, list_transform(qv, x -> x / nrm) AS nqv FROM q0),
+       |q AS (SELECT q_id, qv, ${rotList("nqv")} AS rqv FROM q1),
+       |c0 AS (SELECT vec_id, v, sqrt(${norm2Sql("v")}) AS nrm
+       |  FROM e WHERE vec_id >= $NumQueries),
+       |c1 AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS nv FROM c0),
+       |c AS (SELECT vec_id, v, ${rotList("nv")} AS rv FROM c1),
+       |cb AS ($cbRows),
+       |codes AS (SELECT vec_id, m, k AS code FROM (
+       |  SELECT c.vec_id, cb.m, cb.k,
+       |    row_number() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY ${dotSql(s"(c.rv[cb.m*$sub+1:(cb.m+1)*$sub])", "cb.cv")} + cb.bias DESC, cb.k) AS r
+       |  FROM c, cb) t WHERE r = 1),
+       |cp AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+       |ql AS (SELECT q_id, $lutExprs AS lut FROM q),
+       |scored AS (SELECT ql.q_id, cp.vec_id, ($approx) AS approx FROM ql, cp),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS r
+       |  FROM scored) t WHERE r <= $PqR),
+       |sc AS (SELECT cand.q_id, c.vec_id, ${cosineSql("q.qv", "c.v")} AS cos
+       |  FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc)
+       |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
+       |FROM r WHERE rank <= $K""".stripMargin
+  }
+
   /** knn_ivfpq restated in DuckDB: the trained centroids (rows AND a flat
     * copy for residual/cterm slicing), residual codebooks, and biases all
     * embed as the exact literal doubles the Spark plan broadcast; cell
@@ -3393,11 +3561,16 @@ object Similarity {
       withTune + ("knn_pq" -> pqSql) +
         ("knn_pq_recall" -> recallOfOracleSql(pqSql))
     } else withTune
+    val withOpq = if (opqCache.size == 1) {
+      val opqSql = opqOracleSql(opqCache.values.iterator.next())
+      withPq + ("knn_opq" -> opqSql) +
+        ("knn_opq_recall" -> recallOfOracleSql(opqSql))
+    } else withPq
     val all = if (ivfPqCache.size == 1) {
       val ivfPqSql = ivfPqOracleSql(ivfPqCache.values.iterator.next())
-      withPq + ("knn_ivfpq" -> ivfPqSql) +
+      withOpq + ("knn_ivfpq" -> ivfPqSql) +
         ("knn_ivfpq_recall" -> recallOfOracleSql(ivfPqSql))
-    } else withPq
+    } else withOpq
     all ++ withPca
   }
 }

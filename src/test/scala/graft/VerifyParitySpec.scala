@@ -21,6 +21,7 @@ class VerifyParitySpec extends AnyFunSuite {
     graft.operators.Similarity.knnIvf(spark, sf).count()
     graft.operators.Similarity.knnLshAuto(spark, sf).count()
     graft.operators.Similarity.knnPq(spark, sf).count()
+    graft.operators.Similarity.knnOpq(spark, sf).count()
     graft.operators.Similarity.knnIvfPq(spark, sf).count()
     graft.operators.Dedup.mhTunedConfig(spark, sf)
     graft.operators.Dedup.jaccTunedTau(spark, sf)
@@ -42,6 +43,8 @@ class VerifyParitySpec extends AnyFunSuite {
     // cleans up after itself — so retain only our dir before reading the
     // oracle map.
     graft.operators.Similarity.centroidCache.keySet
+      .retainAll(java.util.Collections.singleton(sf))
+    graft.operators.Similarity.opqCache.keySet
       .retainAll(java.util.Collections.singleton(sf))
     graft.operators.Dedup.recallPaneCache.keySet
       .retainAll(java.util.Collections.singleton(sf))
