@@ -49,10 +49,10 @@ SPARK_GRAFT_SF_DIR=testdata-sf1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
 cp $LOG/bench.json BENCH_sf1.json
 ls -la BENCH_sf1.json
 
-echo "=== [e] sf10: new-op row (isolated) ==="
+echo "=== [e] sf10: this round's new-op rows (isolated) ==="
 SPARK_GRAFT_SF_DIR=testdata-sf10 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
   SPARK_GRAFT_INIT_PARTS=256 SPARK_DRIVER_MEM=48g SPARK_GRAFT_OUT=$LOG/ed10 \
-  sbt -batch "runMain graft.Bench dedup_edit_distance,supplier_set_cover" \
+  sbt -batch "runMain graft.Bench dedup_edit_distance,supplier_set_cover,cdc_store_cdf,daily_revenue_stl,knn_opq,knn_opq_recall" \
   > $LOG/bench_ed10.log 2>&1
 grep -h '"schema":"full"' $LOG/ed10/bench_filtered.json
 
