@@ -421,6 +421,12 @@ case class MatVec(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val mat = m.asInstanceOf[ArrayData]
     val n = x.numElements()
+    // shape check (r13 advice): a malformed rotation literal must fail,
+    // not silently truncate to floor(|mat|/n) rows
+    if (n != 0 && mat.numElements() % n != 0)
+      throw new IllegalArgumentException(
+        s"graft_matvec: matrix length ${mat.numElements()} is not a " +
+          s"multiple of vector length $n")
     val rows = if (n == 0) 0 else mat.numElements() / n
     val out = new Array[Double](rows)
     var r = 0
@@ -441,6 +447,11 @@ case class MatVec(left: Expression, right: Expression)
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
+         |if ($n != 0 && $m.numElements() % $n != 0) {
+         |  throw new IllegalArgumentException(
+         |    "graft_matvec: matrix length " + $m.numElements() +
+         |    " is not a multiple of vector length " + $n);
+         |}
          |int $rows = $n == 0 ? 0 : $m.numElements() / $n;
          |double[] $out = new double[$rows];
          |for (int $r = 0; $r < $rows; $r++) {

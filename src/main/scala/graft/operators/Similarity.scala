@@ -1853,6 +1853,15 @@ object Similarity {
   private def trainOpq(c: DataFrame): OpqModel = {
     val xs = sampleNormalized(c)
     val dim = xs(0).length
+    // Guard (r13 advice): the greedy allocation below fills PqSub buckets
+    // of exactly dim/PqSub dims each — with a non-divisible dim the last
+    // eigen-directions find every bucket full and minBy throws an opaque
+    // UnsupportedOperationException (and pqKmeans would silently truncate
+    // the tail dims). Fail fast with the actual contract instead.
+    require(dim % PqSub == 0,
+      s"OPQ needs dim divisible by PqSub: dim=$dim, PqSub=$PqSub — pad or " +
+        "project the embedding to a multiple (the codebooks partition " +
+        "dimensions into equal-width subspaces)")
     // second-moment matrix about the ORIGIN: unit-sphere data carries no
     // meaningful mean term, and the encode path must apply the identical
     // rotation with no mean subtraction

@@ -77,20 +77,44 @@ object BucketedSnapshot {
     }
   }
 
-  /** Bucket b's version dirs (committed or orphaned). */
-  private def bucketVersions(dir: String, b: Long): Seq[Long] = {
+  /** Bucket b's version dirs as (version, compaction generation, path) —
+    * `v=<v>` is generation 0; `v=<v>.c<g>` is [[compact]]'s rewritten copy
+    * of the same committed version (same rows, fewer files). Readers take
+    * the HIGHEST generation of a version, which is what makes compaction's
+    * single atomic move crash-safe: until the move lands the old dir wins;
+    * after it lands the new dir wins; the old dir's later deletion is pure
+    * cleanup.
+    */
+  private def versionDirs(dir: String, b: Long): Seq[(Long, Long, Path)] = {
     val bd = Paths.get(dir, s"bucket=$b")
     if (!Files.isDirectory(bd)) Seq.empty
     else {
       val s = Files.list(bd)
-      try s.iterator().asScala
-        .flatMap(p => Option(p.getFileName.toString)
-          .filter(_.startsWith("v="))
-          .flatMap(_.stripPrefix("v=").toLongOption))
-        .toSeq
+      try s.iterator().asScala.flatMap { p =>
+        Option(p.getFileName.toString).filter(_.startsWith("v=")).flatMap {
+          name =>
+            name.stripPrefix("v=").split("\\.c", 2) match {
+              case Array(v) => v.toLongOption.map(vv => (vv, 0L, p))
+              case Array(v, g) =>
+                for (vv <- v.toLongOption; gg <- g.toLongOption)
+                  yield (vv, gg, p)
+              case _ => None
+            }
+        }
+      }.toSeq
       finally s.close()
     }
   }
+
+  /** Bucket b's version dirs (committed or orphaned). */
+  private def bucketVersions(dir: String, b: Long): Seq[Long] =
+    versionDirs(dir, b).map(_._1).distinct
+
+  /** The dir that SERVES committed version v of bucket b: its
+    * highest-generation copy.
+    */
+  private def bucketStateDir(dir: String, b: Long, v: Long): Option[Path] =
+    versionDirs(dir, b).filter(_._1 == v).maxByOption(_._2).map(_._3)
 
   /** Bucket b's newest committed version ≤ cap — crash orphans (dir
     * without marker) are invisible by construction.
@@ -112,6 +136,21 @@ object BucketedSnapshot {
     }
   }
 
+  /** Any one part file of a committed bucket version — the schema witness
+    * the legacy `_MODE` inference reads. None iff the store has no
+    * committed state (fresh store: the caller's mode IS the creation
+    * mode).
+    */
+  private def committedPartFile(dir: String): Option[String] = {
+    val comm = committed(dir).toSet
+    if (comm.isEmpty) None
+    else allBuckets(dir).sorted.iterator
+      .flatMap(b => bucketLatest(dir, b, comm, Long.MaxValue)
+        .flatMap(v => bucketStateDir(dir, b, v))
+        .toSeq.flatMap(partFiles))
+      .nextOption()
+  }
+
   /** Version dirs that actually hold rows (an emptied bucket's committed
     * version dir has no parquet part files — it contributes nothing, and
     * must NOT make the reader fall back to an older version).
@@ -130,7 +169,8 @@ object BucketedSnapshot {
     val comm = committed(dir).toSet
     allBuckets(dir).flatMap { b =>
       bucketLatest(dir, b, comm, cap)
-        .toSeq.flatMap(v => partFiles(Paths.get(dir, s"bucket=$b/v=$v")))
+        .flatMap(v => bucketStateDir(dir, b, v))
+        .toSeq.flatMap(partFiles)
     }
   }
 
@@ -219,7 +259,9 @@ object BucketedSnapshot {
       val vs = bucketVersions(dir, b).filter(commSet.contains).sorted
       val needed = vs.filter(_ <= cutoff).lastOption
       vs.filter(v => v < cutoff && !needed.contains(v)).map { v =>
-        deleteRecursively(Paths.get(dir, s"bucket=$b/v=$v"))
+        // every generation of the dropped version ([[compact]] may have
+        // rewritten it as v=<v>.c<g>)
+        versionDirs(dir, b).filter(_._1 == v).foreach(d => deleteRecursively(d._3))
         (b, v)
       }
     }
@@ -229,6 +271,65 @@ object BucketedSnapshot {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     dropped
+  }
+
+  /** Merge each fragmented bucket's CURRENT referenced version into one
+    * part file — the small-file maintenance the long-lived store needs
+    * (the [[Compaction]] role ported to independently-versioned buckets):
+    * every micro-batch write leaves however many part files the merge
+    * job's parallelism produced, and a bucket touched by thousands of
+    * small batches accumulates a new multi-file version dir per touch;
+    * [[vacuum]] drops the UNREFERENCED old versions but never merges
+    * files within the referenced one.
+    *
+    * A bucket is picked when its newest committed version holds more than
+    * one part file totalling under `targetBytes` (the same fragmentation
+    * test as [[Compaction.compact]]). The rewrite commits as a COMPACTION
+    * GENERATION of the same version — `bucket=<b>/v=<v>.c<g>` — via one
+    * staging write + one atomic move, never a new version number: version
+    * numbers are the STREAM's batch ids, and allocating one here would
+    * collide with the checkpoint's next batch (whose marker-exists replay
+    * check would then silently skip a real merge). Readers always take a
+    * version's highest generation, so the move is the commit point and a
+    * crash on either side of it leaves a correct store (before: old gen
+    * serves; after: new gen serves, the superseded dir is deleted here or
+    * orphaned harmlessly). Rows are identical by construction; markers,
+    * untouched buckets, and time travel are untouched; replay stays a
+    * no-op. Single-maintainer discipline like [[vacuum]]: do not run
+    * concurrently with a merge of the same store.
+    *
+    * Returns the (bucket, version) pairs rewritten.
+    */
+  def compact(s: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Seq[(Long, Long)] = {
+    val comm = committed(dir).toSet
+    if (comm.isEmpty) return Seq.empty
+    val staging = Paths.get(dir, "_compact_stage")
+    deleteRecursively(staging) // crash leftovers from a prior attempt
+    val done = allBuckets(dir).sorted.flatMap { b =>
+      bucketLatest(dir, b, comm, Long.MaxValue).flatMap { v =>
+        val dirs = versionDirs(dir, b).filter(_._1 == v)
+        val cur = dirs.maxByOption(_._2)
+        val files = cur.map(c => partFiles(c._3)).getOrElse(Seq.empty)
+        val bytes = files.map(f => Files.size(Paths.get(f))).sum
+        if (files.size <= 1 || bytes >= targetBytes) None
+        else {
+          val gen = cur.get._2 + 1
+          val stage = staging.resolve(s"b${b}_v${v}_c$gen")
+          s.read.parquet(files: _*).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          val target = Paths.get(dir, s"bucket=$b/v=$v.c$gen")
+          deleteRecursively(target) // impossible unless clocks ran twice; be safe
+          Files.move(stage, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          // the new gen now serves v; superseded copies are cleanup
+          dirs.foreach(d => deleteRecursively(d._3))
+          Some((b, v))
+        }
+      }
+    }
+    deleteRecursively(staging)
+    done
   }
 
   /** Merge one micro-batch of flattened signed change rows: union the
@@ -266,7 +367,25 @@ object BucketedSnapshot {
     val modeFile = Paths.get(dir, "_MODE")
     val storedMode =
       if (Files.exists(modeFile)) Files.readString(modeFile).trim
-      else { Files.writeString(modeFile, mode); mode }
+      else {
+        // _MODE absent but state committed = a store predating the _MODE
+        // pin (r13 advice). The mode is a property of the STORED STATE,
+        // not of this caller: infer it from the stored schema (retention
+        // persists 'op' tombstone rows; plain state stores payload only
+        // and re-adds op='r' at read). Stamping the caller's mode here
+        // could brand a plain store 'retention', fail mid-merge on the
+        // missing 'op' column, and leave the store refusing its own
+        // correct mode until _MODE is hand-deleted.
+        val inferred = committedPartFile(dir)
+          .map { f =>
+            if (batch.sparkSession.read.parquet(f).schema.fieldNames
+                .contains("op")) "retention"
+            else "plain"
+          }
+          .getOrElse(mode)
+        Files.writeString(modeFile, inferred)
+        inferred
+      }
     require(storedMode == mode,
       s"store was created in $storedMode mode, caller asked for $mode — " +
         "tombstone handling is fixed at store creation (changing it is a rewrite)")

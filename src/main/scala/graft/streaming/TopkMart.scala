@@ -56,12 +56,14 @@ object TopkMart {
       keyCols: Seq[String], payloadCols: Seq[String], groupCol: String,
       valueCol: String, k: Int = DefaultK)
       (batch: DataFrame, batchId: Long): Boolean = {
-    IncrementalMart.merge(snapDir, martDir, keyCols, payloadCols, groupCol,
-      valueCol)(batch, batchId)
     // k is part of the view's identity, pinned at creation like
     // BucketedSnapshot's _BUCKETS: the candidate path tops up from stored-k
     // ∪ touched groups, which is only sufficient for the SAME k — a raised
     // k against an existing store would silently return short/wrong rows.
+    // Validated BEFORE the mart merge (r13 advice): a k mismatch must be a
+    // pure precondition failure — were it checked after, the wrong-k caller
+    // would have already advanced the snapshot/mart one batch past the
+    // top-k view.
     Files.createDirectories(Paths.get(topkDir))
     val kFile = Paths.get(topkDir, "_K")
     val storedK =
@@ -70,6 +72,8 @@ object TopkMart {
     require(storedK == k,
       s"top-k store is pinned at k=$storedK, caller asked for k=$k — k is " +
         "fixed at store creation (changing it means rebuilding the view)")
+    IncrementalMart.merge(snapDir, martDir, keyCols, payloadCols, groupCol,
+      valueCol)(batch, batchId)
     val manifest = Paths.get(topkDir, "_manifest")
     Files.createDirectories(manifest)
     val marker = manifest.resolve(batchId.toString)

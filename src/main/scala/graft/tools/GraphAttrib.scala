@@ -26,16 +26,25 @@ object GraphAttrib {
       println(f"[attrib] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
+    // which phases to run: "pr", "lp", or both (default) — isolated runs
+    // matter at sf10, where the first query's cached frames and GC state
+    // contaminate the second's wall (r14: LPA supersteps read 11.7 s
+    // isolated vs 55.3 s after a pagerank run in the same JVM)
+    val which = args.drop(1).headOption.getOrElse("all")
     // state builders end in Scale.materialize, so forcing any count settles
     // the whole build; the loop then starts from cached frames
-    val pr = t("pagerank_edge_build") {
-      val st = Graph.pagerankState(spark, d); st.adj.count(); st
+    if (which == "all" || which == "pr") {
+      val pr = t("pagerank_edge_build") {
+        val st = Graph.pagerankState(spark, d); st.adj.count(); st
+      }
+      t("pagerank_supersteps")(Graph.pagerankLoop(pr).count())
     }
-    t("pagerank_supersteps")(Graph.pagerankLoop(pr).count())
-    val lp = t("communities_edge_build") {
-      val st = Graph.communitiesState(spark, d); st.edges.count(); st
+    if (which == "all" || which == "lp") {
+      val lp = t("communities_edge_build") {
+        val st = Graph.communitiesState(spark, d); st.edges.count(); st
+      }
+      t("communities_supersteps")(Graph.communitiesLoop(lp).count())
     }
-    t("communities_supersteps")(Graph.communitiesLoop(lp).count())
     spark.stop()
   }
 }

@@ -207,6 +207,105 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("per-bucket compaction: same rows, single file, untouched buckets byte-identical, replay no-op") {
+    val tmp = Files.createTempDirectory("graft_bcompact").toString
+    val dir = s"$tmp/b"
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    val mid = ch.agg(expr("percentile_approx(ts_ms, 0.5)")).head().getLong(0)
+    val s0 = ch.filter(col("ts_ms") <= mid).localCheckpoint()
+    val s1 = ch.filter(col("ts_ms") > mid).localCheckpoint()
+    // force the fragmentation a real small-batch stream produces (at the
+    // tiny spec SF, AQE coalesces each merge write to one file per bucket)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(s0, 0L)
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(s1, 1L)
+    } finally spark.conf.set(coalesceKey, prev)
+    def inventory(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(Paths.get(dir))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.size(p)).toMap
+      finally w.close()
+    }
+    val rowsBefore = BucketedSnapshot.readSnapshot(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq
+    val asOf0Before = BucketedSnapshot.readSnapshotAsOf(spark, dir, 0L).get
+      .collect().map(_.toString).sorted.toSeq
+    val invBefore = inventory()
+    val done = BucketedSnapshot.compact(spark, dir)
+    assert(done.nonEmpty, "expected fragmented buckets at the spec SF " +
+      "(multi-partition merge writes several part files per bucket version)")
+    // rewritten buckets now serve ONE part file from a .c1 generation dir;
+    // the superseded plain dir is gone
+    done.foreach { case (b, v) =>
+      assert(!Files.isDirectory(Paths.get(dir, s"bucket=$b/v=$v")))
+      val g = Paths.get(dir, s"bucket=$b/v=$v.c1")
+      assert(Files.isDirectory(g), s"missing $g")
+      import scala.jdk.CollectionConverters._
+      val fs = Files.list(g)
+      val parts = try fs.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally fs.close()
+      assert(parts === 1, s"bucket $b v $v: $parts part files after compact")
+    }
+    // untouched buckets' files byte-identical (same paths, same sizes)
+    val doneDirs = done.map { case (b, v) => s"bucket=$b/v=$v" }
+    val untouched = invBefore.filterNot { case (p, _) =>
+      doneDirs.exists(p.contains)
+    }
+    val invAfter = inventory()
+    untouched.foreach { case (p, sz) =>
+      assert(invAfter.get(p).contains(sz), s"untouched file changed: $p")
+    }
+    // rows and time travel identical across the rewrite
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
+    assert(BucketedSnapshot.readSnapshotAsOf(spark, dir, 0L).get
+      .collect().map(_.toString).sorted.toSeq === asOf0Before)
+    // replay of a committed batch is STILL a no-op after compaction
+    val invPostCompact = inventory()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(s1, 1L)
+    assert(inventory() === invPostCompact, "replay rewrote files")
+    // and a second compact finds nothing left to do
+    assert(BucketedSnapshot.compact(spark, dir).isEmpty)
+  }
+
+  test("a legacy store without _MODE infers its mode from the stored schema") {
+    val tmp = Files.createTempDirectory("graft_bmode").toString
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    // a plain store whose _MODE file predates the pin (r13 advice seam):
+    // the first caller's flag must NOT become the stamp — the stored
+    // schema (no 'op' column in plain state) is the truth
+    val pDir = s"$tmp/p"
+    BucketedSnapshot.merge(pDir, keys, CdcQueries.payloadCols)(ch, 0L)
+    Files.delete(Paths.get(pDir, "_MODE"))
+    intercept[IllegalArgumentException] {
+      BucketedSnapshot.merge(pDir, keys, CdcQueries.payloadCols,
+        tombstoneRetention = Some(1L << 50))(ch, 1L)
+    }
+    // the inferred (correct) mode was stamped, not the caller's — the
+    // store still accepts its own plain mode and stays correct
+    assert(Files.readString(Paths.get(pDir, "_MODE")).trim === "plain")
+    BucketedSnapshot.merge(pDir, keys, CdcQueries.payloadCols)(ch, 1L)
+    val got = BucketedSnapshot.readSnapshot(spark, pDir).get
+    val want = CdcQueries.snapshotLatest(spark, sf).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // retention direction: stored tombstone rows carry 'op' → inferred
+    // retention; a plain merge refuses instead of stamping op='r' over them
+    val rDir = s"$tmp/r"
+    BucketedSnapshot.merge(rDir, keys, CdcQueries.payloadCols,
+      tombstoneRetention = Some(1L << 50))(ch, 0L)
+    Files.delete(Paths.get(rDir, "_MODE"))
+    intercept[IllegalArgumentException] {
+      BucketedSnapshot.merge(rDir, keys, CdcQueries.payloadCols)(ch, 1L)
+    }
+    assert(Files.readString(Paths.get(rDir, "_MODE")).trim === "retention")
+  }
+
   test("streamed file drops land the batch semantics through start()") {
     val tmp = Files.createTempDirectory("graft_bstream").toString
     val in = s"$tmp/in"; Files.createDirectories(Paths.get(in))

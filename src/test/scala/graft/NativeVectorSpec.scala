@@ -101,6 +101,25 @@ class NativeVectorSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("matVec rejects a matrix whose length is not a multiple of the vector's") {
+    // r13 advice: a malformed rotation literal must throw, not silently
+    // truncate to floor(|mat|/n) rows
+    val bad = typedlit((1 to 65).map(_.toDouble)) // |v| = 64 per fixture
+    val ex = intercept[Exception] {
+      e.withColumn("r", NativeVector.matVec(col("v"), bad)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("not a multiple"), rootMsg(ex))
+    // and the divisible case still rotates: identity matrix returns v
+    val id = Array.tabulate(64, 64)((r, c) => if (r == c) 1.0 else 0.0)
+    val diff = e
+      .withColumn("r", NativeVector.matVec(col("v"), typedlit(id.flatten.toIndexedSeq)))
+      .filter(col("r") =!= col("v"))
+    assert(diff.count() === 0)
+  }
+
   test("argTopKDot and pqLut stay inside whole-stage codegen") {
     val cents = Array.tabulate(48, 64)((k, i) => math.sin(k + i + 1.0))
     val sn = cents.map(c => math.sqrt(c.map(x => x * x).sum))

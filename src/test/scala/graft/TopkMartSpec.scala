@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.streaming.{IncrementalMart, TopkMart}
+import graft.streaming.{IncrementalMart, IncrementalSnapshot, TopkMart}
 
 /** The maintained top-k view must equal a recompute from the mart after
   * EVERY batch, while taking the O(k + batch) candidate path on monotone
@@ -46,6 +46,27 @@ class TopkMartSpec extends AnyFunSuite {
     TopkMart.readTopk(spark, d.topk).get.collect()
       .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
       .sortBy { case (g, _, total) => (-total, g) }.toSeq
+
+  test("a wrong-k caller fails the precondition with NO state change") {
+    val d = dirs()
+    merge(d, batchOf(Seq((1L, 1L, 10.0, "c", 1L))), 0L)
+    val snapV = IncrementalSnapshot.latestVersion(d.snap)
+    val martV = IncrementalSnapshot.latestVersion(d.mart)
+    val topkV = IncrementalSnapshot.latestVersion(d.topk)
+    // r13 advice: _K is validated BEFORE IncrementalMart.merge — a k
+    // mismatch must be a pure precondition failure, not a mart silently
+    // advanced one batch past the top-k view
+    intercept[IllegalArgumentException] {
+      TopkMart.merge(d.snap, d.mart, d.topk, keyCols, payloadCols,
+        "custkey", "price", K + 1)(batchOf(Seq((2L, 2L, 5.0, "c", 2L))), 1L)
+    }
+    assert(IncrementalSnapshot.latestVersion(d.snap) === snapV)
+    assert(IncrementalSnapshot.latestVersion(d.mart) === martV)
+    assert(IncrementalSnapshot.latestVersion(d.topk) === topkV)
+    // replaying the same batch with the stored k proceeds normally
+    merge(d, batchOf(Seq((2L, 2L, 5.0, "c", 2L))), 1L)
+    assert(gotTopk(d) === expectedTopk(d))
+  }
 
   test("monotone batches take the candidate path; top-k equals the recompute") {
     val d = dirs()

@@ -45,16 +45,27 @@ FLOORS = {
 # pagerank/communities needed an edge-build-vs-superstep split either way).
 # Applied regardless of ratio — they explain, they don't excuse.
 NOTES = {
-    "part_pagerank": "r13 attribution (tools/GraphAttrib, isolated): "
-        "edge/adjacency build 24.5 -> 166.5 s per 10x (6.8x) vs all 5 "
-        "supersteps 14.0 -> 76.7 s (5.5x, ~15 s/superstep at sf10). The "
-        "dominant term is the one-shot within-order self-join + "
-        "collect_list spill — part_cosim's documented floor argument; "
-        "the loop itself is edge-linear.",
-    "part_communities": "r13 attribution (tools/GraphAttrib, isolated): "
-        "edge build 10.8 -> 50.2 s per 10x (4.6x) vs all 4 supersteps "
-        "4.9 -> 11.7 s (2.4x). Build-dominated; the LPA loop scales "
-        "cleanly.",
+    "part_pagerank": "r14 FIX of the r13 weak item (GraphAttrib isolated, "
+        "48g protocol): adjacency build rebuilt as one orderkey "
+        "collect_set + map-side double-explode pair gen + one partially-"
+        "aggregated collect_set(src) — the self-join, the distinct and "
+        "the collect_list passes are gone. Build 16.2 -> 65.5 s per 10x "
+        "(4.0x, was 6.8x), supersteps 11.9 -> 28.1 s (2.4x), whole query "
+        "3.3x per 10x isolated.",
+    "part_communities": "r14 attribution (GraphAttrib ISOLATED at 48g — "
+        "r13's 50.2 s build number was an in-context artifact: pagerank's "
+        "phase had already cached the distinct li frame): build 16.7 -> "
+        "95.1 s per 10x (5.7x), supersteps 5.9 -> 11.5 s (2.0x), whole "
+        "query 22.6 -> 106.6 s = 4.7x per 10x. The basket-array build "
+        "that fixed pagerank was A/B'd here and is a wash (100.7 s) — "
+        "the weight aggregation can't fuse away, so the measured-equal "
+        "simpler self-join stays.",
+    "embed_dim_variance": "6.5x on a 1.6 s base = sublinear: the work is "
+        "one posexplode x64 row amplification feeding a map-side-partial "
+        "64-group aggregate (the shuffle moves 64 x partitions partial "
+        "rows only) — linear in data with a 64x row constant; the ratio "
+        "reflects the small sf1 base's fixed overhead, not superlinear "
+        "growth.",
     "dedup_ann_probe_sweep": "by design ~4x one ANN search: the sweep "
         "measures 4 probe widths to publish the recall curve — cost is "
         "the sum of its panes, not a scaling defect.",
