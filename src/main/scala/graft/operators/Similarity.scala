@@ -1235,13 +1235,20 @@ object Similarity {
     * the minhash banding, and the measurement is the published IVF trade
     * in action: with cells ∝ √n and probes FIXED, the scan fraction
     * probes/cells shrinks as 8/√n, so recall falls as the corpus grows
-    * unless the pairs are genuinely clustered. Measured on the synthetic
-    * corpus (isotropic vectors — the worst case, see [[dedupEmbeddingAnn]]):
-    * 0.949 @ sf0.01 (8/32 cells probed), 0.498 @ sf1 (8/142), rising with
-    * pair tightness to 0.89 for cos ≥ 0.6 even at sf1. The lever is this
-    * constant (cost ∝ probes, linearly); the monitor is the audit query.
+    * unless the pairs are genuinely clustered. The default is PICKED FROM
+    * THE MEASURED SWEEP (r14, `dedup_ann_probe_sweep` at sf1 on the
+    * isotropic worst case — recall_ppm: 318531 @ 4 probes, 498161 @ 8,
+    * 704133 @ 16, 885308 @ 32): the curve has no saturation knee on this
+    * corpus, but the MARGINAL recall per added probe halves with each
+    * doubling — 4.5 pts/probe (4→8), 2.6 (8→16), 1.1 (16→32) — so 16 is
+    * the widest setting before the efficiency collapse: 0.704 worst-case
+    * recall at 2× the old default's linear candidate cost, vs 32 paying
+    * another 2× for less than half the per-probe return. Pair-tightness
+    * behavior is unchanged (recall rises toward 1 for cos ≥ 0.6 pairs
+    * even at sf1). The lever stays this constant (cost ∝ probes,
+    * linearly); the monitor stays the audit query and the sweep.
     */
-  val AnnDedupProbes = 8
+  val AnnDedupProbes = 16
 
   /** Embedding near-dup pairs through IVF-cell-confined candidates + exact
     * τ-verify — the scale-safe route to what `dedup_embedding` computes
