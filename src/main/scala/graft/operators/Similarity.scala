@@ -1795,19 +1795,47 @@ object Similarity {
   private def pqCodebookFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent(d, _ => trainPqCodebook(split(s, d)._2))
 
-  def knnPq(s: SparkSession, d: String): DataFrame = {
-    val (q, c) = split(s, d)
+  /** The corpus→codes map of [[knnPq]], factored out so the streaming
+    * ingest path ([[graft.streaming.PqIngest]]) assigns the IDENTICAL
+    * codes: same trained codebooks (cached per dir — zero retrain per
+    * micro-batch), same normalize, same native encode expression — one
+    * map-side codegen'd pass, zero shuffle, so a micro-batch pays
+    * O(batch × codebook) and nothing else.
+    */
+  private[graft] def pqEncodeFrame(df: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
     val cb = pqCodebookFor(s, d)
-    val sub = cb(0)(0).length
     val flat = typedlit(cb.flatten.flatten.toIndexedSeq)
     val bias = typedlit(cb.flatMap(_.map(cv => -n2Seq(cv) / 2)).toIndexedSeq)
-    // corpus → 8-int codes over the NORMALIZED vector (one map-side
-    // codegen'd pass, nothing else moves): ADC then approximates cosine
-    val codes = c
-      .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
+    df.withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .withColumn("codes", NativeVector.pqEncode(col("nv"), flat, bias, lit(PqSub)))
       .select(col("vec_id"), col("codes"))
+  }
+
+  /** [[knnOpq]]'s corpus→codes map (rotate, then PQ-encode) — the OPQ
+    * twin of [[pqEncodeFrame]], shared with streaming ingest.
+    */
+  private[graft] def opqEncodeFrame(df: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val m = opqFor(s, d)
+    val rotFlat = typedlit(m.rot.flatten.toIndexedSeq)
+    val flat = typedlit(m.cb.flatten.flatten.toIndexedSeq)
+    val bias = typedlit(m.cb.flatMap(_.map(cv => -n2Seq(cv) / 2)).toIndexedSeq)
+    df.withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .withColumn("rv", NativeVector.matVec(col("nv"), rotFlat))
+      .withColumn("codes", NativeVector.pqEncode(col("rv"), flat, bias, lit(PqSub)))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val cb = pqCodebookFor(s, d)
+    val flat = typedlit(cb.flatten.flatten.toIndexedSeq)
+    // corpus → 8-int codes over the NORMALIZED vector (one map-side
+    // codegen'd pass, nothing else moves): ADC then approximates cosine
+    val codes = pqEncodeFrame(c, s, d)
     // per-query ADC table: lut[m·PqK + k] = dot(nq_m, C[m][k]) — computed
     // once per query row (bounded set) in one native looping expression
     // (the 8×16 unrolled dot-of-slice array blew janino's 64 KB method
@@ -1920,13 +1948,7 @@ object Similarity {
     val m = opqFor(s, d)
     val rotFlat = typedlit(m.rot.flatten.toIndexedSeq)
     val flat = typedlit(m.cb.flatten.flatten.toIndexedSeq)
-    val bias = typedlit(m.cb.flatMap(_.map(cv => -n2Seq(cv) / 2)).toIndexedSeq)
-    val codes = c
-      .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
-      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
-      .withColumn("rv", NativeVector.matVec(col("nv"), rotFlat))
-      .withColumn("codes", NativeVector.pqEncode(col("rv"), flat, bias, lit(PqSub)))
-      .select(col("vec_id"), col("codes"))
+    val codes = opqEncodeFrame(c, s, d)
     val qlut = q
       .withColumn("nrm", sqrt(NativeVector.norm2(col("qv"))))
       .withColumn("nqv", transform(col("qv"), x => x / col("nrm")))
