@@ -985,7 +985,35 @@ object Dedup {
           "ELSE CAST(0 AS BIGINT) END").as("precision_ppm"))
   }
 
+  /** MinHash ESTIMATOR calibration by true-similarity band — the audit a
+    * pipeline reads before using `est` as a dedup threshold (the
+    * complement of `dedup_recall_eval`, which audits the BANDING's pair
+    * coverage; this audits the estimate's accuracy on the pairs it
+    * surfaces): over the SAME candidate pairs `dedup_minhash_lsh` emits,
+    * signed bias, mean absolute error, and worst error of the
+    * matching-minhash-fraction estimator vs exact shingle Jaccard, per
+    * 0.1-wide true-similarity band. The theoretical story (est is an
+    * unbiased binomial mean with σ = √(j(1−j)/k)) becomes a measured
+    * number on THIS corpus and k. All integer: errors are differences of
+    * 1e6-quantized values; `div`/`//` truncate toward zero identically,
+    * signed bias included. Scale: one pass over the (already banded,
+    * width-capped) candidate pair set — strictly cheaper than the dedup
+    * it audits.
+    */
+  def dedupMinhashCalibration(s: SparkSession, d: String): DataFrame =
+    dedupMinhashLsh(s, d)
+      .withColumn("band", floor(col("jacc") * 10).cast("long"))
+      .withColumn("err_ppm",
+        expr("CAST(floor(est*1e6) AS BIGINT) - CAST(floor(jacc*1e6) AS BIGINT)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("err_ppm")).as("sum_err_ppm"),
+        expr("sum(err_ppm) div count(1)").as("bias_ppm"),
+        expr("sum(abs(err_ppm)) div count(1)").as("mae_ppm"),
+        max(abs(col("err_ppm"))).as("max_abs_err_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_calibration" -> dedupMinhashCalibration,
     "dedup_recall_eval" -> dedupRecallEval,
     "dedup_exact" -> dedupExact,
     "dedup_waste" -> dedupWaste,
@@ -1154,6 +1182,21 @@ object Dedup {
     // min MEMBER ids), so coalescing cluster_id to doc_id is collision-free.
     "dedup_canonical" -> canonicalOracleFrom(jaccardOracleSql),
     "dedup_minhash_lsh" -> minhashOracleSql(Bands, RowsPerBand),
+    // the lsh oracle verbatim as a nested CTE, then the banded error agg —
+    // Spark `div` and DuckDB `//` both truncate toward zero, so the signed
+    // bias divides identically
+    "dedup_minhash_calibration" ->
+      s"""WITH mh AS (${minhashOracleSql(Bands, RowsPerBand)}),
+         |e AS (SELECT CAST(floor(jacc*10) AS BIGINT) AS band,
+         |    CAST(floor(est*1e6) AS BIGINT) - CAST(floor(jacc*1e6) AS BIGINT)
+         |      AS err_ppm
+         |  FROM mh)
+         |SELECT band, count(*) AS n_pairs,
+         |  CAST(sum(err_ppm) AS BIGINT) AS sum_err_ppm,
+         |  CAST(sum(err_ppm) // count(*) AS BIGINT) AS bias_ppm,
+         |  CAST(sum(abs(err_ppm)) // count(*) AS BIGINT) AS mae_ppm,
+         |  CAST(max(abs(err_ppm)) AS BIGINT) AS max_abs_err_ppm
+         |FROM e GROUP BY 1""".stripMargin,
     // both engines' NATIVE levenshtein over the same normalized text;
     // similarity stays integer ppm so the comparison is hash-exact
     "dedup_edit_distance" ->

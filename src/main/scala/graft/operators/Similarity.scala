@@ -2673,6 +2673,81 @@ object Similarity {
     * (vec,label) dot rollup — no corpus-sized window, no pairwise
     * vector×vector work anywhere.
     */
+  /** Pane bound for the alignment audit: pairwise work is
+    * [[AlignPane]]²/2 cosines REGARDLESS of corpus size — the
+    * constant-bounded audit discipline ([[TruthSampleIds]] /
+    * EvalCap precedent), covering every vector at the gate SFs.
+    */
+  val AlignPane = 2048
+
+  /** Population-level ALIGNMENT vs cross-class CONTRAST of the embedding
+    * space (the alignment half of Wang & Isola 2020's alignment/uniformity
+    * pair, per label, with the cross-label mean as the contrast baseline —
+    * the corpus-statistic companion to [[embedTripletEval]]'s per-anchor
+    * extremes): over all pairs in the deterministic [[AlignPane]] prefix
+    * pane, mean squared distance ‖x−y‖² = 2−2·cos between SAME-label
+    * members (align_ppm — small = the class is tight), between each label
+    * and the rest (cross_ppm), and the gap (positive = the space separates
+    * that class). All integer: per-pair 1e6-quantized distances from the
+    * bit-deterministic sequential-fold cosine, integer sums and
+    * truncating division on both engines. Labels with a single pane
+    * member have no same-pair row and drop out by contract.
+    *
+    * Scale: the pane self-join broadcasts one bounded side and streams the
+    * other; aggregation is map-side partial over ≤ |labels| groups — the
+    * audit costs the same at every corpus size.
+    */
+  def embedAlignment(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") < AlignPane)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("label").as("la"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("label").as("lb"))
+    val pairs = broadcast(a).join(b, col("ia") < col("ib"))
+      .withColumn("c0", NativeVector.cosine(col("va"), col("vb")))
+      .select(col("la"), col("lb"),
+        expr("CAST(floor((2 - 2*c0)*1e6) AS BIGINT)").as("d2ppm"))
+      .transform(Scale.materialize) // one pane pass, three consumers
+    val same = pairs.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_same"), sum(col("d2ppm")).as("ss"))
+    val cross = pairs.filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"), col("d2ppm"))
+      .unionByName(pairs.filter(col("la") =!= col("lb"))
+        .select(col("lb").as("label"), col("d2ppm")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cross"), sum(col("d2ppm")).as("sc"))
+    same.join(cross, "label")
+      .select(col("label"), col("n_same"),
+        expr("ss div n_same").as("align_ppm"),
+        col("n_cross"),
+        expr("sc div n_cross").as("cross_ppm"),
+        (expr("sc div n_cross") - expr("ss div n_same")).as("gap_ppm"))
+  }
+
+  private def alignmentOracleSql: String = {
+    import graft.functions.VectorFunctions.cosineSql
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id < $AlignPane),
+       |p AS (SELECT a.label AS la, b.label AS lb,
+       |    CAST(floor((2 - 2*${cosineSql("a.v", "b.v")})*1e6) AS BIGINT)
+       |      AS d2ppm
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       |s AS (SELECT la AS label, count(*) AS n_same, sum(d2ppm) AS ss
+       |  FROM p WHERE la = lb GROUP BY 1),
+       |c AS (SELECT label, count(*) AS n_cross, sum(d2ppm) AS sc FROM (
+       |    SELECT la AS label, d2ppm FROM p WHERE la <> lb
+       |    UNION ALL SELECT lb AS label, d2ppm FROM p WHERE la <> lb)
+       |  GROUP BY 1)
+       |SELECT s.label, n_same, CAST(ss // n_same AS BIGINT) AS align_ppm,
+       |  n_cross, CAST(sc // n_cross AS BIGINT) AS cross_ppm,
+       |  CAST(sc // n_cross AS BIGINT) - CAST(ss // n_same AS BIGINT)
+       |    AS gap_ppm
+       |FROM s JOIN c USING (label)""".stripMargin
+  }
+
   def embedSilhouette(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -2873,6 +2948,7 @@ object Similarity {
     "embed_dim_variance" -> embedDimVariance,
     "embed_label_knn_eval" -> embedLabelKnnEval,
     "embed_silhouette" -> embedSilhouette,
+    "embed_alignment" -> embedAlignment,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
     "knn_pq_recall" -> knnPqRecall,
@@ -3553,6 +3629,7 @@ object Similarity {
       "embed_dim_variance" -> dimVarianceOracleSql,
       "embed_label_knn_eval" -> labelKnnOracleSql(),
       "embed_silhouette" -> silhouetteOracleSql,
+      "embed_alignment" -> alignmentOracleSql,
       "knn_sq8_rerank" -> sq8RerankOracleSql(),
       "knn_sq8_recall" -> sq8RecallOracleSql(),
       "knn_mmr" -> mmrOracleSql,
