@@ -1943,6 +1943,83 @@ object Similarity {
   private[graft] def opqFor(s: SparkSession, d: String): OpqModel =
     opqCache.computeIfAbsent(d, _ => trainOpq(split(s, d)._2))
 
+  /** PQ codebook-quality monitor — per-subspace reconstruction distortion
+    * ‖nv[m·sub..] − C[m][code_m]‖² of the live code assignment (the
+    * quantization-error audit a PQ deployment watches to decide when the
+    * batch-trained codebooks have aged off a drifting corpus and
+    * [[graft.streaming.PqIngest]]'s "retrain is a policy decision" fires;
+    * per-subspace resolution shows WHICH slice degraded — the OPQ
+    * balance question as a number). Exactness: codes from the shared
+    * [[pqEncodeFrame]]; per-vector distortion is a sequential left-fold
+    * of squared diffs against the codeword slice (the [[ArrayDot]] fold
+    * order, restated as the same list_reduce in the generated oracle),
+    * quantized to ppb; integer sums and truncating-division means.
+    * Scale: one map-side encode + one fold per vector — no shuffle until
+    * the final [[PqSub]]-group aggregate; output is codebook-bounded.
+    */
+  def embedPqDistortion(s: SparkSession, d: String): DataFrame = {
+    val cb = pqCodebookFor(s, d)
+    val sub = cb(0)(0).length
+    val cbFlat = typedlit(cb.flatten.flatten.toIndexedSeq)
+    val c = split(s, d)._2
+    val nv = c
+      .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), col("nv"))
+    val joined = pqEncodeFrame(c, s, d).join(nv, "vec_id")
+    val perSub = (0 until PqSub).map { m =>
+      val cw = slice(cbFlat,
+        (lit(m * PqK) + element_at(col("codes"), m + 1)) * sub + 1, lit(sub))
+      val d2 = aggregate(
+        zip_with(slice(col("nv"), m * sub + 1, sub), cw,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(lit(m).as("m"), d2.as("d2"))
+    }
+    joined
+      .select(explode(array(perSub: _*)).as("s"))
+      .select(col("s.m").as("subspace"),
+        expr("CAST(floor(s.d2*1e9) AS BIGINT)").as("d2ppb"))
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2ppb) div count(1)").as("mean_d2_ppb"),
+        max(col("d2ppb")).as("max_d2_ppb"))
+  }
+
+  /** [[embedPqDistortion]]'s oracle from the trained codebook — the
+    * [[pqOracleSql]] code-assignment CTEs verbatim, then the same
+    * sequential squared-diff fold per (vector, subspace).
+    */
+  private def pqDistortionOracleSql(cb: Array[Array[Array[Double]]]): String = {
+    val sub = cb(0)(0).length
+    def cvSql(m: Int, k: Int): String =
+      cb(m)(k).map(_.toString).mkString("([", ",", "]::DOUBLE[])")
+    val cbRows = (for (m <- 0 until PqSub; k <- 0 until PqK) yield
+      s"SELECT $m AS m, $k AS k, ${cvSql(m, k)} AS cv, ${-n2Seq(cb(m)(k)) / 2} AS bias"
+    ).mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id, v, sqrt(${norm2Sql("v")}) AS nrm
+       |  FROM e WHERE vec_id >= $NumQueries),
+       |c AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM c0),
+       |cb AS ($cbRows),
+       |codes AS (SELECT vec_id, m, cv FROM (
+       |  SELECT c.vec_id, cb.m, cb.cv,
+       |    row_number() OVER (PARTITION BY c.vec_id, cb.m
+       |      ORDER BY ${dotSql(s"(c.nv[cb.m*$sub+1:(cb.m+1)*$sub])", "cb.cv")} + cb.bias DESC, cb.k) AS r
+       |  FROM c, cb) t WHERE r = 1),
+       |d2 AS (SELECT codes.m AS subspace,
+       |    CAST(floor(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, $sub + 1), i ->
+       |        (c.nv[codes.m*$sub + i] - codes.cv[i])
+       |          * (c.nv[codes.m*$sub + i] - codes.cv[i]))),
+       |      (acc, x) -> acc + x)*1e9) AS BIGINT) AS d2ppb
+       |  FROM codes JOIN c USING (vec_id))
+       |SELECT subspace, count(*) AS n_vecs,
+       |  CAST(sum(d2ppb) // count(*) AS BIGINT) AS mean_d2_ppb,
+       |  CAST(max(d2ppb) AS BIGINT) AS max_d2_ppb
+       |FROM d2 GROUP BY 1""".stripMargin
+  }
+
   def knnOpq(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
     val m = opqFor(s, d)
@@ -2949,6 +3026,7 @@ object Similarity {
     "embed_label_knn_eval" -> embedLabelKnnEval,
     "embed_silhouette" -> embedSilhouette,
     "embed_alignment" -> embedAlignment,
+    "embed_pq_distortion" -> embedPqDistortion,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
     "knn_pq_recall" -> knnPqRecall,
@@ -3672,9 +3750,11 @@ object Similarity {
       withIvf + ("knn_lsh_auto" -> lshOracleSqlFor(cfg.numTables, cfg.sigBits))
     } else withIvf
     val withPq = if (pqCache.size == 1) {
-      val pqSql = pqOracleSql(pqCache.values.iterator.next())
+      val model = pqCache.values.iterator.next()
+      val pqSql = pqOracleSql(model)
       withTune + ("knn_pq" -> pqSql) +
-        ("knn_pq_recall" -> recallOfOracleSql(pqSql))
+        ("knn_pq_recall" -> recallOfOracleSql(pqSql)) +
+        ("embed_pq_distortion" -> pqDistortionOracleSql(model))
     } else withTune
     val withOpq = if (opqCache.size == 1) {
       val opqSql = opqOracleSql(opqCache.values.iterator.next())
