@@ -1144,8 +1144,19 @@ object Similarity {
     * regression guard.
     */
   private[graft] def knnGraphRounds(s: SparkSession, d: String,
+      descentRounds: Int): DataFrame =
+    topKEdges(knnGraphEdgesOver(corpus(s, d), s, d, descentRounds))
+      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+        col("rnk").as("rank"), detRound(col("cos"), 6).as("cos"))
+
+  /** The kNN-graph edge build over an arbitrary node frame (vec_id, v) —
+    * factored from [[knnGraphRounds]] so [[knnGraphSearch]] can build the
+    * SAME graph over the corpus slice only (query ids excluded: a search
+    * structure must not contain its own probes). Returns the un-renamed
+    * (src, dst, cos) edge frame after the final descent round.
+    */
+  private def knnGraphEdgesOver(e: DataFrame, s: SparkSession, d: String,
       descentRounds: Int): DataFrame = {
-    val e = corpus(s, d)
     val cc = centColsFor(s, d)
     val cellAssigned = cc.cleanup(cc.attach(e)
       .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
@@ -1174,11 +1185,169 @@ object Similarity {
       edges = topKEdges(edges.unionByName(freshScored)).drop("rnk")
         .transform(Scale.materialize)
     }
-    // final rank is recomputed by the last topKEdges pass; re-rank once for
-    // the output contract (rnk was dropped to keep the loop frame uniform)
-    topKEdges(edges)
-      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+    edges
+  }
+
+  /** Beam width, hop count, and entry-point count for [[knnGraphSearch]].
+    * Entry points are the [[GsEntries]] smallest corpus vec_ids — a
+    * deterministic stand-in for the medoid entry real graph indexes pin
+    * (on this isotropic corpus every entry is equally arbitrary).
+    */
+  val GsBeam = 16
+  val GsHops = 4
+  val GsEntries = 4
+
+  /** Graph-based ANN SEARCH — the HNSW/NSG-class serving route, completing
+    * the index-family set (LSH, IVF, PQ/OPQ, IVFPQ, SQ8, Hamming, and now
+    * graph): queries walk the [[knnGraph]] structure instead of scanning
+    * cells. The walk is greedy BEAM search expressed as Pregel-style
+    * supersteps so every query advances in parallel: beam₀ = entry points
+    * scored exactly; each hop scores the beam's unvisited out-neighbors
+    * (symmetrized adjacency) and keeps the top-[[GsBeam]] of beam ∪ new;
+    * after [[GsHops]] hops the top-[[K]] of the final beam is the answer.
+    * Fully deterministic: exact IEEE cosines, ties to the smaller vec_id,
+    * fixed entry set — the oracle restates the identical unrolled hops.
+    *
+    * Scale: this is THE serving argument for graph indexes — per query
+    * per hop the work is ≤ beam × GraphK candidate scorings regardless of
+    * corpus size (vs IVF's cells-probed scan fraction): O(hops·beam·K)
+    * total per query. The graph build is the one-time index cost, shared
+    * with [[knnGraph]] and maintainable by `stream_knn_graph`. Each hop is
+    * one join of the (queries × beam)-sized frontier against the
+    * materialized adjacency plus one bounded top-k — no corpus scan
+    * anywhere after the build.
+    */
+  def knnGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
+      .select(col("src"), col("dst"))
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(Scale.materialize)
+    val entries = c.select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(GsEntries)
+    var beam = broadcast(q).join(entries)
+      .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .transform(Scale.materialize)
+    for (_ <- 1 to GsHops) {
+      val nb = beam.select(col("q_id"), col("vec_id"))
+        .join(sym, col("vec_id") === col("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(beam.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      val scored = nb.join(c, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+        .select(col("q_id"), col("vec_id"), col("cos"))
+      beam = Scale.topKPerGroup(beam.unionByName(scored), Seq("q_id"),
+          Seq(col("cos").desc, col("vec_id")), k = GsBeam,
+          saltSrc = col("vec_id"))
+        .drop("rnk")
+        .transform(Scale.materialize)
+    }
+    Scale.topKPerGroup(beam, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
         col("rnk").as("rank"), detRound(col("cos"), 6).as("cos"))
+  }
+
+  /** Recall@[[K]] of the graph-search route vs exact brute — the number a
+    * graph index is judged by (its recall is bounded by the underlying
+    * graph's quality: on this isotropic corpus the descent saturates at
+    * ~0.69 edge recall, and the walk inherits that ceiling).
+    */
+  def knnGraphSearchRecall(s: SparkSession, d: String): DataFrame =
+    recallOf(knnGraphSearch(s, d))(s, d)
+
+  /** [[knnGraphSearch]]'s oracle from the trained centroids: the
+    * [[graphScaleOracleSql]] chain (native list_dot_product scoring —
+    * measured bit-identical to the sequential fold on this data, the
+    * established precedent) rebuilt over the CORPUS slice, then the
+    * identical unrolled beam hops. MATERIALIZED hints like the graph
+    * chain (each hop references its predecessor three times). Used for
+    * BOTH the gate and scale oracles — the sf0.01 hash gate re-verifies
+    * the bit-identity claim every round.
+    */
+  private def graphSearchOracleSql(cents: Array[Array[Double]]): String = {
+    def cosN(qa: String, qb: String, n2a: String, n2b: String) =
+      s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |gn AS (SELECT * FROM en WHERE vec_id >= $NumQueries),
+         |qq AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM en
+         |  WHERE vec_id < $NumQueries),
+         |cells AS (${cellRowsSql(cents)}),
+         |ca AS (SELECT vec_id, v, n2, cell FROM (
+         |  SELECT gn.vec_id, gn.v, gn.n2, cells.cell,
+         |    row_number() OVER (PARTITION BY gn.vec_id
+         |      ORDER BY list_dot_product(gn.v, cells.cv) / cells.sn DESC, cells.cell) AS r
+         |  FROM gn, cells) t WHERE r = 1),
+         |pa AS (SELECT p_id, pv, n2 AS pn2, cell FROM (
+         |  SELECT gn.vec_id AS p_id, gn.v AS pv, gn.n2, cells.cell,
+         |    row_number() OVER (PARTITION BY gn.vec_id
+         |      ORDER BY list_dot_product(gn.v, cells.cv) / cells.sn DESC, cells.cell) AS r
+         |  FROM gn, cells) t WHERE r <= $GraphProbe),
+         |sc AS (SELECT pa.p_id AS src, ca.vec_id AS dst,
+         |    ${cosN("pa.pv", "ca.v", "pa.pn2", "ca.n2")} AS cos
+         |  FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.vec_id),
+         |e0 AS (SELECT src, dst, cos FROM (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM sc) t WHERE rank <= $GraphK)""".stripMargin
+    val rounds = (1 to GraphDescentRounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""sym$r AS (SELECT src, dst FROM $prev
+         |  UNION SELECT dst, src FROM $prev),
+         |cand$r AS (
+         |  SELECT DISTINCT s1.src, s2.dst FROM sym$r s1
+         |    JOIN sym$r s2 ON s1.dst = s2.src WHERE s1.src <> s2.dst
+         |  EXCEPT SELECT src, dst FROM $prev),
+         |fresh$r AS (SELECT c.src, c.dst,
+         |    ${cosN("a.v", "b.v", "a.n2", "b.n2")} AS cos
+         |  FROM cand$r c JOIN gn a ON c.src = a.vec_id JOIN gn b ON c.dst = b.vec_id),
+         |e$r AS (SELECT src, dst, cos FROM (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM fresh$r) u) t
+         |  WHERE rank <= $GraphK)""".stripMargin
+    }
+    val last = s"e$GraphDescentRounds"
+    val hops = (1 to GsHops).map { h =>
+      val prev = s"b${h - 1}"
+      s"""nb$h AS (
+         |  SELECT DISTINCT b.q_id, symg.dst AS vec_id
+         |  FROM $prev b JOIN symg ON b.vec_id = symg.src
+         |  EXCEPT SELECT q_id, vec_id FROM $prev),
+         |sch$h AS (SELECT nb.q_id, nb.vec_id,
+         |    ${cosN("qq.qv", "g.v", "qq.qn2", "g.n2")} AS cos
+         |  FROM nb$h nb JOIN gn g ON nb.vec_id = g.vec_id
+         |  JOIN qq ON nb.q_id = qq.q_id),
+         |b$h AS (SELECT q_id, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM sch$h) u) t
+         |  WHERE r <= $GsBeam)""".stripMargin
+    }
+    val sql =
+      s"""$base,
+         |${rounds.mkString(",\n")},
+         |symg AS (SELECT src, dst FROM $last
+         |  UNION SELECT dst, src FROM $last),
+         |entries AS (SELECT vec_id, v, n2 FROM gn ORDER BY vec_id LIMIT $GsEntries),
+         |b0 AS (SELECT qq.q_id, entries.vec_id,
+         |    ${cosN("qq.qv", "entries.v", "qq.qn2", "entries.n2")} AS cos
+         |  FROM qq, entries),
+         |${hops.mkString(",\n")}
+         |SELECT q_id, vec_id AS nn_id, CAST(rank AS INT) AS rank,
+         |  floor(cos*1e6)/1e6 AS cos
+         |FROM (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM b$GsHops) t WHERE rank <= $K""".stripMargin
+    sql.replace(" AS (", " AS MATERIALIZED (")
   }
 
   // ------------------------------------------------------------- semdedup
@@ -3027,6 +3196,8 @@ object Similarity {
     "embed_silhouette" -> embedSilhouette,
     "embed_alignment" -> embedAlignment,
     "embed_pq_distortion" -> embedPqDistortion,
+    "knn_graph_search" -> knnGraphSearch,
+    "knn_graph_search_recall" -> knnGraphSearchRecall,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
     "knn_pq_recall" -> knnPqRecall,
@@ -3224,6 +3395,9 @@ object Similarity {
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
       hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
+        "knn_graph_search" -> graphSearchOracleSql(cents),
+        "knn_graph_search_recall" ->
+          recallOfOracleSql(graphSearchOracleSql(cents)),
         "knn_ivf_probe_sweep" -> probeSweepOracleSql(cents, fast = true),
         "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
         "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
@@ -3737,6 +3911,9 @@ object Similarity {
           ("embed_ivf_balance" -> ivfBalanceOracleSql(cents)) +
           ("knn_rrf" -> rrfOracleSql(cents)) +
           ("knn_graph" -> graphOracleSql(cents)) +
+          ("knn_graph_search" -> graphSearchOracleSql(cents)) +
+          ("knn_graph_search_recall" ->
+            recallOfOracleSql(graphSearchOracleSql(cents))) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +
           ("dedup_semdedup" -> semdedupOracleSql(cents)) +
           ("dedup_embedding_ann" -> annDedupOracleSql(cents)) +
