@@ -170,6 +170,32 @@ object CdcQueries {
     graft.streaming.BucketedSnapshot
       .readSnapshotAsOf(s, builtStore(s, d), StoreAsOfVersion.toLong).get
 
+  /** Key-id modulus of the point-lookup key set — a deterministic bounded
+    * slice of the key space both engines state identically.
+    */
+  val PointLookupMod = 97
+
+  /** Bucket-pruned point lookup against the MAINTAINED bucketed store —
+    * the ClickHouse point-read role: the current live rows of the
+    * `id ≡ 1 (mod [[PointLookupMod]])` key set (prime modulus, remainder 1
+    * — a slice that intersects BOTH live and tombstoned ids; a power-of-10
+    * modulus with remainder 0 would select only tombstoned keys here), answered by
+    * [[graft.streaming.BucketedSnapshot.readKeys]], which opens ONLY the
+    * buckets those keys hash to (read cost touched/buckets of current
+    * state, never the log, never an untouched bucket — the pruning is
+    * spec-asserted on input_file_name). Tombstoned keys (id % 10 = 0 in
+    * the sim) are absent, exercising the delete path through the pruned
+    * read. The oracle restates the key slice over the log-equivalent
+    * snapshot, so a store that drifted from the log fails here too.
+    */
+  def storePointLookup(s: SparkSession, d: String): DataFrame = {
+    val keys = graft.Tables.orders(s, d)
+      .select(col("o_orderkey").as("id"))
+      .filter(col("id") % PointLookupMod === 1)
+    graft.streaming.BucketedSnapshot
+      .readKeys(s, builtStore(s, d), Seq("id"), keys).get
+  }
+
   /** Change-data-feed read between two committed STORE versions — the
     * Delta CDF / Iceberg incremental-changelog-scan role: "what changed
     * between version [[StoreAsOfVersion]] and now?", answered from the
@@ -451,6 +477,7 @@ object CdcQueries {
     "cdc_snapshot_asof" -> snapshotAsOf,
     "cdc_log_compact" -> logCompact,
     "cdc_snapshot_asof_store" -> snapshotAsOfStore,
+    "cdc_store_point_lookup" -> storePointLookup,
     "cdc_store_cdf" -> storeCdf,
     "cdc_scd2_dim_join" -> scd2DimJoin,
     "cdc_scd2_history" -> scd2History,
@@ -472,6 +499,11 @@ object CdcQueries {
        |FROM base WHERE id % 10 <> 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the key-slice filter over the log-equivalent snapshot — the store
+    // answers it from pruned buckets; the oracle re-derives it from the log
+    "cdc_store_point_lookup" ->
+      s"""WITH snap AS ($snapshotOracle)
+         |SELECT * FROM snap WHERE id % $PointLookupMod = 1""".stripMargin,
     "cdc_snapshot_delta" ->
       s"""$C,
          |t AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS t1 FROM ev

@@ -210,6 +210,41 @@ object BucketedSnapshot {
     }
   }
 
+  /** Bucket-pruned POINT READ — the ClickHouse/KV point-lookup role the
+    * hash layout exists to serve: the current live rows of a BOUNDED key
+    * set, opening ONLY the buckets those keys hash to. Read cost is
+    * touched/buckets of the store regardless of history or store size
+    * (at 16 buckets a one-key lookup opens 1/16th of the CURRENT state,
+    * never the log; a wider fixed-key workload still never opens an
+    * untouched bucket). `keys` must be bounded (its distinct bucket set
+    * is collected — ≤ #buckets rows — exactly the merge-side touched
+    * computation); rows come back through the same committed-version
+    * resolution and [[liveView]] as [[readSnapshot]], so the answer is
+    * the snapshot filter's answer by construction (spec-pinned, with the
+    * file pruning asserted via input_file_name).
+    */
+  def readKeys(s: SparkSession, dir: String, keyCols: Seq[String],
+      keys: DataFrame): Option[DataFrame] =
+    latestVersion(dir).flatMap { cap =>
+      bucketsOf(dir).map { nb =>
+        val touched = keys.select(bucketOf(keyCols, nb).as("b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val comm = committed(dir).toSet
+        val paths = allBuckets(dir).filter(touched.contains).flatMap { b =>
+          bucketLatest(dir, b, comm, cap)
+            .flatMap(v => bucketStateDir(dir, b, v))
+            .toSeq.flatMap(partFiles)
+        }
+        val state =
+          if (paths.nonEmpty) liveView(s.read.parquet(paths: _*))
+          else storedSchema(dir).map(sch => liveView(s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)))
+            .getOrElse(s.emptyDataFrame)
+        state.join(
+          keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      }
+    }
+
   /** The store's row schema, pinned at creation alongside `_BUCKETS` so an
     * emptied store still knows its shape.
     */

@@ -207,6 +207,39 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup equals the snapshot filter and opens ONLY the keys' buckets") {
+    val tmp = Files.createTempDirectory("graft_bpoint").toString
+    val dir = s"$tmp/b"
+    val nb = BucketedSnapshot.DefaultBuckets
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(ch, 0L)
+    // a key set confined to one bucket (plus a tombstoned key — must be
+    // absent from the answer, not resurrected)
+    val snap = BucketedSnapshot.readSnapshot(spark, dir).get
+    val liveIds = snap.select(col("id")).collect().map(_.getLong(0))
+    val targetBucket = bucketIdOf(liveIds.head, nb)
+    val sameBucket = liveIds.filter(bucketIdOf(_, nb) == targetBucket).take(3)
+    val deadId = ch.filter(col("op") === "d").select(col("id"))
+      .head().getLong(0)
+    import spark.implicits._
+    val keyDf = (sameBucket :+ deadId).toSeq.toDF("id")
+    val got = BucketedSnapshot.readKeys(spark, dir, keys, keyDf).get
+    // (1) answer = the snapshot filter's answer
+    val want = snap.join(keyDf, Seq("id"), "left_semi")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.filter(col("id") === deadId).count() === 0, "resurrected key")
+    // (2) pruning: every file read lives under the keys' buckets only
+    val touched = (sameBucket :+ deadId).map(bucketIdOf(_, nb)).toSet
+    val files = got.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(touched.exists(b => f.contains(s"bucket=$b/")),
+        s"read outside the keys' buckets: $f")
+    }
+  }
+
   test("per-bucket compaction: same rows, single file, untouched buckets byte-identical, replay no-op") {
     val tmp = Files.createTempDirectory("graft_bcompact").toString
     val dir = s"$tmp/b"
