@@ -3428,9 +3428,15 @@ object Similarity {
       "embed_label_knn_eval" -> labelKnnOracleSql(fast = true),
       "knn_sq8_rerank" -> sq8RerankOracleSql(fast = true),
       "knn_sq8_recall" -> sq8RecallOracleSql(fast = true))
+    val withOpq =
+      if (opqCache.size == 1) {
+        val sql = opqOracleSql(opqCache.values.iterator.next(), fast = true)
+        hamming + ("knn_opq" -> sql) +
+          ("knn_opq_recall" -> recallOfOracleSql(sql))
+      } else hamming
     if (centroidCache.size == 1) {
       val cents = centroidCache.values.iterator.next()
-      hamming ++ Map("knn_graph" -> graphScaleOracleSql(cents),
+      withOpq ++ Map("knn_graph" -> graphScaleOracleSql(cents),
         "knn_graph_search" -> graphSearchOracleSql(cents),
         "knn_graph_search_recall" ->
           recallOfOracleSql(graphSearchOracleSql(cents)),
@@ -3440,7 +3446,7 @@ object Similarity {
           Dedup.embeddingScaleOracleSql, fast = true),
         "dedup_ann_probe_sweep" -> annProbeSweepOracleSql(cents,
           Dedup.embeddingScaleOracleSql, fast = true))
-    } else hamming
+    } else withOpq
   }
 
   /** dedup_semdedup restated in DuckDB: the same literal centroids and
@@ -3650,30 +3656,44 @@ object Similarity {
     * restate [[pqOracleSql]]'s total orders over the rotated vectors —
     * the exact rerank stays on the RAW cosine.
     */
-  private def opqOracleSql(m: OpqModel): String = {
+  /** `fast = true` swaps every per-vector interpreted fold (the rotation's
+    * 64 dots, norms, code argmax, lut, rerank cosine) for DuckDB's native
+    * `list_dot_product` — measured bit-identical on this data (the
+    * [[graphScaleOracleSql]] / [[hammingCosSql]] precedent) — and forces
+    * CTEs MATERIALIZED (the rotated corpus `c` has two consumers). The
+    * brute form's 20k×64 interpreted rotation folds blew the sf1 oracle
+    * budget (r14: the two OPQ rows were the only sf1 TIMEOUTs).
+    */
+  private def opqOracleSql(m: OpqModel, fast: Boolean = false): String = {
     val cb = m.cb
     val sub = cb(0)(0).length
+    def dot(a: String, b: String): String =
+      if (fast) s"list_dot_product($a, $b)" else dotSql(a, b)
     def rowSql(r: Array[Double]): String =
       r.map(_.toString).mkString("([", ",", "]::DOUBLE[])")
     def rotList(src: String): String =
-      m.rot.map(r => dotSql(src, rowSql(r))).mkString("[", ",\n    ", "]")
+      m.rot.map(r => dot(src, rowSql(r))).mkString("[", ",\n    ", "]")
     def cvSql(mm: Int, k: Int): String =
       cb(mm)(k).map(_.toString).mkString("([", ",", "]::DOUBLE[])")
     val cbRows = (for (mm <- 0 until PqSub; k <- 0 until PqK) yield
       s"SELECT $mm AS m, $k AS k, ${cvSql(mm, k)} AS cv, ${-n2Seq(cb(mm)(k)) / 2} AS bias"
     ).mkString("\nUNION ALL ")
     val lutExprs = (for (mm <- 0 until PqSub; k <- 0 until PqK) yield
-      dotSql(s"(rqv[${mm * sub + 1}:${(mm + 1) * sub}])", cvSql(mm, k))
+      dot(s"(rqv[${mm * sub + 1}:${(mm + 1) * sub}])", cvSql(mm, k))
     ).mkString("[", ",\n    ", "]")
     val codePivot = (0 until PqSub)
       .map(mm => s"max(CASE WHEN m = $mm THEN code END) AS c$mm").mkString(", ")
     val approx = (0 until PqSub).map(mm => s"ql.lut[${mm * PqK + 1} + cp.c$mm]").mkString(" + ")
+    val normOf = (src: String) =>
+      if (fast) s"sqrt(list_dot_product($src, $src))"
+      else s"sqrt(${norm2Sql(src)})"
+    val sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q0 AS (SELECT vec_id AS q_id, v AS qv, sqrt(${norm2Sql("v")}) AS nrm
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, ${normOf("v")} AS nrm
        |  FROM e WHERE vec_id < $NumQueries),
        |q1 AS (SELECT q_id, qv, list_transform(qv, x -> x / nrm) AS nqv FROM q0),
        |q AS (SELECT q_id, qv, ${rotList("nqv")} AS rqv FROM q1),
-       |c0 AS (SELECT vec_id, v, sqrt(${norm2Sql("v")}) AS nrm
+       |c0 AS (SELECT vec_id, v, ${normOf("v")} AS nrm
        |  FROM e WHERE vec_id >= $NumQueries),
        |c1 AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS nv FROM c0),
        |c AS (SELECT vec_id, v, ${rotList("nv")} AS rv FROM c1),
@@ -3681,7 +3701,7 @@ object Similarity {
        |codes AS (SELECT vec_id, m, k AS code FROM (
        |  SELECT c.vec_id, cb.m, cb.k,
        |    row_number() OVER (PARTITION BY c.vec_id, cb.m
-       |      ORDER BY ${dotSql(s"(c.rv[cb.m*$sub+1:(cb.m+1)*$sub])", "cb.cv")} + cb.bias DESC, cb.k) AS r
+       |      ORDER BY ${dot(s"(c.rv[cb.m*$sub+1:(cb.m+1)*$sub])", "cb.cv")} + cb.bias DESC, cb.k) AS r
        |  FROM c, cb) t WHERE r = 1),
        |cp AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
        |ql AS (SELECT q_id, $lutExprs AS lut FROM q),
@@ -3690,13 +3710,14 @@ object Similarity {
        |  SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) AS r
        |  FROM scored) t WHERE r <= $PqR),
-       |sc AS (SELECT cand.q_id, c.vec_id, ${cosineSql("q.qv", "c.v")} AS cos
+       |sc AS (SELECT cand.q_id, c.vec_id, ${hammingCosSql("q.qv", "c.v", fast)} AS cos
        |  FROM cand JOIN c ON cand.vec_id = c.vec_id JOIN q ON cand.q_id = q.q_id),
        |r AS (SELECT q_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM sc)
        |SELECT q_id, vec_id AS nn_id, rank, floor(cos*1e6)/1e6 AS cos
        |FROM r WHERE rank <= $K""".stripMargin
+    if (fast) sql.replace(" AS (", " AS MATERIALIZED (") else sql
   }
 
   /** knn_ivfpq restated in DuckDB: the trained centroids (rows AND a flat

@@ -56,10 +56,19 @@ NOTES = {
         "r13's 50.2 s build number was an in-context artifact: pagerank's "
         "phase had already cached the distinct li frame): build 16.7 -> "
         "95.1 s per 10x (5.7x), supersteps 5.9 -> 11.5 s (2.0x), whole "
-        "query 22.6 -> 106.6 s = 4.7x per 10x. The basket-array build "
-        "that fixed pagerank was A/B'd here and is a wash (100.7 s) — "
-        "the weight aggregation can't fuse away, so the measured-equal "
-        "simpler self-join stays.",
+        "query 22.6 -> 106.6 s = 4.7x per 10x ISOLATED-vs-ISOLATED. The "
+        "headline ratio divides an isolated sf10 wall by the SUITE sf1 "
+        "wall, whose distinct-li input is already cached by earlier "
+        "queries — a denominator artifact, not growth. The basket-array "
+        "build that fixed pagerank was A/B'd here and is a wash "
+        "(100.7 s) — the weight aggregation can't fuse away, so the "
+        "measured-equal simpler self-join stays.",
+    "dedup_minhash_calibration": "the banded-error aggregate itself is "
+        "one pass over the lsh candidate pairs; the wall IS "
+        "dedup_minhash_lsh's signature+banding chain (shared CTEs), the "
+        "documented linear-with-spill text-similarity family — gram "
+        "pair-work audited exactly linear on the ppjoin row, single-box "
+        "sort/spill constants above it.",
     "embed_dim_variance": "6.5x on a 1.6 s base = sublinear: the work is "
         "one posexplode x64 row amplification feeding a map-side-partial "
         "64-group aggregate (the shuffle moves 64 x partitions partial "
