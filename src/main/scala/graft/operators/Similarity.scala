@@ -2162,16 +2162,22 @@ object Similarity {
     * Scale: one map-side encode + one fold per vector — no shuffle until
     * the final [[PqSub]]-group aggregate; output is codebook-bounded.
     */
-  def embedPqDistortion(s: SparkSession, d: String): DataFrame = {
+  /** The per-(vector, subspace) quantized distortion rows of
+    * [[embedPqDistortion]], factored so the STREAMING monitor
+    * ([[graft.streaming.PqIngest.ingest]]'s stats sidecar) accumulates the
+    * IDENTICAL integers per micro-batch — the fold (n, Σ, max) is
+    * associative, so streamed totals ≡ the batch audit exactly.
+    */
+  private[graft] def pqDistortionRows(df: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
     val cb = pqCodebookFor(s, d)
     val sub = cb(0)(0).length
     val cbFlat = typedlit(cb.flatten.flatten.toIndexedSeq)
-    val c = split(s, d)._2
-    val nv = c
+    val nv = df
       .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv"))
-    val joined = pqEncodeFrame(c, s, d).join(nv, "vec_id")
+    val joined = pqEncodeFrame(df, s, d).join(nv, "vec_id")
     val perSub = (0 until PqSub).map { m =>
       val cw = slice(cbFlat,
         (lit(m * PqK) + element_at(col("codes"), m + 1)) * sub + 1, lit(sub))
@@ -2185,11 +2191,14 @@ object Similarity {
       .select(explode(array(perSub: _*)).as("s"))
       .select(col("s.m").as("subspace"),
         expr("CAST(floor(s.d2*1e9) AS BIGINT)").as("d2ppb"))
+  }
+
+  def embedPqDistortion(s: SparkSession, d: String): DataFrame =
+    pqDistortionRows(split(s, d)._2, s, d)
       .groupBy(col("subspace"))
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(d2ppb) div count(1)").as("mean_d2_ppb"),
         max(col("d2ppb")).as("max_d2_ppb"))
-  }
 
   /** [[embedPqDistortion]]'s oracle from the trained codebook — the
     * [[pqOracleSql]] code-assignment CTEs verbatim, then the same

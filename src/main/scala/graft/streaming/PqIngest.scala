@@ -52,6 +52,19 @@ object PqIngest {
             if (opq) Similarity.opqEncodeFrame(vecs, s, d)
             else Similarity.pqEncodeFrame(vecs, s, d)
           codes.write.mode("overwrite").parquet(s"$storeDir/data/batch=$id")
+          // distortion MONITOR sidecar (plain-PQ stores): this batch's
+          // per-subspace (n, Σd2, max) partials — the associative pieces
+          // [[distortion]] folds into running codebook-quality totals that
+          // equal the batch audit EXACTLY (same quantized integers from
+          // the same factored rows). Written before the marker: replay
+          // rewrites both or neither.
+          if (!opq)
+            Similarity.pqDistortionRows(vecs, s, d)
+              .groupBy(col("subspace"))
+              .agg(count(lit(1)).as("n_vecs"),
+                sum(col("d2ppb")).as("sum_d2_ppb"),
+                max(col("d2ppb")).as("max_d2_ppb"))
+              .write.mode("overwrite").parquet(s"$storeDir/stats/batch=$id")
           Files.createFile(marker)
         }
         ()
@@ -65,4 +78,19 @@ object PqIngest {
   /** Read the ingested code store (batch partition column inferred). */
   def store(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(s"$storeDir/data")
+
+  /** The MAINTAINED codebook-quality monitor: fold every ingested batch's
+    * distortion partials into current per-subspace totals — the streaming
+    * twin of the batch `embed_pq_distortion` audit, equal to it EXACTLY
+    * over the same corpus (integer sums are order-independent; the fold
+    * is associative over batches). O(batches × subspaces) partial rows
+    * read, never the vectors — the monitor costs nothing at read time,
+    * and each batch paid one extra encode-shaped pass at write time.
+    */
+  def distortion(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/stats")
+      .groupBy(col("subspace"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        expr("sum(sum_d2_ppb) div sum(n_vecs)").as("mean_d2_ppb"),
+        max(col("max_d2_ppb")).as("max_d2_ppb"))
 }

@@ -56,5 +56,13 @@ class PqIngestSpec extends AnyFunSuite {
     // somewhere or the rotation did nothing on this corpus (it does: the
     // eigenbasis reorders dimensions even when isotropy keeps recall flat)
     assert(storedCodes(s"$tmp/store_pq") !== storedCodes(s"$tmp/store_opq"))
+    // the MAINTAINED distortion monitor equals the batch audit exactly —
+    // the corpus ingested is exactly embed_pq_distortion's corpus (vec_id
+    // >= NumQueries), integer partials fold associatively across batches
+    val streamed = PqIngest.distortion(spark, s"$tmp/store_pq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Similarity.embedPqDistortion(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch, "maintained distortion drifts from the batch audit")
   }
 }
