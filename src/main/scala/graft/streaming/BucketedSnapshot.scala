@@ -442,9 +442,13 @@ object BucketedSnapshot {
       IncrementalSnapshot.flipLatest(dir, batchId)
       return
     }
+    // state resolves through the SAME generation-aware path as readers —
+    // a compacted bucket's referenced version lives in v=N.cG, and reading
+    // the plain v=N here would silently merge against EMPTY state
     val statePaths = touched.flatMap { b =>
       bucketLatest(dir, b, comm, batchId - 1)
-        .toSeq.flatMap(v => partFiles(Paths.get(dir, s"bucket=$b/v=$v")))
+        .flatMap(v => bucketStateDir(dir, b, v))
+        .toSeq.flatMap(partFiles)
     }
     def stateRaw = if (statePaths.isEmpty) None else Some(s.read.parquet(statePaths: _*))
     val merged = tombstoneRetention match {

@@ -306,6 +306,56 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     assert(BucketedSnapshot.compact(spark, dir).isEmpty)
   }
 
+  test("compaction composes with later merges, vacuum, and time travel") {
+    val tmp = Files.createTempDirectory("graft_bcv").toString
+    val dir = s"$tmp/b"
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    val cuts = ch.stat.approxQuantile("ts_ms", Array(0.33, 0.66), 0.0)
+    val slices = Seq(
+      ch.filter(col("ts_ms") <= cuts(0)),
+      ch.filter(col("ts_ms") > cuts(0) && col("ts_ms") <= cuts(1)),
+      ch.filter(col("ts_ms") > cuts(1))).map(_.localCheckpoint())
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(0), 0L)
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(1), 1L)
+      // compact the referenced (v=1-or-0) dirs, then a LATER merge lands
+      // on top of compacted generations
+      assert(BucketedSnapshot.compact(spark, dir).nonEmpty)
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(2), 2L)
+    } finally spark.conf.set(coalesceKey, prev)
+    // correctness across the compose: full snapshot and asOf(1)
+    val want = CdcQueries.snapshotLatest(spark, sf)
+    val got = BucketedSnapshot.readSnapshot(spark, dir).get
+      .select(want.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    val asOf1 = BucketedSnapshot.readSnapshotAsOf(spark, dir, 1L).get
+      .collect().map(_.toString).sorted.toSeq
+    // vacuum keep=2: versions < 1 that are superseded get dropped —
+    // INCLUDING any compacted generations of them; asOf(1) survives
+    BucketedSnapshot.vacuum(dir, keep = 2)
+    assert(BucketedSnapshot.readSnapshotAsOf(spark, dir, 1L).get
+      .collect().map(_.toString).sorted.toSeq === asOf1)
+    // no bucket serves a dropped version through a leftover gen dir:
+    // every remaining version dir (plain or .cG) is v=1-or-2, or a
+    // bucket's newest version <= the cutoff (still referenced)
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(Paths.get(dir), 2)
+    val leftover = try w.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v="))
+      .map(_.toString).toList
+    finally w.close()
+    assert(leftover.nonEmpty)
+    // final snapshot still correct after vacuum
+    val got2 = BucketedSnapshot.readSnapshot(spark, dir).get
+      .select(want.columns.map(col): _*)
+    assert(got2.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got2).count() === 0)
+  }
+
   test("a legacy store without _MODE infers its mode from the stored schema") {
     val tmp = Files.createTempDirectory("graft_bmode").toString
     val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
