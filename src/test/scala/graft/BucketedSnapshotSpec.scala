@@ -356,6 +356,33 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     assert(want.exceptAll(got2).count() === 0)
   }
 
+  test("compaction preserves retention-mode tombstone ROWS (no resurrection after compact)") {
+    val tmp = Files.createTempDirectory("graft_bretc").toString
+    val dir = s"$tmp/b"
+    val ret = 1L << 50
+    val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols,
+        tombstoneRetention = Some(ret))(ch, 0L)
+    } finally spark.conf.set(coalesceKey, prev)
+    // compact rewrites raw stored rows — the op='d' tombstones must come
+    // through as rows, or the next redelivery resurrects the keys
+    assert(BucketedSnapshot.compact(spark, dir).nonEmpty)
+    val redelivered = ch.filter(col("id") % 10 === 0 && col("op") =!= "d")
+      .localCheckpoint()
+    BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols,
+      tombstoneRetention = Some(ret))(redelivered, 1L)
+    val got = BucketedSnapshot.readSnapshot(spark, dir).get
+    assert(got.filter(col("id") % 10 === 0).count() === 0,
+      "compaction dropped tombstone rows — redelivery resurrected keys")
+    val want = CdcQueries.snapshotLatest(spark, sf).select(got.columns.map(col): _*)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   test("a legacy store without _MODE infers its mode from the stored schema") {
     val tmp = Files.createTempDirectory("graft_bmode").toString
     val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
