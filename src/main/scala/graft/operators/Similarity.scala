@@ -1232,7 +1232,12 @@ object Similarity {
     * materialized adjacency plus one bounded top-k — no corpus scan
     * anywhere after the build.
     */
-  def knnGraphSearch(s: SparkSession, d: String): DataFrame = {
+  /** The walk's (entry beam, final beam) pair — factored so
+    * [[knnGraphSearchLift]] can audit what the hops ADD over the
+    * one-probe entry.
+    */
+  private def graphSearchBeams(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val (q, c) = split(s, d)
     val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
       .select(col("src"), col("dst"))
@@ -1252,7 +1257,7 @@ object Similarity {
     val qCell = cc.cleanup(cc.attach(q.withColumnRenamed("qv", "v"))
         .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
       .select(col("q_id"), col("v").as("qv"), col("cell"))
-    var beam = Scale.topKPerGroup(
+    val beam0 = Scale.topKPerGroup(
         broadcast(qCell).join(cellAssigned, "cell")
           .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
           .select(col("q_id"), col("vec_id"), col("cos")),
@@ -1260,6 +1265,7 @@ object Similarity {
         saltSrc = col("vec_id"))
       .drop("rnk")
       .transform(Scale.materialize)
+    var beam = beam0
     for (_ <- 1 to GsHops) {
       val nb = beam.select(col("q_id"), col("vec_id"))
         .join(sym, col("vec_id") === col("src"))
@@ -1277,10 +1283,43 @@ object Similarity {
         .drop("rnk")
         .transform(Scale.materialize)
     }
-    Scale.topKPerGroup(beam, Seq("q_id"),
+    (beam0, beam)
+  }
+
+  def knnGraphSearch(s: SparkSession, d: String): DataFrame =
+    Scale.topKPerGroup(graphSearchBeams(s, d)._2, Seq("q_id"),
         Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
       .select(col("q_id"), col("vec_id").as("nn_id"),
         col("rnk").as("rank"), detRound(col("cos"), 6).as("cos"))
+
+  /** What the WALK adds over its entry — per query, true-neighbor hits@K
+    * of the entry beam alone vs after the hops (both against exact
+    * brute), and the lift. The mechanism-level companion to
+    * [[knnGraphSearchRecall]]: entry_hits is the one-probe coarse route's
+    * contribution, lift is the graph's, so "is the graph index earning
+    * its build cost on THIS corpus" is a measured per-deploy number
+    * rather than an aggregate guess.
+    */
+  def knnGraphSearchLift(s: SparkSession, d: String): DataFrame = {
+    val (b0, bn) = graphSearchBeams(s, d)
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+      .transform(Scale.materialize)
+    def hitsOf(b: DataFrame): DataFrame =
+      Scale.topKPerGroup(b, Seq("q_id"),
+          Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id"))
+        .join(brute, Seq("q_id", "nn_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    val h0 = hitsOf(b0).withColumnRenamed("h", "h0")
+    val hn = hitsOf(bn).withColumnRenamed("h", "hn")
+    brute.select(col("q_id")).distinct()
+      .join(h0, Seq("q_id"), "left_outer")
+      .join(hn, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("h0"), lit(0L)).as("entry_hits"),
+        coalesce(col("hn"), lit(0L)).as("final_hits"),
+        (coalesce(col("hn"), lit(0L)) - coalesce(col("h0"), lit(0L)))
+          .as("lift"))
   }
 
   /** Recall@[[K]] of the graph-search route vs exact brute — the number a
