@@ -152,27 +152,30 @@ object Multimodal {
     * synthetic testdata (byte-dup-free) never exercises through the
     * dispatch.
     *
-    * Per-doc: distinct rolling 8-grams per document (shorter payloads fall
-    * back to the whole payload as one feature, the shingleSet convention)
-    * → majority simhash. Per-distinct: elect min-doc_id representative per
-    * sha (digest-only shuffle), explode grams for REPRESENTATIVES only —
-    * byte-identical copies never re-pay the 8× amplification — and map
-    * fingerprints back over the two digest-keyed joins.
+    * The fingerprint itself is the native [[graft.functions.PhashSimhash]]
+    * expression (r15 — the sf10 `weak` fix): distinct rolling 8-grams →
+    * md5-top-60-bits → majority vote, one codegen'd pass per payload. The
+    * declarative explode-form it replaced (one substring row per payload
+    * byte feeding a 61-column aggregate) survives as MultimodalSpec's
+    * parity reference and in the oracle SQL — semantics are pinned
+    * identical; only the per-byte row amplification and the wide aggregate
+    * are gone, which removes the fingerprint stage's shuffle entirely.
+    *
+    * Per-doc: fingerprint every payload. Per-distinct: elect min-doc_id
+    * representative per sha (digest-only shuffle), fingerprint
+    * REPRESENTATIVES only — byte-identical copies never re-pay the gram
+    * scan — and map fingerprints back over the two digest-keyed joins.
     */
   private[graft] def phashFingerprintsOf(payloads: DataFrame, docs: DataFrame,
       perDistinct: Boolean): DataFrame = {
-    def gramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(octet_length(col("payload")) - 7, lit(1))),
-        i => col("payload").substr(i, lit(8))))).as("f"))
-      .withColumn("h", graft.functions.PortableHash.hexH(col("f")))
-    if (!perDistinct)
-      Dedup.simhashOf(gramsOf(payloads).select(col("doc_id"), col("h")))
+    def simsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      graft.functions.PhashSimhash(col("payload")).as("sim"))
+    if (!perDistinct) simsOf(payloads)
     else {
       val reps = docs.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id"))
       val repPayloads = payloads
         .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      val repSims = Dedup.simhashOf(gramsOf(repPayloads).select(col("doc_id"), col("h")))
+      val repSims = simsOf(repPayloads)
         .select(col("doc_id").as("rep_id"), col("sim"))
       docs.join(reps, "sha").join(repSims, "rep_id")
         .select(col("doc_id"), col("sim"))

@@ -1330,6 +1330,89 @@ object Similarity {
   def knnGraphSearchRecall(s: SparkSession, d: String): DataFrame =
     recallOf(knnGraphSearch(s, d))(s, d)
 
+  /** The graph-search tuning panes for [[knnGraphParamSweep]]: each
+    * deployment lever swept one-at-a-time around the default
+    * (entry=1 probe, beam=[[GsBeam]], hops=[[GsHops]]) — the
+    * dedup_ann_probe_sweep discipline applied to the graph route, so
+    * which knob buys recall on THIS corpus is a published number, not a
+    * guess. Hop pane: the full 0..[[GsHopsMax]] curve from ONE walk (the
+    * beam is monotone through hops, so every prefix is a free snapshot).
+    * Beam pane: [[GsBeamSweep]] at the default hops. Entry pane:
+    * [[GsEntrySweep]] probe cells feeding the entry beam.
+    */
+  val GsBeamSweep = Seq(8, 32)
+  val GsEntrySweep = Seq(2, 4)
+  val GsHopsMax = 6
+
+  def knnGraphParamSweep(s: SparkSession, d: String): DataFrame = {
+    val (q, c) = split(s, d)
+    val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
+      .select(col("src"), col("dst"))
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(Scale.materialize) // every walk's hop joins read it
+    val cc = centColsFor(s, d)
+    val cellAssigned = cc.cleanup(cc.attach(c)
+        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .transform(Scale.materialize) // every walk's entry scan reads it
+    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
+      .transform(Scale.materialize)
+    val denom = NumQueries.toLong * K
+
+    def hitsRow(beam: DataFrame, entry: Int, b: Int, hop: Int): DataFrame = {
+      val top = Scale.topKPerGroup(beam, Seq("q_id"),
+          Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("nn_id"))
+      top.join(brute, Seq("q_id", "nn_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(entry).as("entry_probes"), lit(b).as("beam"),
+          lit(hop).as("hops"), col("n_hits"),
+          expr(s"n_hits * 1000000 div $denom").as("recall_ppm"))
+    }
+
+    // one walk; hits@K snapshotted at every hop index in `record`
+    def walk(entry: Int, b: Int, record: Seq[Int]): Seq[DataFrame] = {
+      val beam0 = Scale.topKPerGroup(
+          broadcast(queryProbes(q, s, d, entry)).join(cellAssigned, "cell")
+            .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+            .select(col("q_id"), col("vec_id"), col("cos")),
+          Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = b,
+          saltSrc = col("vec_id"))
+        .drop("rnk")
+        .transform(Scale.materialize)
+      var beam = beam0
+      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      if (record.contains(0)) out += hitsRow(beam, entry, b, 0)
+      for (h <- 1 to record.max) {
+        val nb = beam.select(col("q_id"), col("vec_id"))
+          .join(sym, col("vec_id") === col("src"))
+          .select(col("q_id"), col("dst").as("vec_id"))
+          .distinct()
+          .join(beam.select(col("q_id"), col("vec_id")),
+            Seq("q_id", "vec_id"), "left_anti")
+        val scored = nb.join(c, "vec_id")
+          .join(broadcast(q), "q_id")
+          .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+          .select(col("q_id"), col("vec_id"), col("cos"))
+        beam = Scale.topKPerGroup(beam.unionByName(scored), Seq("q_id"),
+            Seq(col("cos").desc, col("vec_id")), k = b,
+            saltSrc = col("vec_id"))
+          .drop("rnk")
+          .transform(Scale.materialize)
+        if (record.contains(h)) out += hitsRow(beam, entry, b, h)
+      }
+      out.toSeq
+    }
+
+    val rows =
+      walk(1, GsBeam, 0 to GsHopsMax) ++
+        GsBeamSweep.flatMap(b => walk(1, b, Seq(GsHops))) ++
+        GsEntrySweep.flatMap(e => walk(e, GsBeam, Seq(GsHops)))
+    rows.reduce(_ unionByName _)
+  }
+
   /** [[knnGraphSearch]]'s oracle from the trained centroids: the
     * [[graphScaleOracleSql]] chain (native list_dot_product scoring —
     * measured bit-identical to the sequential fold on this data, the
@@ -1339,7 +1422,13 @@ object Similarity {
     * BOTH the gate and scale oracles — the sf0.01 hash gate re-verifies
     * the bit-identity claim every round.
     */
-  private def graphSearchOracleSql(cents: Array[Array[Double]]): String = {
+  /** Shared DuckDB restatement of the GRAPH BUILD half (cell-probed seed
+    * edges + [[GraphDescentRounds]] of neighbor descent + the symmetrized
+    * adjacency `symg`), factored so every graph-search audit (search,
+    * recall, lift, param sweep) states the identical structure once.
+    * Exposes: e, en, gn, qq, cells, ca (corpus + argmax cell), symg.
+    */
+  private def graphBuildCtes(cents: Array[Array[Double]]): String = {
     def cosN(qa: String, qb: String, n2a: String, n2b: String) =
       s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
     val base =
@@ -1384,44 +1473,156 @@ object Similarity {
          |  WHERE rank <= $GraphK)""".stripMargin
     }
     val last = s"e$GraphDescentRounds"
-    val hops = (1 to GsHops).map { h =>
-      val prev = s"b${h - 1}"
-      s"""nb$h AS (
+    s"""$base,
+       |${rounds.mkString(",\n")},
+       |symg AS (SELECT src, dst FROM $last
+       |  UNION SELECT dst, src FROM $last)""".stripMargin
+  }
+
+  /** One walk's CTEs over [[graphBuildCtes]]: entry cells (top-`entry`
+    * probe cells per query), entry beam (top-`beam` of those cells'
+    * members), then `maxHop` beam-search hops. All CTE names carry `tag`
+    * so several walks can share one WITH body (the param sweep). The
+    * default walk is tag="", entry=1, beam=[[GsBeam]], maxHop=[[GsHops]] —
+    * textually identical to what knn_graph_search's oracle always stated.
+    */
+  private def graphWalkCtes(tag: String, entry: Int, beam: Int,
+      maxHop: Int): String = {
+    def cosN(qa: String, qb: String, n2a: String, n2b: String) =
+      s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
+    val hops = (1 to maxHop).map { h =>
+      val prev = s"b$tag${h - 1}"
+      s"""nb$tag$h AS (
          |  SELECT DISTINCT b.q_id, symg.dst AS vec_id
          |  FROM $prev b JOIN symg ON b.vec_id = symg.src
          |  EXCEPT SELECT q_id, vec_id FROM $prev),
-         |sch$h AS (SELECT nb.q_id, nb.vec_id,
+         |sch$tag$h AS (SELECT nb.q_id, nb.vec_id,
          |    ${cosN("qq.qv", "g.v", "qq.qn2", "g.n2")} AS cos
-         |  FROM nb$h nb JOIN gn g ON nb.vec_id = g.vec_id
+         |  FROM nb$tag$h nb JOIN gn g ON nb.vec_id = g.vec_id
          |  JOIN qq ON nb.q_id = qq.q_id),
-         |b$h AS (SELECT q_id, vec_id, cos FROM (
+         |b$tag$h AS (SELECT q_id, vec_id, cos FROM (
          |  SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
-         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM sch$h) u) t
-         |  WHERE r <= $GsBeam)""".stripMargin
+         |  FROM (SELECT * FROM $prev UNION ALL SELECT * FROM sch$tag$h) u) t
+         |  WHERE r <= $beam)""".stripMargin
     }
+    val entryCmp = if (entry == 1) "= 1" else s"<= $entry"
+    s"""qc$tag AS (SELECT q_id, qv, qn2, cell FROM (
+       |  SELECT qq.q_id, qq.qv, qq.qn2, cells.cell,
+       |    row_number() OVER (PARTITION BY qq.q_id
+       |      ORDER BY list_dot_product(qq.qv, cells.cv) / cells.sn DESC, cells.cell) AS r
+       |  FROM qq, cells) t WHERE r $entryCmp),
+       |b${tag}0 AS (SELECT q_id, vec_id, cos FROM (
+       |  SELECT qc$tag.q_id, ca.vec_id,
+       |    ${cosN(s"qc$tag.qv", "ca.v", s"qc$tag.qn2", "ca.n2")} AS cos,
+       |    row_number() OVER (PARTITION BY qc$tag.q_id
+       |      ORDER BY ${cosN(s"qc$tag.qv", "ca.v", s"qc$tag.qn2", "ca.n2")} DESC, ca.vec_id) AS r
+       |  FROM qc$tag JOIN ca USING (cell)) t WHERE r <= $beam),
+       |${hops.mkString(",\n")}""".stripMargin
+  }
+
+  private def graphSearchCtes(cents: Array[Array[Double]]): String =
+    s"""${graphBuildCtes(cents)},
+       |${graphWalkCtes("", 1, GsBeam, GsHops)}""".stripMargin
+
+  private def graphSearchOracleSql(cents: Array[Array[Double]]): String = {
     val sql =
-      s"""$base,
-         |${rounds.mkString(",\n")},
-         |symg AS (SELECT src, dst FROM $last
-         |  UNION SELECT dst, src FROM $last),
-         |qc AS (SELECT q_id, qv, qn2, cell FROM (
-         |  SELECT qq.q_id, qq.qv, qq.qn2, cells.cell,
-         |    row_number() OVER (PARTITION BY qq.q_id
-         |      ORDER BY list_dot_product(qq.qv, cells.cv) / cells.sn DESC, cells.cell) AS r
-         |  FROM qq, cells) t WHERE r = 1),
-         |b0 AS (SELECT q_id, vec_id, cos FROM (
-         |  SELECT qc.q_id, ca.vec_id,
-         |    ${cosN("qc.qv", "ca.v", "qc.qn2", "ca.n2")} AS cos,
-         |    row_number() OVER (PARTITION BY qc.q_id
-         |      ORDER BY ${cosN("qc.qv", "ca.v", "qc.qn2", "ca.n2")} DESC, ca.vec_id) AS r
-         |  FROM qc JOIN ca USING (cell)) t WHERE r <= $GsBeam),
-         |${hops.mkString(",\n")}
+      s"""${graphSearchCtes(cents)}
          |SELECT q_id, vec_id AS nn_id, CAST(rank AS INT) AS rank,
          |  floor(cos*1e6)/1e6 AS cos
          |FROM (SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM b$GsHops) t WHERE rank <= $K""".stripMargin
+    sql.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** [[knnGraphParamSweep]]'s oracle: ONE [[graphBuildCtes]] chain (the
+    * graph is identical across panes), one brute-truth top-[[K]] over the
+    * same frames, then a [[graphWalkCtes]] instance per pane config with
+    * tagged CTE names, each recorded point stated as top-K + hits. The
+    * recorded hop prefixes of the hop pane come from the SAME walk CTEs —
+    * exactly the Spark side's free-snapshot structure.
+    */
+  private def graphParamSweepOracleSql(cents: Array[Array[Double]]): String = {
+    def cosN(qa: String, qb: String, n2a: String, n2b: String) =
+      s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
+    val configs =
+      Seq(("h", 1, GsBeam, (0 to GsHopsMax): Seq[Int], GsHopsMax)) ++
+        GsBeamSweep.map(b => (s"w$b", 1, b, Seq(GsHops), GsHops)) ++
+        GsEntrySweep.map(e => (s"p$e", e, GsBeam, Seq(GsHops), GsHops))
+    val walks = configs.map { case (tag, e, b, _, mh) =>
+      graphWalkCtes(tag, e, b, mh)
+    }
+    val points = configs.flatMap { case (tag, _, _, rec, _) =>
+      rec.map { h =>
+        s"""t$tag$h AS (SELECT q_id, vec_id FROM (
+           |  SELECT q_id, vec_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+           |  FROM b$tag$h) t WHERE r <= $K),
+           |h$tag$h AS (SELECT count(*) AS n_hits FROM t$tag$h
+           |  JOIN br ON br.q_id = t$tag$h.q_id AND br.vec_id = t$tag$h.vec_id)"""
+          .stripMargin
+      }
+    }
+    val rows = configs.flatMap { case (tag, e, b, rec, _) =>
+      rec.map { h =>
+        s"""SELECT $e AS entry_probes, $b AS beam, $h AS hops,
+           |  CAST(n_hits AS BIGINT) AS n_hits,
+           |  CAST(n_hits * 1000000 // ${NumQueries.toLong * K} AS BIGINT)
+           |    AS recall_ppm
+           |FROM h$tag$h""".stripMargin
+      }
+    }
+    val sql =
+      s"""${graphBuildCtes(cents)},
+         |bsc AS (SELECT qq.q_id, gn.vec_id,
+         |    ${cosN("qq.qv", "gn.v", "qq.qn2", "gn.n2")} AS cos FROM qq, gn),
+         |br AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+         |  FROM bsc) t WHERE r <= $K),
+         |${walks.mkString(",\n")},
+         |${points.mkString(",\n")}
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    sql.replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** [[knnGraphSearchLift]]'s oracle: the [[graphSearchCtes]] chain run
+    * ONCE (both beams come from the same CTE body — b0 is the entry, the
+    * last hop CTE the final), brute truth over the SAME en/gn/qq frames
+    * with the chain's native list_dot_product scoring (the bit-identity
+    * precedent the knn_graph_search gate re-verifies every round), then
+    * per-query hits@[[K]] of each beam's top-[[K]] against truth.
+    */
+  private def graphSearchLiftOracleSql(cents: Array[Array[Double]]): String = {
+    def cosN(qa: String, qb: String, n2a: String, n2b: String) =
+      s"(list_dot_product($qa, $qb) / sqrt($n2a * $n2b))"
+    val sql =
+      s"""${graphSearchCtes(cents)},
+         |t0 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+         |  FROM b0) t WHERE r <= $K),
+         |tn AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+         |  FROM b$GsHops) t WHERE r <= $K),
+         |bsc AS (SELECT qq.q_id, gn.vec_id,
+         |    ${cosN("qq.qv", "gn.v", "qq.qn2", "gn.n2")} AS cos FROM qq, gn),
+         |br AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+         |  FROM bsc) t WHERE r <= $K),
+         |h0 AS (SELECT br.q_id, count(*) AS h FROM br
+         |  JOIN t0 ON t0.q_id = br.q_id AND t0.vec_id = br.vec_id GROUP BY 1),
+         |hn AS (SELECT br.q_id, count(*) AS h FROM br
+         |  JOIN tn ON tn.q_id = br.q_id AND tn.vec_id = br.vec_id GROUP BY 1)
+         |SELECT q.q_id, coalesce(h0.h, 0) AS entry_hits,
+         |  coalesce(hn.h, 0) AS final_hits,
+         |  coalesce(hn.h, 0) - coalesce(h0.h, 0) AS lift
+         |FROM (SELECT DISTINCT q_id FROM br) q
+         |LEFT JOIN h0 ON h0.q_id = q.q_id
+         |LEFT JOIN hn ON hn.q_id = q.q_id""".stripMargin
     sql.replace(" AS (", " AS MATERIALIZED (")
   }
 
@@ -2222,6 +2423,42 @@ object Similarity {
         (lit(m * PqK) + element_at(col("codes"), m + 1)) * sub + 1, lit(sub))
       val d2 = aggregate(
         zip_with(slice(col("nv"), m * sub + 1, sub), cw,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(lit(m).as("m"), d2.as("d2"))
+    }
+    joined
+      .select(explode(array(perSub: _*)).as("s"))
+      .select(col("s.m").as("subspace"),
+        expr("CAST(floor(s.d2*1e9) AS BIGINT)").as("d2ppb"))
+  }
+
+  /** OPQ twin of [[pqDistortionRows]]: the reconstruction distortion is
+    * measured in the ROTATED basis (‖R·nv[m·sub..] − C[m][code_m]‖² —
+    * rotation is orthogonal, so this IS the reconstruction error of the
+    * de-rotated codeword too), with codes from the shared
+    * [[opqEncodeFrame]]. Gives [[graft.streaming.PqIngest]]'s monitor the
+    * same associative (n, Σ, max) partials for OPQ stores, which ingest
+    * previously wrote only for plain PQ (ADVICE r14: calling the monitor
+    * on an OPQ store failed with an opaque path-not-found).
+    */
+  private[graft] def opqDistortionRows(df: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val m0 = opqFor(s, d)
+    val cb = m0.cb
+    val sub = cb(0)(0).length
+    val cbFlat = typedlit(cb.flatten.flatten.toIndexedSeq)
+    val rotFlat = typedlit(m0.rot.flatten.toIndexedSeq)
+    val rv = df
+      .withColumn("nrm", sqrt(NativeVector.norm2(col("v"))))
+      .withColumn("nv", transform(col("v"), x => x / col("nrm")))
+      .select(col("vec_id"), NativeVector.matVec(col("nv"), rotFlat).as("rv"))
+    val joined = opqEncodeFrame(df, s, d).join(rv, "vec_id")
+    val perSub = (0 until PqSub).map { m =>
+      val cw = slice(cbFlat,
+        (lit(m * PqK) + element_at(col("codes"), m + 1)) * sub + 1, lit(sub))
+      val d2 = aggregate(
+        zip_with(slice(col("rv"), m * sub + 1, sub), cw,
           (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
       struct(lit(m).as("m"), d2.as("d2"))
@@ -3282,6 +3519,8 @@ object Similarity {
     "embed_pq_distortion" -> embedPqDistortion,
     "knn_graph_search" -> knnGraphSearch,
     "knn_graph_search_recall" -> knnGraphSearchRecall,
+    "knn_graph_search_lift" -> knnGraphSearchLift,
+    "knn_graph_param_sweep" -> knnGraphParamSweep,
     "knn_sq8_rerank" -> knnSq8Rerank,
     "knn_sq8_recall" -> knnSq8Recall,
     "knn_pq_recall" -> knnPqRecall,
@@ -3488,6 +3727,8 @@ object Similarity {
         "knn_graph_search" -> graphSearchOracleSql(cents),
         "knn_graph_search_recall" ->
           recallOfOracleSql(graphSearchOracleSql(cents)),
+        "knn_graph_search_lift" -> graphSearchLiftOracleSql(cents),
+        "knn_graph_param_sweep" -> graphParamSweepOracleSql(cents),
         "knn_ivf_probe_sweep" -> probeSweepOracleSql(cents, fast = true),
         "dedup_embedding_ann" -> annDedupOracleSql(cents, fast = true),
         "dedup_embedding_ann_recall" -> annDedupRecallOracleSql(cents,
@@ -4019,6 +4260,8 @@ object Similarity {
           ("knn_graph_search" -> graphSearchOracleSql(cents)) +
           ("knn_graph_search_recall" ->
             recallOfOracleSql(graphSearchOracleSql(cents))) +
+          ("knn_graph_search_lift" -> graphSearchLiftOracleSql(cents)) +
+          ("knn_graph_param_sweep" -> graphParamSweepOracleSql(cents)) +
           ("knn_recall_eval" -> recallEvalOracleSql(cents)) +
           ("dedup_semdedup" -> semdedupOracleSql(cents)) +
           ("dedup_embedding_ann" -> annDedupOracleSql(cents)) +

@@ -342,6 +342,16 @@ object BucketedSnapshot {
     val staging = Paths.get(dir, "_compact_stage")
     deleteRecursively(staging) // crash leftovers from a prior attempt
     val done = allBuckets(dir).sorted.flatMap { b =>
+      // reclaim crash orphans first (ADVICE r14): a prior compact that died
+      // between the atomic move and this cleanup leaves a superseded
+      // lower-generation dir, which the fragmentation test below would
+      // otherwise skip forever on a quiescent store (readers ignore it —
+      // they take the max generation — but the bytes never die). Max
+      // generation always serves, so deleting the rest is safe at any point.
+      versionDirs(dir, b).groupBy(_._1).values.foreach { gens =>
+        val keepGen = gens.map(_._2).max
+        gens.filter(_._2 < keepGen).foreach(g => deleteRecursively(g._3))
+      }
       bucketLatest(dir, b, comm, Long.MaxValue).flatMap { v =>
         val dirs = versionDirs(dir, b).filter(_._1 == v)
         val cur = dirs.maxByOption(_._2)

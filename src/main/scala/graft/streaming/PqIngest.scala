@@ -52,19 +52,24 @@ object PqIngest {
             if (opq) Similarity.opqEncodeFrame(vecs, s, d)
             else Similarity.pqEncodeFrame(vecs, s, d)
           codes.write.mode("overwrite").parquet(s"$storeDir/data/batch=$id")
-          // distortion MONITOR sidecar (plain-PQ stores): this batch's
-          // per-subspace (n, Σd2, max) partials — the associative pieces
+          // distortion MONITOR sidecar: this batch's per-subspace
+          // (n, Σd2, max) partials — the associative pieces
           // [[distortion]] folds into running codebook-quality totals that
           // equal the batch audit EXACTLY (same quantized integers from
-          // the same factored rows). Written before the marker: replay
+          // the same factored rows). OPQ stores measure in the rotated
+          // basis (orthogonal R: same reconstruction error — ADVICE r14:
+          // previously plain-PQ-only, so the monitor on an OPQ store died
+          // on a missing stats path). Written before the marker: replay
           // rewrites both or neither.
-          if (!opq)
-            Similarity.pqDistortionRows(vecs, s, d)
-              .groupBy(col("subspace"))
-              .agg(count(lit(1)).as("n_vecs"),
-                sum(col("d2ppb")).as("sum_d2_ppb"),
-                max(col("d2ppb")).as("max_d2_ppb"))
-              .write.mode("overwrite").parquet(s"$storeDir/stats/batch=$id")
+          val drows =
+            if (opq) Similarity.opqDistortionRows(vecs, s, d)
+            else Similarity.pqDistortionRows(vecs, s, d)
+          drows
+            .groupBy(col("subspace"))
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(col("d2ppb")).as("sum_d2_ppb"),
+              max(col("d2ppb")).as("max_d2_ppb"))
+            .write.mode("overwrite").parquet(s"$storeDir/stats/batch=$id")
           Files.createFile(marker)
         }
         ()

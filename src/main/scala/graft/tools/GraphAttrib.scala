@@ -31,6 +31,11 @@ object GraphAttrib {
     // contaminate the second's wall (r14: LPA supersteps read 11.7 s
     // isolated vs 55.3 s after a pagerank run in the same JVM)
     val which = args.drop(1).headOption.getOrElse("all")
+    // an unrecognized phase must fail loudly: a typo ("PR", "lpa") that
+    // silently runs neither phase reads as a 0-cost measurement in
+    // attribution logs (ADVICE r14)
+    require(Set("all", "pr", "lp")(which),
+      s"unknown phase '$which' — accepted: all | pr | lp")
     // state builders end in Scale.materialize, so forcing any count settles
     // the whole build; the loop then starts from cached frames
     if (which == "all" || which == "pr") {

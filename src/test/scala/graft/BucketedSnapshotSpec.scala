@@ -304,6 +304,29 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     assert(inventory() === invPostCompact, "replay rewrote files")
     // and a second compact finds nothing left to do
     assert(BucketedSnapshot.compact(spark, dir).isEmpty)
+
+    // crash orphan reclaim (ADVICE r14): a compact that died between the
+    // atomic move and the superseded-dir delete leaves the old generation
+    // behind; on a quiescent store the fragmentation test skips the bucket
+    // (its max gen is one file), so the orphan previously lived forever.
+    // Simulate the crash by resurrecting a plain v dir next to its .c1.
+    val (ob, ov) = done.head
+    val orphan = Paths.get(dir, s"bucket=$ob/v=$ov")
+    val servingDir = Paths.get(dir, s"bucket=$ob/v=$ov.c1")
+    Files.createDirectories(orphan)
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(servingDir)
+    try ls.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      Files.copy(f, orphan.resolve(f.getFileName))
+    } finally ls.close()
+    // readers take the max generation — the orphan is invisible
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
+    // the next compact reclaims it even with nothing to rewrite
+    assert(BucketedSnapshot.compact(spark, dir).isEmpty)
+    assert(!Files.isDirectory(orphan), "crash-orphaned generation not reclaimed")
+    assert(BucketedSnapshot.readSnapshot(spark, dir).get
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
   }
 
   test("compaction composes with later merges, vacuum, and time travel") {

@@ -39,6 +39,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.values.toSet.size === 7)
   }
 
+  test("native PhashSimhash equals the declarative gram pipeline it replaced") {
+    import spark.implicits._
+    // the r15 fingerprint kernel swap is only safe if the native one-pass
+    // expression is BIT-IDENTICAL to the explode/array_distinct/61-column
+    // aggregate form (which survives here and in the oracle SQL): edge
+    // lengths (empty, <8, =8, 9), gram-duplicate-heavy bodies, and
+    // high-bit bytes (the packed-long sign pitfall) all pinned
+    val rnd = new scala.util.Random(41)
+    val payloads = (
+      Seq(
+        (0L, Array.empty[Byte]),
+        (1L, "abc".getBytes("UTF-8")),
+        (2L, "12345678".getBytes("UTF-8")),
+        (3L, "123456789".getBytes("UTF-8")),
+        (4L, ("ab" * 500).getBytes("UTF-8")),
+        (5L, Array.fill[Byte](1000)(0x80.toByte)),
+        (6L, Array.tabulate[Byte](4096)(i => (i % 251).toByte))
+      ) ++ (7L until 40L).map { i =>
+        val b = new Array[Byte](64 + rnd.nextInt(2048)); rnd.nextBytes(b); (i, b)
+      }
+    ).toDF("doc_id", "payload")
+    val native = Multimodal.phashFingerprintsOf(payloads,
+        payloads.select(col("doc_id"), sha2(col("payload"), 256).as("sha")),
+        perDistinct = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = graft.operators.Dedup.simhashOf(
+        payloads.select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(octet_length(col("payload")) - 7, lit(1))),
+            i => col("payload").substr(i, lit(8))))).as("f"))
+          .withColumn("h", graft.functions.PortableHash.hexH(col("f")))
+          .select(col("doc_id"), col("h")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === declarative)
+  }
+
   test("constellation: exact copies vote at δ=0 with the full constellation") {
     import spark.implicits._
     val W = Multimodal.ConstWindow

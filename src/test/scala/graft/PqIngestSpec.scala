@@ -64,5 +64,19 @@ class PqIngestSpec extends AnyFunSuite {
     val batch = Similarity.embedPqDistortion(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed === batch, "maintained distortion drifts from the batch audit")
+    // OPQ stores carry the monitor too (ADVICE r14: was plain-PQ-only and
+    // died on a missing stats path) — rotated-basis partials must fold to
+    // the batch OPQ audit exactly, same associativity argument
+    val vecs = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val streamedOpq = PqIngest.distortion(spark, s"$tmp/store_opq")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchOpq = Similarity.opqDistortionRows(vecs, spark, sf)
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2ppb) div count(1)").as("mean_d2_ppb"),
+        max(col("d2ppb")).as("max_d2_ppb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamedOpq === batchOpq,
+      "OPQ maintained distortion drifts from the rotated-basis batch audit")
   }
 }

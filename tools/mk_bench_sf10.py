@@ -10,11 +10,30 @@ SPARK_GRAFT_SF_DIR=testdata-sf10. Per op the artifact records the sf1
 wall (from BENCH_sf1.json in the repo root), the sf10 wall, and the
 sf10/sf1 ratio (the per-10×-data scale factor the judge grades). rc=0
 iff every input parsed and no op errored.
+
+    --sf1-isolated=<bench_filtered.json>   (repeatable)
+
+overrides the sf1 DENOMINATOR for the ops that file contains with a
+single-op isolated sf1 wall (VERDICT r14 task 4: the full-suite sf1 wall
+is cache-warm — earlier queries leave its inputs cached — so dividing an
+isolated sf10 wall by it overstates the ratio; graph rows read 9.9-11.9x
+suite-denominated vs 3.3-4.7x isolated-vs-isolated). Rows using an
+override carry protocol="isolated-vs-isolated (single-op runs, 48g)" so
+the artifact states which convention each ratio uses.
 """
 import json, sys, os
 
 root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sf1 = json.load(open(os.path.join(root, "BENCH_sf1.json")))["queries"]
+
+sf1_isolated = {}
+iso_paths = [a.split("=", 1)[1] for a in sys.argv[1:]
+             if a.startswith("--sf1-isolated=")]
+sys.argv[1:] = [a for a in sys.argv[1:] if not a.startswith("--sf1-isolated=")]
+for p in iso_paths:
+    for op, v in json.load(open(p)).get("queries", {}).items():
+        if isinstance(v, (int, float)):
+            sf1_isolated[op] = v
 
 # Documented floors for ratios > 8x per 10x (VERDICT criterion: every
 # superlinear row needs a named floor). Kept here so the artifact is
@@ -78,6 +97,19 @@ NOTES = {
     "dedup_ann_probe_sweep": "by design ~4x one ANN search: the sweep "
         "measures 4 probe widths to publish the recall curve — cost is "
         "the sum of its panes, not a scaling defect.",
+    "dedup_embedding_ann": "the design bound is Theta(n^1.5) candidate "
+        "pairs (cells scale with sqrt(n), so cell width and probed "
+        "candidates per vector both grow sqrt(10) per decade = 31.6x "
+        "pair work per 10x); measured 8.3x wall — UNDER the bound "
+        "because the linear stages (train, assignment) still carry most "
+        "of the wall at these sizes. The exact kernels it replaces "
+        "measured 26-43x on the same decade; the probe default (16) is "
+        "from the published dedup_ann_probe_sweep knee.",
+    "dedup_embedding_ann_recall": "the ANN route above plus the exact "
+        "sampled-truth pane (the recall denominator): truth pairs come "
+        "from the bounded TruthSample kernel, so the added cost is one "
+        "sample-confined exact pass — the 9.6x tracks the route's 8.3x "
+        "plus the fixed truth pane shrinking sf1's base.",
     "store_build": "bucketed store (r13): this bench feed is the "
         "documented worst case — time-sliced batches spray keys across "
         "every bucket, degenerating to the full-rewrite bound; a "
@@ -111,10 +143,14 @@ for path in sys.argv[1:]:
             rc = 1
             continue
         entry = {"sf10_s": round(v, 1), "rc": 0}
-        s1 = sf1.get(op)
+        s1 = sf1_isolated.get(op, sf1.get(op))
         if isinstance(s1, (int, float)) and s1 > 0:
             entry["sf1_s"] = round(s1, 1)
             entry["ratio_per_10x"] = round(v / s1, 1)
+            if op in sf1_isolated:
+                entry["protocol"] = ("isolated-vs-isolated: both walls are "
+                    "single-op runs (48g, 32 cores) — the suite sf1 wall is "
+                    "cache-warm and would overstate the ratio")
         ops[op] = entry
 
 # rc covers THIS invocation's inputs; a previous run's err rows keep their
@@ -127,7 +163,17 @@ for op, o in ops.items():
         o.pop("floor", None)
     if op in NOTES:
         o["note"] = NOTES[op]
+# Annotation discipline is mechanical, not a memory (VERDICT r14 item 1):
+# any row >= 8x per 10x must carry its floor/attribution IN THE ARTIFACT.
+naked = [op for op, o in ops.items()
+         if o.get("ratio_per_10x", 0) >= 8
+         and "floor" not in o and "note" not in o]
+for op in naked:
+    print(f"[mk_bench_sf10] WARNING: {op} is "
+          f"{ops[op]['ratio_per_10x']}x per 10x with NO floor/note — "
+          "add its bound to FLOORS/NOTES before shipping", file=sys.stderr)
 out = {"sf": 10, "vs": "BENCH_sf1.json", "rc": rc, "n_ops": len(ops),
        "ops": dict(sorted(ops.items()))}
 json.dump(out, open(out_path, "w"), indent=1)
-print(f"[mk_bench_sf10] wrote {out_path}: {len(ops)} ops, rc={rc}")
+print(f"[mk_bench_sf10] wrote {out_path}: {len(ops)} ops, rc={rc}, "
+      f"{len(naked)} unannotated >=8x rows")
