@@ -680,8 +680,19 @@ object Dedup {
   /** Key-table candidates → hamming-verified distinct pairs. Fingerprint-
     * agnostic: any (doc_id, sim) 60-bit frame keyed by [[simhashKeys]]
     * (text simhash here; payload pHash in Multimodal.mmPhashNeardup).
+    *
+    * The keyed frame is MATERIALIZED before the self-join: both join sides
+    * read it, and without the checkpoint each side recomputes the whole
+    * upstream fingerprint scan — the dominant stage (PhashAttrib r15,
+    * isolated sf10: fingerprints 35.9 s vs 4.9 s band join), so the
+    * double-scan alone cost more than every downstream stage combined
+    * (mm_phash_neardup isolated sf10 136.1 → 45.0 s with the checkpoint,
+    * sf1 15.1 → 6.1 s; ratio 9.0× → 7.4× per 10×).
+    * The pinned footprint is n·C(m,c) skinny rows (doc_id, sim, t, key) —
+    * 30 longs/doc at the sf10 geometry, disk-spillable.
     */
-  private[graft] def simhashPairs(keyed: DataFrame): DataFrame =
+  private[graft] def simhashPairs(keyed0: DataFrame): DataFrame = {
+    val keyed = Scale.materialize(keyed0)
     keyed.as("a").join(keyed.as("b"),
         col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -691,6 +702,7 @@ object Dedup {
       // far pairs never enter the dedup exchange
       .filter(col("hamming") <= SimhashRadius)
       .distinct()
+  }
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // corpus size for the geometry rule — a parquet-footer count, the same

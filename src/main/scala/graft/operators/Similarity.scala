@@ -1339,6 +1339,17 @@ object Similarity {
     * beam is monotone through hops, so every prefix is a free snapshot).
     * Beam pane: [[GsBeamSweep]] at the default hops. Entry pane:
     * [[GsEntrySweep]] probe cells feeding the entry beam.
+    *
+    * Measured (r15): the levers trade places with corpus structure. Gate
+    * SF: beam 8/16/32 → recall 0.40/0.62/0.81 (THE lever), hops saturate
+    * at 5–6, extra entry probes buy little (0.62→0.64/0.68). sf1 (20k
+    * ISOTROPIC vectors — no small-world structure for the walk to
+    * exploit): hops saturate already at 3 (0.10 entry-only → 0.19), and
+    * entry probes rival the beam — beam 32 and entry 4 both read 0.27 vs
+    * 0.19 default — because each extra probe is an exact one-cell scan
+    * (gradient-free recall), while a wider beam pays every hop's join.
+    * Deployment reading: clustered corpora widen the beam; unstructured
+    * ones widen the entry first.
     */
   val GsBeamSweep = Seq(8, 32)
   val GsEntrySweep = Seq(2, 4)

@@ -39,6 +39,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pair join reads the checkpointed key frame, not two scans") {
+    // r15: simhashPairs materializes the keyed frame before its self-join —
+    // without it both join sides recompute the whole upstream fingerprint
+    // scan (PhashAttrib: the dominant stage, 35.9 s of mm_phash_neardup's
+    // sf10 wall; the checkpoint took the query 136.1 → 45.0 s). The final
+    // plan must read the checkpoint (ExistingRDD) and contain NO parquet
+    // scan of the documents table at all.
+    for (q <- Seq(Dedup.dedupSimhash(spark, sf),
+        graft.operators.Multimodal.mmPhashNeardup(spark, sf))) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"), p.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+        p.linesIterator.take(8).mkString("\n"))
+    }
+  }
+
   test("window funnel is a value-framed window pass, not a per-anchor scan") {
     // the shared pass: ONE Window operator computes both next-event
     // columns, value-based (tie-safe) frame

@@ -51,10 +51,6 @@ FLOORS = {
         "collisions); remainder is single-box sort/spill constants. r13 "
         "serialized-materialize A/B: 307.4 -> 293.8 s (-4%, within "
         "jitter) — lever crossed off.",
-    "mm_phash_neardup": "the growth term is the PUBLISHED Manku "
-        "geometry: key-table combinations widen with log(n) to hold the "
-        "hamming-radius guarantee, so keys-per-doc grow with corpus "
-        "size by design; 9.1x vs the 8x line on a 45s base.",
     "knn_ivfpq_recall": "small-base ratio (4.6s sf1): the composed "
         "IVFADC route + exact-brute truth at 39.9s absolute; the truth "
         "side is the sample-paned kernel above TruthSampleIds.",
@@ -64,24 +60,71 @@ FLOORS = {
 # pagerank/communities needed an edge-build-vs-superstep split either way).
 # Applied regardless of ratio — they explain, they don't excuse.
 NOTES = {
-    "part_pagerank": "r14 FIX of the r13 weak item (GraphAttrib isolated, "
-        "48g protocol): adjacency build rebuilt as one orderkey "
+    "mm_phash_neardup": "r15 fix, two parts: (1) native PhashSimhash "
+        "fingerprint expression — one codegen'd pass per payload; the "
+        "per-byte gram explode + 61-column aggregate are gone; (2) "
+        "simhashPairs materializes the keyed frame before its self-join "
+        "(both sides read it; un-checkpointed, each side re-ran the whole "
+        "fingerprint scan). Isolated walls 45.4/414.4 -> 6.1/45.0 s "
+        "(sf1/sf10); ratio 9.1x -> 7.4x per 10x. The remaining growth is "
+        "the PUBLISHED Manku geometry doing its job, audited cross-engine "
+        "(tools/phash_floor_audit.py recomputes every cardinality in "
+        "DuckDB from the oracle's own fingerprint CTEs; PhashAttrib "
+        "counts the same frames in Spark — they agree exactly): 10x docs "
+        "widens 5 tables/12-bit keys -> 15 tables/20-bit keys to hold "
+        "hamming<=4 completeness, so key rows grow 30x (250k -> 7.5M) "
+        "while candidate pairs stay near-FLAT (1.67M -> 2.02M, 1.21x; "
+        "max bucket width 51 -> 8) and verified pairs are exactly linear "
+        "(2,219 -> 22,246). Stage walls (PhashAttrib, isolated 48g): "
+        "fingerprint scan 6.6 -> 35.9 s (dominant, linear in payload "
+        "bytes), key explode 0.6 -> 3.6, band join 1.4 -> 4.9, "
+        "verify+distinct 1.6 -> 4.2 — no quadratic term anywhere.",
+    "part_pagerank": "isolated-vs-isolated headline (single-op Bench "
+        "runs, 48g): 26.5 -> 98.9 s = 3.7x per 10x — replaces r14's 9.9x, "
+        "which divided an isolated sf10 numerator by the cache-warm SUITE "
+        "sf1 wall. The r14 adjacency-build fix stands: one orderkey "
         "collect_set + map-side double-explode pair gen + one partially-"
         "aggregated collect_set(src) — the self-join, the distinct and "
-        "the collect_list passes are gone. Build 16.2 -> 65.5 s per 10x "
-        "(4.0x, was 6.8x), supersteps 11.9 -> 28.1 s (2.4x), whole query "
-        "3.3x per 10x isolated.",
-    "part_communities": "r14 attribution (GraphAttrib ISOLATED at 48g — "
-        "r13's 50.2 s build number was an in-context artifact: pagerank's "
-        "phase had already cached the distinct li frame): build 16.7 -> "
-        "95.1 s per 10x (5.7x), supersteps 5.9 -> 11.5 s (2.0x), whole "
-        "query 22.6 -> 106.6 s = 4.7x per 10x ISOLATED-vs-ISOLATED. The "
-        "headline ratio divides an isolated sf10 wall by the SUITE sf1 "
-        "wall, whose distinct-li input is already cached by earlier "
-        "queries — a denominator artifact, not growth. The basket-array "
-        "build that fixed pagerank was A/B'd here and is a wash "
-        "(100.7 s) — the weight aggregation can't fuse away, so the "
+        "the collect_list passes are gone. GraphAttrib phase split: build "
+        "16.2 -> 65.5 s (4.0x, was 6.8x), supersteps 11.9 -> 28.1 s "
+        "(2.4x).",
+    "part_communities": "isolated-vs-isolated headline (single-op Bench "
+        "runs, 48g): 15.0 -> 105.8 s = 7.1x per 10x — replaces r14's "
+        "11.9x suite-denominated number. GraphAttrib's pure-phase "
+        "protocol reads 4.7x (22.6 -> 106.6 s — it forces the state "
+        "frames directly, without Bench's store-prewarm JVM); both "
+        "protocols divide like by like and both are published. Phase "
+        "split: edge build 16.7 -> 95.1 s (5.7x — the part_cosim-class "
+        "self-join spill term), supersteps 5.9 -> 11.5 s (2.0x). The "
+        "basket-array build that fixed pagerank was A/B'd here and is a "
+        "wash (100.7 s) — the weight aggregation can't fuse away, so the "
         "measured-equal simpler self-join stays.",
+    "knn_graph_search": "isolated single-op runs: 34.3 -> 129.1 s = 3.8x "
+        "per 10x. The wall is dominated by the one-time graph BUILD "
+        "(shared with knn_graph's 3.5x row, maintainable incrementally "
+        "by stream_knn_graph); the walk itself is O(hops x beam x "
+        "GraphK) scorings per query, corpus-size-independent.",
+    "knn_graph_search_recall": "the search route plus its exact "
+        "brute-truth pane (fixed query set, one bounded linear scan): "
+        "37.5 -> 107.0 s = 2.8x per 10x.",
+    "knn_graph_search_lift": "the walk run once with BOTH its entry beam "
+        "and final beam scored against the same exact brute truth — the "
+        "truth pane plus two per-query hit joins on top of the search "
+        "route; 39.4 -> 230.9 s = 5.9x per 10x.",
+    "knn_graph_param_sweep": "by design ~several walks: one hop-curve "
+        "walk snapshotted at 0..6 (beam prefixes are free) plus 2 beam "
+        "panes and 2 entry panes — the dedup_ann_probe_sweep discipline; "
+        "47.7 -> 152.3 s = 3.2x per 10x, cost is the sum of its panes.",
+    "cdc_store_point_lookup": "bucket-pruned read of the MAINTAINED "
+        "store: opens ONLY the buckets the key set hashes to "
+        "(spec-asserted on input_file_name; never the log, never an "
+        "untouched bucket): 1.7 -> 5.0 s = 2.9x per 10x — the "
+        "within-bucket scan grows with bucket file size (bucket count is "
+        "fixed by store layout), everything else is flat.",
+    "cdc_store_cdf": "change-data-feed between two store versions: two "
+        "version reads through the per-bucket resolution protocol + one "
+        "co-keyed full-outer join — the log is never rescanned; 3.3 -> "
+        "9.2 s = 2.8x per 10x.",
     "dedup_minhash_calibration": "the banded-error aggregate itself is "
         "one pass over the lsh candidate pairs; the wall IS "
         "dedup_minhash_lsh's signature+banding chain (shared CTEs), the "
