@@ -327,6 +327,28 @@ object Scale {
     else df.localCheckpoint()
   }
 
+  /** Run independent eager subtrees (materialize fences, superstep walks)
+    * concurrently from a small thread pool and return the results in input
+    * order. Spark's scheduler runs jobs from several driver threads at once
+    * (FIFO — later jobs back-fill executors freed by earlier jobs' tails),
+    * so K independent chains of tiny sequential jobs stop paying K× the
+    * per-job latency wall. Purely an execution-order change: each thunk's
+    * computation is self-contained and deterministic, so results are
+    * byte-identical to the sequential evaluation (r15, guide §2.6).
+    */
+  def inParallel[T](thunks: Seq[() => T], slots: Int = 4): Seq[T] = {
+    if (thunks.size <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(slots, thunks.size))
+      try {
+        val futs = thunks.map(t => pool.submit(
+          new java.util.concurrent.Callable[T] { def call(): T = t() }))
+        futs.map(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
   /** Buckets ≈ this many offset rows when prefixSum derives its own width —
     * small enough that the offsets window (one partition of #buckets rows)
     * is trivial, large enough that bucket-local sorts stay bounded.

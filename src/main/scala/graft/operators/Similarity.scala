@@ -1123,6 +1123,19 @@ object Similarity {
     */
   val GraphDescentRounds = 2
 
+  /** Single-exchange top-k for walk-sized frames: every group is bounded by
+    * LITERAL constants (≤ beam·(GraphK+1) rows per query — never
+    * corpus-dependent), so the bucketed two-phase of [[Scale.topKPerGroup]]
+    * would pay a second exchange for skew protection these frames cannot
+    * need. Same deterministic order ⇒ identical rows (r15).
+    */
+  private def topKBounded(df: DataFrame, groupCol: String, order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   private def topKEdges(scored: DataFrame): DataFrame =
     Scale.topKPerGroup(
         scored.select(col("src"), col("dst"), col("cos")),
@@ -1239,47 +1252,57 @@ object Similarity {
   private def graphSearchBeams(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val (q, c) = split(s, d)
-    val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
-      .select(col("src"), col("dst"))
-    val sym = e0
-      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .transform(Scale.materialize)
     // centroid-guided entry (the DiskANN/NSG discipline — enter the graph
     // where a coarse route already localized the query): beam₀ = the
     // exact top-GsBeam of the query's ARGMAX CELL members (a one-probe
     // scan, ≤ corpus/cells scorings per query), and the hops expand from
     // there through the graph
     val cc = centColsFor(s, d)
-    val cellAssigned = cc.cleanup(cc.attach(c)
-        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
-      .select(col("cell"), col("vec_id"), col("v"))
-    val qCell = cc.cleanup(cc.attach(q.withColumnRenamed("qv", "v"))
-        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
-      .select(col("q_id"), col("v").as("qv"), col("cell"))
-    val beam0 = Scale.topKPerGroup(
-        broadcast(qCell).join(cellAssigned, "cell")
-          .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
-          .select(col("q_id"), col("vec_id"), col("cos")),
-        Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = GsBeam,
-        saltSrc = col("vec_id"))
-      .drop("rnk")
-      .transform(Scale.materialize)
+    // graph build and entry beam are independent chains — overlap them
+    // (Scale.inParallel) instead of paying their walls back to back (r15)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize {
+        val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
+          .select(col("src"), col("dst"))
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      },
+      () => {
+        val cellAssigned = cc.cleanup(cc.attach(c)
+            .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+          .select(col("cell"), col("vec_id"), col("v"))
+        val qCell = cc.cleanup(cc.attach(q.withColumnRenamed("qv", "v"))
+            .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+          .select(col("q_id"), col("v").as("qv"), col("cell"))
+        Scale.materialize(Scale.topKPerGroup(
+            broadcast(qCell).join(cellAssigned, "cell")
+              .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+              .select(col("q_id"), col("vec_id"), col("cos")),
+            Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = GsBeam,
+            saltSrc = col("vec_id"))
+          .drop("rnk"))
+      }), slots = 2)
+    val (sym, beam0) = (two(0), two(1))
     var beam = beam0
+    // Every walk frame is bounded by literals (≤ NumQueries·beam·GraphK
+    // rows), so the hop joins BROADCAST the walk side: sym and the corpus
+    // stream through build-side hash joins with no exchange — previously
+    // each hop re-shuffled (and sorted) the corpus-sized sym/c frames
+    // because the checkpointed beam carries no size stats and the planner
+    // fell back to sort-merge (r15, guide §3.1).
     for (_ <- 1 to GsHops) {
-      val nb = beam.select(col("q_id"), col("vec_id"))
+      val nb = broadcast(beam.select(col("q_id"), col("vec_id")))
         .join(sym, col("vec_id") === col("src"))
         .select(col("q_id"), col("dst").as("vec_id"))
         .distinct()
-        .join(beam.select(col("q_id"), col("vec_id")),
+        .join(broadcast(beam.select(col("q_id"), col("vec_id"))),
           Seq("q_id", "vec_id"), "left_anti")
-      val scored = nb.join(c, "vec_id")
+      val scored = broadcast(nb).join(c, "vec_id")
         .join(broadcast(q), "q_id")
         .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
         .select(col("q_id"), col("vec_id"), col("cos"))
-      beam = Scale.topKPerGroup(beam.unionByName(scored), Seq("q_id"),
-          Seq(col("cos").desc, col("vec_id")), k = GsBeam,
-          saltSrc = col("vec_id"))
+      beam = topKBounded(beam.unionByName(scored), "q_id",
+          Seq(col("cos").desc, col("vec_id")), k = GsBeam)
         .drop("rnk")
         .transform(Scale.materialize)
     }
@@ -1287,8 +1310,8 @@ object Similarity {
   }
 
   def knnGraphSearch(s: SparkSession, d: String): DataFrame =
-    Scale.topKPerGroup(graphSearchBeams(s, d)._2, Seq("q_id"),
-        Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
+    topKBounded(graphSearchBeams(s, d)._2, "q_id",
+        Seq(col("cos").desc, col("vec_id")), k = K)
       .select(col("q_id"), col("vec_id").as("nn_id"),
         col("rnk").as("rank"), detRound(col("cos"), 6).as("cos"))
 
@@ -1301,20 +1324,25 @@ object Similarity {
     * rather than an aggregate guess.
     */
   def knnGraphSearchLift(s: SparkSession, d: String): DataFrame = {
-    val (b0, bn) = graphSearchBeams(s, d)
-    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
-      .transform(Scale.materialize)
+    // the exact-truth kernel and the walk are independent chains — overlap
+    // them (Scale.inParallel) instead of paying their walls back to back
+    val two = Scale.inParallel[Either[DataFrame, (DataFrame, DataFrame)]](Seq(
+      () => Left(Scale.materialize(
+        knnBrute(s, d).select(col("q_id"), col("nn_id")))),
+      () => Right(graphSearchBeams(s, d))), slots = 2)
+    val brute = two.collectFirst { case Left(b) => b }.get
+    val (b0, bn) = two.collectFirst { case Right(p) => p }.get
     def hitsOf(b: DataFrame): DataFrame =
-      Scale.topKPerGroup(b, Seq("q_id"),
-          Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("nn_id"))
+      broadcast(topKBounded(b, "q_id",
+          Seq(col("cos").desc, col("vec_id")), k = K)
+        .select(col("q_id"), col("vec_id").as("nn_id")))
         .join(brute, Seq("q_id", "nn_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
     val h0 = hitsOf(b0).withColumnRenamed("h", "h0")
     val hn = hitsOf(bn).withColumnRenamed("h", "hn")
     brute.select(col("q_id")).distinct()
-      .join(h0, Seq("q_id"), "left_outer")
-      .join(hn, Seq("q_id"), "left_outer")
+      .join(broadcast(h0), Seq("q_id"), "left_outer")
+      .join(broadcast(hn), Seq("q_id"), "left_outer")
       .select(col("q_id"),
         coalesce(col("h0"), lit(0L)).as("entry_hits"),
         coalesce(col("hn"), lit(0L)).as("final_hits"),
@@ -1357,26 +1385,34 @@ object Similarity {
 
   def knnGraphParamSweep(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
-    val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
-      .select(col("src"), col("dst"))
-    val sym = e0
-      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .transform(Scale.materialize) // every walk's hop joins read it
     val cc = centColsFor(s, d)
-    val cellAssigned = cc.cleanup(cc.attach(c)
-        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
-      .select(col("cell"), col("vec_id"), col("v"))
-      .transform(Scale.materialize) // every walk's entry scan reads it
-    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
-      .transform(Scale.materialize)
+    // The three shared frames are independent chains — build them
+    // concurrently (graph build ∥ entry-scan index ∥ exact truth), then run
+    // the five independent walks concurrently too: the sweep's wall was 30+
+    // back-to-back tiny jobs whose per-job latency, not compute, dominated
+    // (r15, guide §2.6). Each thunk is deterministic and self-contained, so
+    // the emitted rows are identical to the sequential order.
+    val shared = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize { // every walk's hop joins read it
+        val e0 = knnGraphEdgesOver(c, s, d, GraphDescentRounds)
+          .select(col("src"), col("dst"))
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      },
+      () => Scale.materialize( // every walk's entry scan reads it
+        cc.cleanup(cc.attach(c)
+            .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
+          .select(col("cell"), col("vec_id"), col("v"))),
+      () => Scale.materialize(
+        knnBrute(s, d).select(col("q_id"), col("nn_id")))), slots = 3)
+    val (sym, cellAssigned, brute) = (shared(0), shared(1), shared(2))
     val denom = NumQueries.toLong * K
 
     def hitsRow(beam: DataFrame, entry: Int, b: Int, hop: Int): DataFrame = {
-      val top = Scale.topKPerGroup(beam, Seq("q_id"),
-          Seq(col("cos").desc, col("vec_id")), k = K, saltSrc = col("vec_id"))
+      val top = topKBounded(beam, "q_id",
+          Seq(col("cos").desc, col("vec_id")), k = K)
         .select(col("q_id"), col("vec_id").as("nn_id"))
-      top.join(brute, Seq("q_id", "nn_id"))
+      broadcast(top).join(brute, Seq("q_id", "nn_id"))
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(entry).as("entry_probes"), lit(b).as("beam"),
           lit(hop).as("hops"), col("n_hits"),
@@ -1397,19 +1433,21 @@ object Similarity {
       val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       if (record.contains(0)) out += hitsRow(beam, entry, b, 0)
       for (h <- 1 to record.max) {
-        val nb = beam.select(col("q_id"), col("vec_id"))
+        // walk frames are literal-bounded — broadcast them so sym and the
+        // corpus stream (no per-hop exchange), same shape as
+        // [[graphSearchBeams]]'s hops (r15)
+        val nb = broadcast(beam.select(col("q_id"), col("vec_id")))
           .join(sym, col("vec_id") === col("src"))
           .select(col("q_id"), col("dst").as("vec_id"))
           .distinct()
-          .join(beam.select(col("q_id"), col("vec_id")),
+          .join(broadcast(beam.select(col("q_id"), col("vec_id"))),
             Seq("q_id", "vec_id"), "left_anti")
-        val scored = nb.join(c, "vec_id")
+        val scored = broadcast(nb).join(c, "vec_id")
           .join(broadcast(q), "q_id")
           .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
           .select(col("q_id"), col("vec_id"), col("cos"))
-        beam = Scale.topKPerGroup(beam.unionByName(scored), Seq("q_id"),
-            Seq(col("cos").desc, col("vec_id")), k = b,
-            saltSrc = col("vec_id"))
+        beam = topKBounded(beam.unionByName(scored), "q_id",
+            Seq(col("cos").desc, col("vec_id")), k = b)
           .drop("rnk")
           .transform(Scale.materialize)
         if (record.contains(h)) out += hitsRow(beam, entry, b, h)
@@ -1417,10 +1455,11 @@ object Similarity {
       out.toSeq
     }
 
-    val rows =
-      walk(1, GsBeam, 0 to GsHopsMax) ++
-        GsBeamSweep.flatMap(b => walk(1, b, Seq(GsHops))) ++
-        GsEntrySweep.flatMap(e => walk(e, GsBeam, Seq(GsHops)))
+    val rows = Scale.inParallel[Seq[DataFrame]](
+      (() => walk(1, GsBeam, 0 to GsHopsMax)) +:
+        (GsBeamSweep.map(b => () => walk(1, b, Seq(GsHops))) ++
+          GsEntrySweep.map(e => () => walk(e, GsBeam, Seq(GsHops)))),
+      slots = 5).flatten
     rows.reduce(_ unionByName _)
   }
 
@@ -2978,14 +3017,17 @@ object Similarity {
     // both frames have two consumers (hit join + denominator / the route's
     // own rerank lineage) — materialize so the exact-truth kernel and the
     // route run once, the shared-frame discipline of the other audits
-    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
-      .transform(Scale.materialize)
-    val r = route.select(col("q_id"), col("nn_id"))
-      .transform(Scale.materialize)
-    val hits = brute.join(r, Seq("q_id", "nn_id"))
+    // truth kernel ∥ route materialization (independent chains, r15); both
+    // results are ≤ NumQueries·K rows — broadcast the comparison joins
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize(knnBrute(s, d).select(col("q_id"), col("nn_id"))),
+      () => Scale.materialize(route.select(col("q_id"), col("nn_id")))),
+      slots = 2)
+    val (brute, r) = (two(0), two(1))
+    val hits = brute.join(broadcast(r), Seq("q_id", "nn_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     brute.select(col("q_id")).distinct()
-      .join(hits, Seq("q_id"), "left_outer")
+      .join(broadcast(hits), Seq("q_id"), "left_outer")
       .select(col("q_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         detRound(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4)
