@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -239,51 +239,64 @@ object Experiments {
       .select(col("user_id"), col("session_seq"), col("event_type").as("ft"))
     val tr2 = ss.join(firstKept, Seq("user_id", "session_seq"), "left_outer")
       .select(lit("START").as("src"), coalesce(col("ft"), term).as("dst"))
-    val cnts = tr1.union(tr2).groupBy(col("src"), col("dst"))
+    // ≤ alphabet² rows — a bounded literal model (the IVF-centroid collect
+    // discipline): everything downstream of this count is O(1) in the
+    // corpus, so the [[MkSteps]]-step propagation runs as exact driver
+    // Long/BigInt fixed-point arithmetic instead of 16 sequential Spark
+    // supersteps of a ≤ 245-row frame (r15 — 16 materialize fences were
+    // ~5 s of pure job latency at every SF; identical truncation semantics:
+    // nonnegative `div` = floor in both engines, per-term floored products,
+    // HUGEINT-wide quantization).
+    val counts = tr1.union(tr2).groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("cnt"))
-      .transform(Scale.materialize) // ≤ alphabet² rows; corpus never rescanned
-    val tot = cnts.groupBy(col("src")).agg(sum(col("cnt")).as("tot"))
-    val pq = cnts.join(tot, "src")
-      .select(col("src"), col("dst"),
-        expr(s"CAST(CAST(cnt AS DECIMAL(38,0)) * $MkScale AS DECIMAL(38,0)) div tot")
-          .as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot: Map[String, Long] =
+      counts.groupBy(_._1).map { case (k, v) => (k, v.map(_._3).sum) }
+    val pq: Seq[(String, String, Long)] = counts.toSeq.map { case (src, dst, cnt) =>
+      (src, dst, (BigInt(cnt) * MkScale / BigInt(tot(src))).toLong) }
     val graphNames = "_full" +: MkChannels
-    val graphs = graphNames.toDF("g")
-    val gp0 = graphs.crossJoin(pq) // bounded × bounded (≤ 5 × alphabet²)
-      .filter(col("g") === "_full" || col("src") =!= col("g"))
-      .select(col("g"), col("src"), col("dst"), col("p"))
-    val gpd = MkChannels.map(c => (c, c, "NULL", MkScale)).toDF("g", "src", "dst", "p")
-    val gpa = graphNames.flatMap(g =>
-      Seq((g, "CONV", "CONV", MkScale), (g, "NULL", "NULL", MkScale)))
-      .toDF("g", "src", "dst", "p")
-    val gp = gp0.union(gpd).union(gpa)
-      .withColumnRenamed("g", "g2").transform(Scale.materialize)
-    var m = graphNames.map(g => (g, "START", MkScale)).toDF("g", "st", "m")
+    val gp: Map[String, Seq[(String, String, Long)]] = graphNames.map { g =>
+      val kept = if (g == "_full") pq else pq.filter(_._1 != g)
+      val absorbChan = if (g == "_full") Seq.empty else Seq((g, "NULL", MkScale))
+      g -> (kept ++ absorbChan ++
+        Seq(("CONV", "CONV", MkScale), ("NULL", "NULL", MkScale)))
+    }.toMap
+    var m: Map[String, Map[String, Long]] =
+      graphNames.map(g => g -> Map("START" -> MkScale)).toMap
     for (_ <- 1 to MkSteps) {
-      m = m.join(gp, col("g") === col("g2") && col("st") === col("src"))
-        .groupBy(col("g"), col("dst"))
-        .agg(sum(expr(s"m * p div $MkScale")).as("m"))
-        .select(col("g"), col("dst").as("st"), col("m"))
-        .transform(Scale.materialize)
+      m = m.map { case (g, st) =>
+        g -> gp(g).flatMap { case (src, dst, p) =>
+            st.get(src).map(mass => dst -> (mass * p / MkScale)) }
+          .groupBy(_._1).map { case (dst, terms) => (dst, terms.map(_._2).sum) }
+      }.filter(_._2.nonEmpty)
     }
-    val convQ = m.groupBy(col("g"))
-      .agg(coalesce(max(when(col("st") === "CONV", col("m"))), lit(0L)).as("conv_q"))
-    val base = convQ.filter(col("g") === "_full")
-      .select(col("conv_q").as("conv_full"))
-    val re = convQ.filter(col("g") =!= "_full")
-      .select(col("g").as("channel"), col("conv_q"))
-      .crossJoin(broadcast(base)) // 1-row scalar
-      .withColumn("removal_ppm",
-        expr(s"CASE WHEN conv_full > 0 THEN greatest(conv_full - conv_q, 0) " +
-          s"* 1000000 div conv_full ELSE CAST(0 AS BIGINT) END"))
-    val reTot = re.agg(sum(col("removal_ppm")).as("s_re"))
-    re.crossJoin(broadcast(reTot)) // 1-row scalar
-      .select(col("channel"),
-        expr("conv_full div 1000").as("conv_ppm"),
-        expr("conv_q div 1000").as("drop_conv_ppm"),
-        col("removal_ppm"),
-        expr("CASE WHEN s_re > 0 THEN removal_ppm * 1000000 div s_re " +
-          "ELSE CAST(0 AS BIGINT) END").as("attribution_ppm"))
+    val convQ: Map[String, Long] =
+      m.map { case (g, st) => (g, st.getOrElse("CONV", 0L)) }
+    val out = convQ.get("_full").toSeq.flatMap { convFull =>
+      val re = MkChannels.filter(convQ.contains).map { ch =>
+        val convq = convQ(ch)
+        val removal = if (convFull > 0)
+          math.max(convFull - convq, 0L) * 1000000L / convFull else 0L
+        (ch, convq, removal)
+      }
+      val sRe = re.map(_._3).sum
+      re.map { case (ch, convq, removal) =>
+        Row(ch, convFull / 1000L, convq / 1000L, removal,
+          if (sRe > 0) removal * 1000000L / sRe else 0L)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("conv_ppm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("drop_conv_ppm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("removal_ppm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("attribution_ppm",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
   }
 
   private val markovOracleSql: String = {
