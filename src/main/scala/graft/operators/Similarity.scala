@@ -710,11 +710,13 @@ object Similarity {
 
   def knnIvfProbeSweep(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
-    val corpusCells = assignCells(c, s, d)
-      .select(col("vec_id"), col("v"), col("cell"))
-      .transform(Scale.materialize) // scanned once per sweep point
-    val brute = knnBrute(s, d).select(col("q_id"), col("nn_id"))
-      .transform(Scale.materialize)
+    // cell index ∥ exact truth — independent chains (r15, guide §2.6)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize(assignCells(c, s, d) // scanned once per point
+        .select(col("vec_id"), col("v"), col("cell"))),
+      () => Scale.materialize(
+        knnBrute(s, d).select(col("q_id"), col("nn_id")))), slots = 2)
+    val (corpusCells, brute) = (two(0), two(1))
     ProbeSweep.map { np =>
       val scored = broadcast(queryProbes(q, s, d, np))
         .join(corpusCells, "cell")
@@ -1886,10 +1888,12 @@ object Similarity {
 
   def dedupEmbeddingAnnRecall(s: SparkSession, d: String): DataFrame = {
     val (truthPairs, pane) = sampledTruth(s, d)
-    val truth = truthPairs.select(col("vec_a"), col("vec_b"))
-      .transform(Scale.materialize)
-    val ann = dedupEmbeddingAnn(s, d).select(col("vec_a"), col("vec_b"))
-      .transform(pane).transform(Scale.materialize)
+    // exact kernel ∥ ANN route — independent chains (r15, guide §2.6)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize(truthPairs.select(col("vec_a"), col("vec_b"))),
+      () => Scale.materialize(dedupEmbeddingAnn(s, d)
+        .select(col("vec_a"), col("vec_b")).transform(pane))), slots = 2)
+    val (truth, ann) = (two(0), two(1))
     val hit = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val na = ann.agg(count(lit(1)).as("n_ann"))
@@ -1926,13 +1930,17 @@ object Similarity {
     */
   def dedupAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
     val (truthPairs, pane) = sampledTruth(s, d) // [[TruthSampleIds]] dispatch
-    val truth = truthPairs.select(col("vec_a"), col("vec_b"))
-      .transform(Scale.materialize) // one exact kernel, |sweep|+1 consumers
+    // the exact kernel and the |sweep| ANN branches are all independent
+    // chains — materialize them concurrently (r15, guide §2.6)
+    val frames = Scale.inParallel[DataFrame](
+      (() => Scale.materialize( // one exact kernel, |sweep|+1 consumers
+        truthPairs.select(col("vec_a"), col("vec_b")))) +:
+        AnnProbeSweep.map(np => () => Scale.materialize( // count AND hit join
+          annPairs(s, d, np).select(col("vec_a"), col("vec_b"))
+            .transform(pane))), slots = 5)
+    val truth = frames.head
     val nt = truth.agg(count(lit(1)).as("n_true"))
-    AnnProbeSweep.map { np =>
-      val ann = annPairs(s, d, np).select(col("vec_a"), col("vec_b"))
-        .transform(pane)
-        .transform(Scale.materialize) // feeds the count AND the hit join
+    AnnProbeSweep.zip(frames.tail).map { case (np, ann) =>
       val na = ann.agg(count(lit(1)).as("n_ann"))
       val nh = ann.join(truth, Seq("vec_a", "vec_b"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
