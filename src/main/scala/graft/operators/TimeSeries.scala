@@ -142,35 +142,70 @@ object TimeSeries {
     val st = dy.agg(min(col("day")).as("day0"))
     val ix = dy.crossJoin(broadcast(st))
       .select(datediff(col("day"), col("day0")).as("idx"), col("cents"))
-    val earlier = ix.select(col("idx").as("i_idx"), col("cents").as("i_cents"))
+    // earlier is calendar-bounded (one row per day) but reads from a
+    // checkpointed frame with no size stats — without the explicit hint the
+    // planner sort-merges, shuffling the exploded pair frame on i_idx;
+    // broadcasting keeps pair generation one map-side codegen stage (r15)
+    val earlier = broadcast(
+      ix.select(col("idx").as("i_idx"), col("cents").as("i_cents")))
+    // Exact Long decomposition of trunc(Δc·10⁶ / Δi) — the straight
+    // DECIMAL(38,0) multiply ran every one of the days²/2 pair rows through
+    // BigDecimal (measured 2.3 s vs 0.55 s for the Long form on the same
+    // pane, r15). With q = Δc div Δi and r = Δc % Δi (both carrying Δc's
+    // sign, Δi > 0), trunc decomposes over the integer shift q·10⁶ because
+    // q·10⁶ and r·10⁶/Δi never differ in sign; |r| < Δi keeps r·10⁶
+    // Long-safe, and q·10⁶ overflows only where the final BIGINT cast of
+    // the decimal form already could not represent the slope.
     val slopes = Scale.materialize(ix.filter(col("idx") >= 1)
       .withColumn("i_idx", explode(sequence(lit(0), col("idx") - 1)))
       .join(earlier, "i_idx")
-      .select(expr("CAST((CAST(cents AS DECIMAL(38,0)) - i_cents) * 1000000 " +
-        "div (idx - i_idx) AS BIGINT)").as("slope_micro"))) // 3 consumers
-    val stats = slopes.agg(min(col("slope_micro")).as("mn"),
-      max(col("slope_micro")).as("mx"), count(lit(1)).as("m")) // 1 row
+      .select(expr("(cents - i_cents) div (idx - i_idx) * 1000000 + " +
+        "((cents - i_cents) % (idx - i_idx)) * 1000000 div (idx - i_idx)")
+        .as("slope_micro"))) // 3 consumers
+    // The range stats (1 row) and coarse bucket table (≤ TheilsenBuckets+1
+    // rows) are bounded by literal constants — collect them and run the
+    // rank-bucket search as driver arithmetic (the bounded-literal-model
+    // discipline): the broadcast-subquery form re-traversed the pair frame
+    // once per embedded subtree and chained ~4 extra stages of latency
+    // (measured 6.2 s warm → the passes below, r15). The pair frame itself
+    // is scanned exactly three times (stats, coarse, fine) and only the
+    // selected bucket's values reach prefixSum — distributed, as before.
+    val strow = slopes.agg(min(col("slope_micro")), max(col("slope_micro")),
+      count(lit(1))).head()
+    if (strow.isNullAt(0)) {
+      // no pairs (single-day calendar): same empty frame the bucketed
+      // chain produced
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_days",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("slope_micro",
+          org.apache.spark.sql.types.LongType)))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val (mn, mx, m) = (strow.getLong(0), strow.getLong(1), strow.getLong(2))
     // coarse bucket width ≥ 1, ≤ TheilsenBuckets+1 buckets over the range
-    val wExpr = s"greatest((mx - mn) div $TheilsenBuckets + 1, CAST(1 AS BIGINT))"
-    val coarse = slopes.crossJoin(broadcast(stats))
-      .groupBy(expr(s"(slope_micro - mn) div ($wExpr)").as("_tb"),
-        col("mn"), col("mx"), col("m")) // stats are 1-row constants
+    val w = math.max((mx - mn) / TheilsenBuckets + 1L, 1L)
+    val rank = (m + 1) / 2
+    val coarse = slopes
+      .groupBy(expr(s"(slope_micro - $mn) div $w").as("_tb"))
       .agg(count(lit(1)).as("cnt"))
-    val wb = Window.orderBy(col("_tb")) // bounded: ≤ TheilsenBuckets+1 rows
-    val target = coarse
-      .withColumn("cum", sum(col("cnt")).over(wb))
-      .filter(col("cum") >= expr("(m + 1) div 2"))
-      .groupBy(col("mn"), col("mx"), col("m"))
-      .agg(min(struct(col("_tb"), (col("cum") - col("cnt")).as("off"))).as("sel"))
-      .select(col("mn"), col("mx"), col("m"),
-        col("sel._tb").as("tb"), col("sel.off").as("off"))
-    val fine = slopes.crossJoin(broadcast(target)) // 1-row target
-      .filter(expr(s"(slope_micro - mn) div ($wExpr)") === col("tb"))
-      .groupBy(col("slope_micro"), col("m"), col("off"))
-      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // first bucket whose cumulative count reaches the rank, and the count
+    // preceding it — the same (tb, off) the window form selected
+    val (tb, off) = {
+      var cum = 0L
+      coarse.collectFirst {
+        case (b, cnt) if { cum += cnt; cum >= rank } => (b, cum - cnt)
+      }.get
+    }
+    val fine = slopes.filter(expr(s"(slope_micro - $mn) div $w") === tb)
+      .groupBy(col("slope_micro")).agg(count(lit(1)).as("cnt"))
     Scale.prefixSum(fine, "slope_micro", "cnt")
-      .filter(col("off") + col("cum") >= expr("(m + 1) div 2"))
-      .groupBy(col("m")) // 1 group — bounded
+      .filter(col("cum") + off >= rank)
+      .groupBy(lit(m).as("m")) // 1 group — bounded (empty stays empty)
       .agg(min(col("slope_micro")).as("slope_micro"))
       .crossJoin(broadcast(dy.agg(count(lit(1)).as("n_days")))) // 1 row
       .select(col("n_days"), col("m").as("n_pairs"), col("slope_micro"))
