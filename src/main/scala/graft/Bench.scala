@@ -48,6 +48,14 @@ object Bench {
         System.gc()
         r += 1
       }
+      // Attribution aid (env-gated, off for driver runs): per-rep walls +
+      // post-GC heap so suite-vs-isolated inflation can be localized.
+      if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+        val rt = Runtime.getRuntime
+        System.err.println(f"[bench-debug] $name reps=${
+          times.map(t => f"$t%.2f").mkString(",")} heapMB=${
+          (rt.totalMemory - rt.freeMemory) / 1048576}%d")
+      }
       Result(name, median(times.toSeq), err)
     }
 

@@ -977,14 +977,19 @@ object Dedup {
     // query's pane feeds it (spec-forced panes must not leak into dumps)
     if (pane == DocPaneIds) recallPaneCache.put(d, Boolean.box(paned))
     val docs = if (paned) all.filter(col("doc_id") < pane) else all
-    val truth = plainJaccardOf(docs, 0.5).select(col("doc_a"), col("doc_b"))
-      .transform(Scale.materialize)
-    val postings = shinglePostingsOf(docs)
-      .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
-      .transform(Scale.materialize)
-    val m = minhashSignatures(postings, Bands * RowsPerBand)
-    val cand = lshCandidatePairs(m, Bands, RowsPerBand)
-      .transform(Scale.materialize)
+    // exact-truth kernel ∥ LSH candidate chain — independent audits of the
+    // same docs frame (r15, guide §2.6)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize(
+        plainJaccardOf(docs, 0.5).select(col("doc_a"), col("doc_b"))),
+      () => {
+        val postings = shinglePostingsOf(docs)
+          .select(col("doc_id"), col("n"), hexH(col("sh")).as("hp"))
+          .transform(Scale.materialize)
+        val m = minhashSignatures(postings, Bands * RowsPerBand)
+        Scale.materialize(lshCandidatePairs(m, Bands, RowsPerBand))
+      }), slots = 2)
+    val (truth, cand) = (two(0), two(1))
     val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
     val nt = truth.agg(count(lit(1)).as("n_true"))
     val nc = cand.agg(count(lit(1)).as("n_cand"))

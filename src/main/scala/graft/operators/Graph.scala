@@ -55,10 +55,11 @@ object Graph {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
-    val nodes = li.select(col("l_partkey").as("p")).distinct()
-      .repartition(col("p")) // align once: every superstep's contrib join keys on p
-      .transform(Scale.materialize)
-    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    // nodes and adjacency are independent chains off the settled li frame —
+    // overlap their materializations (r15, Scale.inParallel)
+    lazy val nodesThunk = Scale.materialize(
+      li.select(col("l_partkey").as("p")).distinct()
+        .repartition(col("p"))) // align once: superstep contrib joins key on p
     // ADJACENCY-LIST layout (r12 — the GraphX/Pregel edge-partition shape):
     // one (src, d, dsts[]) row per source. Two things follow at scale:
     // (1) the materialized loop state is node-sized rows of packed long
@@ -85,14 +86,18 @@ object Graph {
     // Neighbor-array ORDER is set-nondeterministic, which is immaterial:
     // the loop only reads size(dsts) and sums integer contributions over
     // an explode — both order-free.
-    val adj = orderBaskets(li)
-      .select(explode(col("parts")).as("src"), col("parts"))
-      .select(col("src"), explode(col("parts")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"))
-      .agg(collect_set(col("dst")).as("dsts"))
-      .select(col("src"), size(col("dsts")).cast("long").as("d"), col("dsts"))
-      .transform(Scale.materialize)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => nodesThunk,
+      () => Scale.materialize(orderBaskets(li)
+        .select(explode(col("parts")).as("src"), col("parts"))
+        .select(col("src"), explode(col("parts")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"))
+        .agg(collect_set(col("dst")).as("dsts"))
+        .select(col("src"), size(col("dsts")).cast("long").as("d"),
+          col("dsts")))), slots = 2)
+    val (nodes, adj) = (two(0), two(1))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     PrState(nodes, nn, adj)
   }
 
@@ -213,18 +218,19 @@ object Graph {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
-    val nodes = li.select(col("l_partkey").as("p")).distinct()
-      .repartition(col("p"))
-      .transform(Scale.materialize)
     val bs = basketGuarded(li)
-    val edges = bs.as("a").join(bs.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("ew"))
-      .filter(col("ew") >= LpMinWeight)
-      .transform(Scale.materialize)
-    LpState(nodes, edges)
+    // node set and weighted edge build are independent chains off li —
+    // overlap their materializations (r15, Scale.inParallel)
+    val two = Scale.inParallel[DataFrame](Seq(
+      () => Scale.materialize(li.select(col("l_partkey").as("p")).distinct()
+        .repartition(col("p"))),
+      () => Scale.materialize(bs.as("a").join(bs.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("ew"))
+        .filter(col("ew") >= LpMinWeight))), slots = 2)
+    LpState(two(0), two(1))
   }
 
   private[graft] def communitiesLoop(st: LpState): DataFrame = {
