@@ -1,9 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.{GraftSession, Tables}
-import graft.operators.{Scale, TimeSeries}
+import graft.GraftSession
+import graft.operators.Scale
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
@@ -18,14 +17,22 @@ object Scratch {
       r
     }
 
-    for (rep <- 1 to 3) {
-      time(s"r$rep theilsen full") {
-        TimeSeries.dailyRevenueTheilsen(spark, d)
-          .write.format("noop").mode("overwrite").save()
-      }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
+    // store_build attribution: per-merge walls
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapstore_probe_").toString
+    val ch = time("parsedChangelog mat") {
+      graft.cdc.CdcSim.enableCache("target/cdc-cache")
+      graft.cdc.CdcSim.prewarmCache(spark, d)
+      Scale.materialize(graft.cdc.CdcSim.parsedChangelog(spark, d))
     }
+    val bounds = time("bounds")(ch.agg(min(col("ts_ms")), max(col("ts_ms"))).head())
+    val t0 = bounds.getLong(0)
+    val span = bounds.getLong(1) - t0 + 1
+    val payloadCols = ch.columns.toSeq.filterNot(Set("id", "op", "ts_ms", "sign").contains)
+    for (k <- 0 until graft.cdc.CdcQueries.StoreBatches)
+      time(s"merge $k") {
+        graft.streaming.BucketedSnapshot.merge(dir, Seq("id"), payloadCols)(
+          ch.filter(expr(s"((ts_ms - $t0) * ${graft.cdc.CdcQueries.StoreBatches}) div $span = $k")), k.toLong)
+      }
     spark.stop()
   }
 }
