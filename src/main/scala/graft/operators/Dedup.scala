@@ -49,19 +49,35 @@ object Dedup {
     * a micro-batch.
     */
   def shinglePostingsOf(docs: DataFrame): DataFrame = {
+    // Whole thing is MAP-SIDE (one codegen stage, zero exchanges): per-doc
+    // trigrams via an index transform over the token array, set-dedup via
+    // array_distinct, n = size of that set. The previous form paid a
+    // posexplode + two lead() windows + dropDuplicates + a count window —
+    // three shuffles of the exploded shingle frame on every one of the ~11
+    // dedup/streaming call sites — to compute exactly this per-row value
+    // (r15, guide §2.4). Same rows: sequence(0, size-3) enumerates the
+    // n-2 trigram starts the lead()-based form kept (t2 non-null), the
+    // <3-token branch emits the single whole-text shingle, and
+    // array_distinct ≡ dropDuplicates(doc_id, sh) because shingles never
+    // cross documents.
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh3 = t.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-    val small = t.filter(size(col("toks")) < 3)
-      .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
-    sh3.unionByName(small)
-      .dropDuplicates("doc_id", "sh")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val shs = array_distinct(
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))
+        .otherwise(array(concat_ws(" ", col("toks")))))
+    // n rides INSIDE each exploded element (struct): exploding the bare
+    // array and projecting size() after would make Generate carry the whole
+    // shingle array as requiredChildOutput — copied into every output row,
+    // O(|doc|²) bytes per document (measured 9 s vs 0.5 s at sf0.1)
+    t.select(col("doc_id"), shs.as("shs"))
+      .select(col("doc_id"),
+        explode(transform(col("shs"),
+          x => struct(x.as("sh"), size(col("shs")).cast("long").as("n")))).as("e"))
+      .select(col("doc_id"), col("e.sh").as("sh"), col("e.n").as("n"))
   }
 
   // ---------------------------------------------------------------- exact

@@ -3,9 +3,8 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
-import graft.functions.NativeVector
-import graft.functions.VectorFunctions.toDouble
-import graft.operators.{Scale, Similarity}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.expressions.Window
 
 /** Scratch timing/explain harness (not driver-facing). */
 object Scratch {
@@ -19,77 +18,62 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    val docs = Tables.documents(spark, d)
 
-    val e = Tables.embeddings(spark, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .filter(col("vec_id") >= Similarity.NumQueries)
-    val cc = Similarity.centColsFor(spark, d)
-    def topKEdges(sc: DataFrame): DataFrame =
-      Scale.topKPerGroup(sc.select(col("src"), col("dst"), col("cos")),
-        Seq("src"), Seq(col("cos").desc, col("dst")), k = Similarity.GraphK,
-        saltSrc = col("dst"))
-        .select(col("src"), col("dst"), col("cos"), col("rnk"))
-
-    def base(): DataFrame = {
-      val cellAssigned = cc.cleanup(cc.attach(e)
-        .withColumn("cell", NativeVector.argmaxDot(col("v"), cc.flat, cc.sn)))
-      val probes = cc.attach(e)
-        .withColumn("cell",
-          explode(NativeVector.argTopKDot(col("v"), cc.flat, cc.sn, lit(Similarity.GraphProbe))))
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cell"))
-      val scored = probes.join(cellAssigned, "cell")
-        .filter(col("q_id") =!= col("vec_id"))
-        .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
-        .select(col("q_id").as("src"), col("vec_id").as("dst"), col("cos"))
-      Scale.materialize(topKEdges(scored).drop("rnk"))
+    def newForm(): DataFrame = {
+      val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val shs = array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+      t.select(col("doc_id"), shs.as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("sh"),
+          size(col("shs")).cast("long").as("n"))
     }
 
-    // current round shape: sym self-join
-    def roundJoin(edges: DataFrame): DataFrame = {
-      val sym = edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val cand = sym.select(col("src").as("a"), col("dst").as("b"))
-        .join(sym.select(col("src").as("b"), col("dst").as("c")), "b")
-        .filter(col("a") =!= col("c"))
-        .select(col("a").as("src"), col("c").as("dst")).distinct()
-        .join(edges.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
-      val freshScored = cand
-        .join(e.select(col("vec_id").as("src"), col("v").as("va")), "src")
-        .join(e.select(col("vec_id").as("dst"), col("v").as("vc")), "dst")
-        .withColumn("cos", NativeVector.cosine(col("va"), col("vc")))
-        .select(col("src"), col("dst"), col("cos"))
-      Scale.materialize(topKEdges(edges.unionByName(freshScored)).drop("rnk"))
+    def structForm(): DataFrame = {
+      val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val shs = array_distinct(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+      t.select(col("doc_id"), shs.as("shs"))
+        .select(col("doc_id"),
+          explode(transform(col("shs"),
+            x => struct(x.as("sh"), size(col("shs")).cast("long").as("n")))).as("e"))
+        .select(col("doc_id"), col("e.sh").as("sh"), col("e.n").as("n"))
     }
 
-    // array-expansion round shape: group neighbors per middle node, explode pairs
-    def roundArray(edges: DataFrame): DataFrame = {
-      val sym = edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val nbrs = sym.groupBy(col("src").as("b"))
-        .agg(collect_set(col("dst")).as("ns"))
-      val cand = nbrs
-        .select(explode(col("ns")).as("a"), col("ns"))
-        .select(col("a"), explode(col("ns")).as("c"))
-        .filter(col("a") =!= col("c"))
-        .select(col("a").as("src"), col("c").as("dst")).distinct()
-        .join(edges.select(col("src"), col("dst")), Seq("src", "dst"), "left_anti")
-      val freshScored = cand
-        .join(e.select(col("vec_id").as("src"), col("v").as("va")), "src")
-        .join(e.select(col("vec_id").as("dst"), col("v").as("vc")), "dst")
-        .withColumn("cos", NativeVector.cosine(col("va"), col("vc")))
-        .select(col("src"), col("dst"), col("cos"))
-      Scale.materialize(topKEdges(edges.unionByName(freshScored)).drop("rnk"))
+    def oldForm(): DataFrame = {
+      val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val sh3 = t.filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      val small = t.filter(size(col("toks")) < 3)
+        .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
+      sh3.unionByName(small)
+        .dropDuplicates("doc_id", "sh")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     }
 
+    println(newForm().queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).take(2500))
     for (rep <- 1 to 2) {
-      val e0 = time(s"r$rep base build")(base())
-      var ej = e0
-      for (r <- 1 to 2) ej = time(s"r$rep roundJoin $r")(roundJoin(ej))
-      var ea = e0
-      for (r <- 1 to 2) ea = time(s"r$rep roundArray $r")(roundArray(ea))
-      val cj = ej.orderBy("src", "dst").collect()
-      val ca = ea.orderBy("src", "dst").collect()
-      println(s"[scratch] r$rep equal=${cj.sameElements(ca)} n=${cj.length}")
+      time(s"r$rep old  form")(oldForm().write.format("noop").mode("overwrite").save())
+      time(s"r$rep new  form")(newForm().write.format("noop").mode("overwrite").save())
+      time(s"r$rep strc form")(structForm().write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }
