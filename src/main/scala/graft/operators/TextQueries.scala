@@ -418,16 +418,19 @@ object TextQueries {
     * gram sets.
     */
   private def decontamGrams(s: SparkSession, d: String): DataFrame = {
+    // map-side N-gram set per doc (index transform + array_distinct — the
+    // shinglePostingsOf shape, r15): the posexplode + N-1 lead() windows +
+    // dropDuplicates form paid a doc-keyed exchange plus a (doc, gram)
+    // distinct exchange for a value computable per row. The bare explode is
+    // safe here (unlike the postings case) because the generator CONSUMES
+    // the array — only doc_id rides through Generate.
     val t = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= DecontamN)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var g = t.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-    for (i <- 1 until DecontamN) g = g.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    g.filter(col(s"t${DecontamN - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok") +: (1 until DecontamN).map(i => col(s"t$i")): _*).as("gram"))
-      .dropDuplicates("doc_id", "gram")
+    t.select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - DecontamN),
+          i => concat_ws(" ", (0 until DecontamN).map(j =>
+            element_at(col("toks"), i + j + 1)): _*)))).as("gram"))
   }
 
   def textDecontaminate(s: SparkSession, d: String): DataFrame = {
@@ -580,13 +583,16 @@ object TextQueries {
   def textSubstrDedup(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).filter(col("n_tokens") >= SubstrK)
       .select(col("doc_id"), col("n_tokens"), col("toks"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var g = base.select(col("doc_id"), col("n_tokens"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
-    for (i <- 1 until SubstrK) g = g.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    val grams = g.filter(col(s"t${SubstrK - 1}").isNotNull)
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        concat_ws(" ", col("tok") +: (1 until SubstrK).map(i => col(s"t$i")): _*).as("gram"))
+    // map-side K-gram windows with their start position (index transform,
+    // struct-carried pos — the shinglePostingsOf shape, r15): replaces the
+    // posexplode + K-1 lead() windows' doc-keyed exchange
+    val grams = base.select(col("doc_id"), col("n_tokens"),
+        explode(transform(sequence(lit(0), size(col("toks")) - SubstrK),
+          i => struct(i.cast("int").as("pos"),
+            concat_ws(" ", (0 until SubstrK).map(j =>
+              element_at(col("toks"), i + j + 1)): _*).as("gram")))).as("e"))
+      .select(col("doc_id"), col("n_tokens"), col("e.pos").as("pos"),
+        col("e.gram").as("gram"))
     // occurrence count via a window over the gram partition: one linear
     // shuffle by gram, no postings self-join. Materialized once — both
     // per-doc aggregations below read the filtered window rows.
@@ -717,12 +723,15 @@ object TextQueries {
     * left to Catalyst/AQE exactly like the unigram op.
     */
   def textBigramSurprisal(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // map-side bigram rows (index transform, struct-carried pair — the
+    // shinglePostingsOf shape, r15): replaces the posexplode + lead()
+    // window's doc-keyed exchange
     val bi = docs(s, d).filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w1"), col("w2"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
       .transform(Scale.materialize)
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
