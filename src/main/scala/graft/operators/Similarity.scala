@@ -1132,10 +1132,20 @@ object Similarity {
     * need. Same deterministic order ⇒ identical rows (r15).
     */
   private def topKBounded(df: DataFrame, groupCol: String, order: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    topKBounded(df, Seq(groupCol), order, lit(k))
+
+  /** Multi-key / per-row-k variant (the batched sweep cuts each pane at its
+    * own literal beam width). `kCol` must be a deterministic function of the
+    * group columns only.
+    */
+  private def topKBounded(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], kCol: Column): DataFrame = {
+    require(!df.columns.contains("rnk"),
+      "topKBounded emits a 'rnk' column; input must not already have one")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(order: _*)
-    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= kCol)
   }
 
   private def topKEdges(scored: DataFrame): DataFrame =
@@ -1418,8 +1428,36 @@ object Similarity {
     val (sym, cellAssigned, brute) = (shared(0), shared(1), shared(2))
     val denom = NumQueries.toLong * K
 
-    def hitsRow(beam: DataFrame, entry: Int, b: Int, hop: Int): DataFrame = {
-      val top = topKBounded(beam, "q_id",
+    // The five sweep walks advance as ONE batched walk keyed by (wid, q_id):
+    // wid 0 is the hop pane (entry 1, beam GsBeam, hits snapshotted at every
+    // hop 0..GsHopsMax), wids 1.. are the beam pane (GsBeamSweep) then the
+    // entry pane (GsEntrySweep), both snapshotted at GsHops. Every join and
+    // window below keys on wid, so no rows cross panes and each pane's beam
+    // sequence is identical to the r15 five separate walks — but one hop job
+    // now serves all five panes: the r15 shape paid 27 beam-materialize
+    // fences across five concurrent chains (driver bench 23.0 s vs 7.8 s
+    // isolated — per-job latency, not compute, was the wall); this shape
+    // pays 7 (guide §2.6, batched instead of merely overlapped).
+    val panes: Seq[(Int, Int, Int)] = // (wid, entry probes, beam width)
+      (0, 1, GsBeam) +:
+        (GsBeamSweep.zipWithIndex.map { case (b, i) => (i + 1, 1, b) } ++
+          GsEntrySweep.zipWithIndex.map { case (e, i) =>
+            (1 + GsBeamSweep.size + i, e, GsBeam) })
+    val maxBeam = panes.map(_._3).max
+    // per-pane beam width as a literal CASE over wid — the per-pane top-k
+    // cut. Ranking to maxBeam and cutting at widBeam is row-identical to
+    // ranking each pane to its own k: a row at in-pane rank r > widBeam can
+    // never be in that pane's top-widBeam, and ranks ≤ widBeam are equal in
+    // both formulations (same total order).
+    val widBeam: Column = panes.tail.foldLeft(
+        when(col("wid") === panes.head._1, panes.head._3)) {
+      case (e, (wid, _, b)) => e.when(col("wid") === wid, b)
+    }
+
+    def hitsRow(beam: DataFrame, wid: Int, entry: Int, b: Int,
+        hop: Int): DataFrame = {
+      val top = topKBounded(
+          beam.filter(col("wid") === wid).drop("wid"), "q_id",
           Seq(col("cos").desc, col("vec_id")), k = K)
         .select(col("q_id"), col("vec_id").as("nn_id"))
       broadcast(top).join(brute, Seq("q_id", "nn_id"))
@@ -1429,47 +1467,56 @@ object Similarity {
           expr(s"n_hits * 1000000 div $denom").as("recall_ppm"))
     }
 
-    // one walk; hits@K snapshotted at every hop index in `record`
-    def walk(entry: Int, b: Int, record: Seq[Int]): Seq[DataFrame] = {
-      val beam0 = Scale.topKPerGroup(
-          broadcast(queryProbes(q, s, d, entry)).join(cellAssigned, "cell")
-            .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
-            .select(col("q_id"), col("vec_id"), col("cos")),
-          Seq("q_id"), Seq(col("cos").desc, col("vec_id")), k = b,
-          saltSrc = col("vec_id"))
+    // entry probes: panes sharing an entry width reuse one probe ranking
+    // (map-side explode of the pane ids — no extra pass, no shuffle)
+    val probes = panes.groupBy(_._2).toSeq.sortBy(_._1).map { case (e, ps) =>
+      queryProbes(q, s, d, e)
+        .withColumn("wid", explode(typedlit(ps.map(_._1))))
+    }.reduce(_ unionByName _)
+    val beam0 = Scale.topKPerGroup(
+        broadcast(probes).join(cellAssigned, "cell")
+          .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+          .select(col("wid"), col("q_id"), col("vec_id"), col("cos")),
+        Seq("wid", "q_id"), Seq(col("cos").desc, col("vec_id")), k = maxBeam,
+        saltSrc = col("vec_id"))
+      .filter(col("rnk") <= widBeam)
+      .drop("rnk")
+      .transform(Scale.materialize)
+
+    // hits snapshots are lazy 1-row aggregates over the materialized beams —
+    // they all evaluate inside the caller's single final action
+    val snaps = scala.collection.mutable.Map.empty[(Int, Int), DataFrame]
+    snaps((0, 0)) = hitsRow(beam0, 0, 1, GsBeam, 0)
+    var beam = beam0
+    for (h <- 1 to GsHopsMax) {
+      // panes other than the hop pane stop advancing past GsHops
+      val cur = if (h > GsHops) beam.filter(col("wid") === 0) else beam
+      // walk frames are literal-bounded (≤ NumQueries·Σbeams rows) —
+      // broadcast them so sym and the corpus stream (no per-hop exchange),
+      // same shape as [[graphSearchBeams]]'s hops (r15)
+      val nb = broadcast(cur.select(col("wid"), col("q_id"), col("vec_id")))
+        .join(sym, col("vec_id") === col("src"))
+        .select(col("wid"), col("q_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(broadcast(cur.select(col("wid"), col("q_id"), col("vec_id"))),
+          Seq("wid", "q_id", "vec_id"), "left_anti")
+      val scored = broadcast(nb).join(c, "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
+        .select(col("wid"), col("q_id"), col("vec_id"), col("cos"))
+      beam = topKBounded(cur.unionByName(scored), Seq("wid", "q_id"),
+          Seq(col("cos").desc, col("vec_id")), kCol = widBeam)
         .drop("rnk")
         .transform(Scale.materialize)
-      var beam = beam0
-      val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      if (record.contains(0)) out += hitsRow(beam, entry, b, 0)
-      for (h <- 1 to record.max) {
-        // walk frames are literal-bounded — broadcast them so sym and the
-        // corpus stream (no per-hop exchange), same shape as
-        // [[graphSearchBeams]]'s hops (r15)
-        val nb = broadcast(beam.select(col("q_id"), col("vec_id")))
-          .join(sym, col("vec_id") === col("src"))
-          .select(col("q_id"), col("dst").as("vec_id"))
-          .distinct()
-          .join(broadcast(beam.select(col("q_id"), col("vec_id"))),
-            Seq("q_id", "vec_id"), "left_anti")
-        val scored = broadcast(nb).join(c, "vec_id")
-          .join(broadcast(q), "q_id")
-          .withColumn("cos", NativeVector.cosine(col("qv"), col("v")))
-          .select(col("q_id"), col("vec_id"), col("cos"))
-        beam = topKBounded(beam.unionByName(scored), "q_id",
-            Seq(col("cos").desc, col("vec_id")), k = b)
-          .drop("rnk")
-          .transform(Scale.materialize)
-        if (record.contains(h)) out += hitsRow(beam, entry, b, h)
+      if (h == GsHops) panes.foreach { case (wid, e, b) =>
+        snaps((wid, h)) = hitsRow(beam, wid, e, b, h)
       }
-      out.toSeq
+      else snaps((0, h)) = hitsRow(beam, 0, 1, GsBeam, h)
     }
-
-    val rows = Scale.inParallel[Seq[DataFrame]](
-      (() => walk(1, GsBeam, 0 to GsHopsMax)) +:
-        (GsBeamSweep.map(b => () => walk(1, b, Seq(GsHops))) ++
-          GsEntrySweep.map(e => () => walk(e, GsBeam, Seq(GsHops)))),
-      slots = 5).flatten
+    // emission order preserved from the r15 five-walk form: hop pane rows
+    // (hops ascending), then beam panes, then entry panes
+    val rows = (0 to GsHopsMax).map(h => snaps((0, h))) ++
+      panes.tail.map { case (wid, _, _) => snaps((wid, GsHops)) }
     rows.reduce(_ unionByName _)
   }
 

@@ -247,15 +247,21 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     val mid = ch.agg(expr("percentile_approx(ts_ms, 0.5)")).head().getLong(0)
     val s0 = ch.filter(col("ts_ms") <= mid).localCheckpoint()
     val s1 = ch.filter(col("ts_ms") > mid).localCheckpoint()
-    // force the fragmentation a real small-batch stream produces (at the
-    // tiny spec SF, AQE coalesces each merge write to one file per bucket)
+    // force the fragmentation a foreign (non-clustering) writer produces:
+    // bucket-clustered writes off AND AQE coalescing off, else the tiny spec
+    // SF lands one file per bucket either way
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val clusterKey = "spark.graft.clusterStoreWrites"
     val prev = spark.conf.get(coalesceKey)
     try {
       spark.conf.set(coalesceKey, "false")
+      spark.conf.set(clusterKey, "false")
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(s0, 0L)
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(s1, 1L)
-    } finally spark.conf.set(coalesceKey, prev)
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.unset(clusterKey)
+    }
     def inventory(): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
       val w = Files.walk(Paths.get(dir))
@@ -338,17 +344,25 @@ class BucketedSnapshotSpec extends AnyFunSuite {
       ch.filter(col("ts_ms") <= cuts(0)),
       ch.filter(col("ts_ms") > cuts(0) && col("ts_ms") <= cuts(1)),
       ch.filter(col("ts_ms") > cuts(1))).map(_.localCheckpoint())
+    // force the fragmentation a foreign (non-clustering) writer produces:
+    // bucket-clustered writes off AND AQE coalescing off, else the tiny spec
+    // SF lands one file per bucket either way
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val clusterKey = "spark.graft.clusterStoreWrites"
     val prev = spark.conf.get(coalesceKey)
     try {
       spark.conf.set(coalesceKey, "false")
+      spark.conf.set(clusterKey, "false")
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(0), 0L)
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(1), 1L)
       // compact the referenced (v=1-or-0) dirs, then a LATER merge lands
       // on top of compacted generations
       assert(BucketedSnapshot.compact(spark, dir).nonEmpty)
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols)(slices(2), 2L)
-    } finally spark.conf.set(coalesceKey, prev)
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.unset(clusterKey)
+    }
     // correctness across the compose: full snapshot and asOf(1)
     val want = CdcQueries.snapshotLatest(spark, sf)
     val got = BucketedSnapshot.readSnapshot(spark, dir).get
@@ -384,13 +398,21 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     val dir = s"$tmp/b"
     val ret = 1L << 50
     val ch = CdcSim.parsedChangelog(spark, sf).localCheckpoint()
+    // force the fragmentation a foreign (non-clustering) writer produces:
+    // bucket-clustered writes off AND AQE coalescing off, else the tiny spec
+    // SF lands one file per bucket either way
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val clusterKey = "spark.graft.clusterStoreWrites"
     val prev = spark.conf.get(coalesceKey)
     try {
       spark.conf.set(coalesceKey, "false")
+      spark.conf.set(clusterKey, "false")
       BucketedSnapshot.merge(dir, keys, CdcQueries.payloadCols,
         tombstoneRetention = Some(ret))(ch, 0L)
-    } finally spark.conf.set(coalesceKey, prev)
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.unset(clusterKey)
+    }
     // compact rewrites raw stored rows — the op='d' tombstones must come
     // through as rows, or the next redelivery resurrects the keys
     assert(BucketedSnapshot.compact(spark, dir).nonEmpty)
