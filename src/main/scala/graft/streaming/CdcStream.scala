@@ -59,17 +59,45 @@ object CdcStream {
 
     val lines = s.readStream.text(s"$tmp/in")
     val sinkName = "graft_cdc_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = parseStream(lines)
-      .groupByKey(_.id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upsert)
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("update")
-      .option("checkpointLocation", s"$tmp/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // flatMapGroupsWithState instantiates spark.sql.shuffle.partitions state
+    // stores per micro-batch; size them to the staged changelog's bytes, not
+    // the core count (StreamQueries.statePartitionsFor — the r15
+    // inverse-scaling fix: 6.8 s at 32 cores vs ~2.5 s at 8 on sf0.1's tiny
+    // state). Unlike the Complete-agg twins (map-side partials shrink rows
+    // before the stateful exchange), this operator folds EVERY change row in
+    // the stateful stage, so the per-partition budget is 4 MB of changelog
+    // text — enough compute per task to amortize store open/commit, small
+    // enough that the fold stays parallel. The pin spans awaitTermination:
+    // batch 0 is planned on the stream thread, possibly after start()
+    // returns.
+    StreamQueries.withShufflePartitions(s, StreamQueries.statePartitionsFor(s,
+        StreamQueries.pathBytes(java.nio.file.Paths.get(tmp, "in")),
+        bytesPerPartition = 4L << 20)) {
+      parseStream(lines)
+        .groupByKey(_.id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(upsert)
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+
+    // The staged changelog and checkpoint are consumed; materialize the sink
+    // rows (they live in the block manager, not on the temp path — but the
+    // final agg below reads the sink table lazily, so drop the dir only
+    // after the caller's action cannot need it: the memory sink's relation
+    // is fully in memory once awaitTermination returns) and reclaim the
+    // temp dir instead of leaking ~30 MB per call (r16 hygiene).
+    {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(java.nio.file.Paths.get(tmp))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
 
     // Update mode emits one state row per (key, batch); keep the final one.
     s.table(sinkName)

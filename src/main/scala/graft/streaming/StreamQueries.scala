@@ -12,6 +12,52 @@ import graft.operators.Analytics
   */
 object StreamQueries {
 
+  /** Shuffle/state partition count for a STATEFUL streaming query, sized
+    * from the input bytes instead of the core count. `local[N]` pins
+    * `spark.sql.shuffle.partitions = N`, and a stateful query instantiates
+    * that many state-store partitions — each paying open/commit/maintenance
+    * PER MICRO-BATCH — while AQE's byte-based coalescing never reaches
+    * stateful streaming plans. That fixed cost grows with cores on tiny
+    * state: the r15 inverse-scaling class (cdc_snapshot_stream read 6.8 s on
+    * 32 cores vs ~2.5 s on 8). This applies AQE's own sizing rule (advisory
+    * ~64 MB per partition) to the streaming state: more data → more state
+    * partitions, independent of executor count — the production direction.
+    * `spark.graft.streamStateBytesPerPartition` overrides the divisor.
+    */
+  private[streaming] def statePartitionsFor(s: SparkSession,
+      inputBytes: Long, bytesPerPartition: Long = 64L << 20): Int = {
+    val per = s.conf.getOption("spark.graft.streamStateBytesPerPartition")
+      .map(_.toLong).getOrElse(bytesPerPartition)
+    math.min(math.max(1L, (inputBytes + per - 1) / per), 1L << 20).toInt
+  }
+
+  /** Recursive on-disk byte size of a file or directory (local paths — the
+    * file-stream sources here are always local staging dirs).
+    */
+  private[streaming] def pathBytes(p: java.nio.file.Path): Long = {
+    if (!Files.exists(p)) 0L
+    else {
+      val w = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(Files.size).sum
+      } finally w.close()
+    }
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`, restoring
+    * the previous value after — a streaming query captures the count at
+    * query start, so the pin must wrap `.start()`.
+    */
+  private[streaming] def withShufflePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run one file-stream → Complete-mode → memory-sink query to
     * completion and return its result table, leaving no residue: the
     * symlink dir (file-stream sources want a directory, not a file) and
@@ -34,13 +80,21 @@ object StreamQueries {
     val chkDir = Files.createTempDirectory(s"graft_${prefix}_chk")
     val sinkName =
       s"graft_${prefix}_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = build(s.readStream.schema(schema).parquet(inDir.toString))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete)
-      .option("checkpointLocation", chkDir.resolve("chk").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count (see
+    // [[statePartitionsFor]]) — the Complete-mode agg state here is tiny
+    // and per-partition store maintenance was the micro-batch wall. The pin
+    // spans awaitTermination: the stream thread reads the conf when it
+    // plans batch 0, which can be after start() returns.
+    withShufflePartitions(s, statePartitionsFor(s,
+        pathBytes(java.nio.file.Paths.get(srcFile).toAbsolutePath))) {
+      build(s.readStream.schema(schema).parquet(inDir.toString))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", chkDir.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
     val out = s.table(sinkName)
     s.catalog.dropTempView(sinkName)
     Seq(inDir, chkDir).foreach { dir =>
