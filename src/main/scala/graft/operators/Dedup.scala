@@ -811,15 +811,58 @@ object Dedup {
     (labels.select(col("doc_id"), col("lbl")), round)
   }
 
+  /** Pair bound under which the clustering runs as driver union-find over
+    * the collected near-dup graph — the graph is SPARSE by construction
+    * (pairs = actual near-duplicates, edges ≪ corpus whenever dedup is
+    * worth running), so 4M pairs covers far past the gate SFs; past it the
+    * distributed min-label loop runs unchanged.
+    */
+  val ClusterCollectEdges = 4L * 1000 * 1000
+
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // checkpoint the PAIRS (the expensive jaccard subtree), then derive the
-    // symmetric edge list as two cheap scans of the checkpointed data —
-    // re-read per round from reliable storage, never recomputed
-    val pairs = durable(dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    connectedComponents(edges, jump = true)._1
-      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    // materialize the PAIRS (the expensive jaccard subtree) once: the count
+    // probe, the bounded collect, and the fallback's durable copy all read
+    // the settled frame — the old shape reliable-checkpointed the raw
+    // subtree, which computes it twice (Dataset.checkpoint semantics)
+    val pairs0 = Scale.materialize(
+      dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+    val nPairs = pairs0.count()
+    if (nPairs <= ClusterCollectEdges) {
+      // collect-when-bounded (VERDICT r15): the distributed loop pays per
+      // round one join + agg + reliable-checkpoint fence over a sparse
+      // frame — job latency, not compute. Driver union-find lands the same
+      // fixpoint by construction: every component labels to its min id.
+      val ps = pairs0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { // path compression
+          val nxt = parent(c); parent.update(c, r); c = nxt
+        }
+        r
+      }
+      ps.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = ps.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      val labels = nodes.map(n => (n, find(n))).sorted
+      import s.implicits._
+      if (labels.isEmpty)
+        s.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id")
+      else s.createDataFrame(labels).toDF("doc_id", "cluster_id")
+    } else {
+      // reliable-checkpoint the settled pairs, then derive the symmetric
+      // edge list as two cheap scans — re-read per round from reliable
+      // storage, never recomputed
+      val pairs = durable(pairs0)
+      val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      connectedComponents(edges, jump = true)._1
+        .select(col("doc_id"), col("lbl").as("cluster_id"))
+    }
   }
 
   /** Keep-one canonical selection over the near-dup clusters — the step a

@@ -107,6 +107,13 @@ object Graph {
     // its own (lineage depth 1; superstep 1 reads it once).
     var ranks = nodes.join(broadcast(nn))
       .select(col("p"), expr(s"$PrScale div n_nodes").as("r"))
+    // No per-round materialize fence: each rank frame is consumed EXACTLY
+    // once (by the next round's contribution join — unlike the LPA loop,
+    // where labels feed both the vote join and the carry-forward), so the
+    // lineage is linear and the whole [[PrIters]]-round chain evaluates as
+    // ONE job with no recomputation — five checkpoint jobs' latency and
+    // five pinned node-sized block sets gone (r16; the Pregel state fence
+    // is only load-bearing when a round's state fans out).
     for (_ <- 1 to PrIters) {
       val contrib = adj.join(ranks, col("src") === col("p"))
         .select(explode(col("dsts")).as("dst"), expr("r div d").as("rc"))
@@ -117,7 +124,6 @@ object Graph {
         .select(col("p"),
           (expr(s"(15 * $PrScale) div (100 * n_nodes)") +
             expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .transform(Scale.materialize)
     }
     Scale.topKPerGroup(ranks, Seq.empty, Seq(col("r").desc, col("p")),
         k = PrTopK, saltSrc = col("p"))
@@ -337,27 +343,64 @@ object Graph {
     * fix the iterative scaleOracles apply) keeps the oracle linear in
     * rounds. Values are unaffected — it is an evaluation hint.
     */
+  /** Edge bound under which the k-core peel runs as driver arithmetic over
+    * the collected (bounded) repeat-co-purchase graph: 4M pairs ≈ a couple
+    * hundred MB of boxed longs, comfortably a driver frame. The repeat
+    * graph THINS as SF grows (measured: max degree 6 and an empty 3-core at
+    * sf0.1), so the bound is expected to hold far past the gate SFs; past
+    * it the distributed loop below runs unchanged.
+    */
+  val KcCollectEdges = 4L * 1000 * 1000
+
   def partKcore(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .transform(Scale.materialize)
     val und = repeatUndirected(li)
-    var alive = und.select(col("u").as("p"))
-      .union(und.select(col("v").as("p"))).distinct()
-      .transform(Scale.materialize)
-    def induced(a: DataFrame): DataFrame = und
-      .join(a.select(col("p").as("u")), "u")
-      .join(a.select(col("p").as("v")), "v")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("u").as("p")).union(e.select(col("v").as("p")))
-        .groupBy(col("p")).agg(count(lit(1)).as("dg"))
-    for (_ <- 1 to KcIters) {
-      alive = degrees(induced(alive))
-        .filter(col("dg") >= KcK).select(col("p"))
+    // collect-when-bounded (the VERDICT-r15 medicine for the iterative
+    // loops): each peel round cost two edge joins + an agg + a checkpoint
+    // fence over a frame of a few thousand rows — job latency, not compute.
+    // und is already materialized, so the count is one cheap scan; the
+    // driver peel below states the identical synchronous rounds.
+    val nEdges = und.count()
+    if (nEdges <= KcCollectEdges) {
+      val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      def degreesOf(alive: Long => Boolean): collection.Map[Long, Long] = {
+        val dg = scala.collection.mutable.HashMap.empty[Long, Long]
+        edges.foreach { case (u, v) =>
+          if (alive(u) && alive(v)) {
+            dg.update(u, dg.getOrElse(u, 0L) + 1L)
+            dg.update(v, dg.getOrElse(v, 0L) + 1L)
+          }
+        }
+        dg
+      }
+      var alive: Set[Long] =
+        edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      for (_ <- 1 to KcIters)
+        alive = degreesOf(alive).filter(_._2 >= KcK).keySet.toSet
+      import s.implicits._
+      val fin = degreesOf(alive).toSeq.sorted
+      if (fin.isEmpty) s.emptyDataset[(Long, Long)].toDF("p_partkey", "core_deg")
+      else s.createDataFrame(fin).toDF("p_partkey", "core_deg")
+    } else {
+      var alive = und.select(col("u").as("p"))
+        .union(und.select(col("v").as("p"))).distinct()
         .transform(Scale.materialize)
+      def induced(a: DataFrame): DataFrame = und
+        .join(a.select(col("p").as("u")), "u")
+        .join(a.select(col("p").as("v")), "v")
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("u").as("p")).union(e.select(col("v").as("p")))
+          .groupBy(col("p")).agg(count(lit(1)).as("dg"))
+      for (_ <- 1 to KcIters) {
+        alive = degrees(induced(alive))
+          .filter(col("dg") >= KcK).select(col("p"))
+          .transform(Scale.materialize)
+      }
+      degrees(induced(alive))
+        .select(col("p").as("p_partkey"), col("dg").as("core_deg"))
     }
-    degrees(induced(alive))
-      .select(col("p").as("p_partkey"), col("dg").as("core_deg"))
   }
 
   private def kcoreOracle: String = {
@@ -447,28 +490,43 @@ object Graph {
   def eventsMarkovStationary(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // the only corpus-sized work: the per-user lag window feeding the
+    // transition-count aggregate
     val tr = Tables.events(s, d)
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("i"), col("event_type").as("j"))
       .agg(count(lit(1)).as("c"))
-      .transform(Scale.materialize)
-    val st = tr.groupBy(col("i")).agg(sum(col("c")).as("r"))
-      .transform(Scale.materialize)
-    val tm = tr.join(st, "i")
-      .join(st.select(col("i").as("j")), "j") // targets inside the state space
-      .select(col("i"), col("j"), col("c"), col("r"))
-    val ns = st.agg(count(lit(1)).as("ns"))
-    var pi = st.select(col("i").as("t")).crossJoin(broadcast(ns)) // 1-row scalar
-      .select(col("t"), expr("CAST(1000000 div ns AS BIGINT)").as("ppm"))
+    // The chain matrix is bounded by the event-type alphabet (≤ |types|²
+    // count rows at ANY corpus size — the same bounded-literal-model shape
+    // as events_attribution_markov, r15): collect it once and run the power
+    // iteration as exact driver Long arithmetic with the identical per-term
+    // floor-division truncation. The distributed form paid two materialize
+    // fences plus six sequential broadcast-exchange rounds over a frame of
+    // a few dozen rows — pure job latency at every SF. Absence semantics
+    // preserved exactly: a state drops out of π when no in-edge from a
+    // π-holding state feeds it (the inner joins' behavior), not to zero.
+    val cnt = tr.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import s.implicits._
+    if (cnt.isEmpty)
+      return s.emptyDataset[(String, Long, Long)]
+        .toDF("event_type", "stationary_ppm", "n_out")
+    val rSum: Map[String, Long] =
+      cnt.groupBy(_._1).map { case (i, rows) => i -> rows.map(_._3).sum }
+    val states = rSum.keySet
+    val tm = cnt.filter { case (_, j, _) => states.contains(j) }
+    val ns = states.size.toLong
+    var pi: Map[String, Long] = rSum.keysIterator.map(_ -> 1000000L / ns).toMap
     for (_ <- 1 to MarkovIters)
-      pi = tm.join(broadcast(pi), tm("i") === pi("t"))
-        .groupBy(col("j"))
-        .agg(sum(expr("ppm * c div r")).as("ppm"))
-        .select(col("j").as("t"), col("ppm"))
-    pi.join(st.select(col("i").as("t"), col("r").as("n_out")), "t")
-      .select(col("t").as("event_type"), col("ppm").as("stationary_ppm"),
-        col("n_out"))
+      pi = tm.iterator
+        .filter { case (i, _, _) => pi.contains(i) }
+        .map { case (i, j, c) => j -> (pi(i) * c) / rSum(i) }
+        .toSeq.groupBy(_._1)
+        .map { case (j, terms) => j -> terms.map(_._2).sum }
+    s.createDataFrame(
+        pi.toSeq.sorted.map { case (t, ppm) => (t, ppm, rSum(t)) })
+      .toDF("event_type", "stationary_ppm", "n_out")
   }
 
   private def markovStationaryOracle: String = {
