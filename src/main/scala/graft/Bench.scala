@@ -105,6 +105,22 @@ object Bench {
     // off the per-query clock, and it is reported as its own entry below,
     // not hidden. Verify never enables this: the correctness gates keep the
     // live to_json→from_json path that self-tests Envelope.parse.
+    // Start from a FRESH cache dir every run: a leftover cache from a prior
+    // JVM made this entry read 0.7 s (stale hit) in one round and 6+ s
+    // (real generation) in the next, silently flattering or inflating
+    // total-vs-total comparisons (r15 verdict). Deleting first makes the
+    // entry mean one stable thing: the cost of generating + materializing
+    // the simulated topics, every run.
+    locally {
+      val root = Paths.get("target/cdc-cache")
+      if (Files.exists(root)) {
+        val w = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally w.close()
+      }
+    }
     val tCdc = System.nanoTime()
     graft.cdc.CdcSim.enableCache("target/cdc-cache")
     graft.cdc.CdcSim.prewarmCache(spark, sfDir)

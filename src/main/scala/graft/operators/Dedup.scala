@@ -60,7 +60,12 @@ object Dedup {
     // <3-token branch emits the single whole-text shingle, and
     // array_distinct ≡ dropDuplicates(doc_id, sh) because shingles never
     // cross documents.
+    // null text yields null toks and must DROP the doc (the pre-r15 lead()
+    // form's size>=3 / size<3 filters both rejected null; the otherwise
+    // branch would instead emit a ("", 1) posting that joins null-text docs
+    // into minhash/LSH — latent on this corpus, ADVICE r15)
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
     val shs = array_distinct(
       when(size(col("toks")) >= 3,
         transform(sequence(lit(0), size(col("toks")) - 3),

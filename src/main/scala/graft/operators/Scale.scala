@@ -344,7 +344,17 @@ object Scale {
       try {
         val futs = thunks.map(t => pool.submit(
           new java.util.concurrent.Callable[T] { def call(): T = t() }))
-        futs.map(_.get())
+        try futs.map(_.get())
+        catch { case e: java.util.concurrent.ExecutionException =>
+          // surface the thunk's own exception (callers match on Spark
+          // exception types), and stop sibling chains before returning —
+          // orphaned jobs from a failed query would otherwise keep running
+          // and interleave with the caller's next query (ADVICE r15)
+          futs.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw Option(e.getCause).getOrElse(e)
+        }
       } finally pool.shutdown()
     }
   }

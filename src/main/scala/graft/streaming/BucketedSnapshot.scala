@@ -479,13 +479,7 @@ object BucketedSnapshot {
     // the first merge) — pass it to the reader so every subsequent merge
     // skips the footer-sampling schema-inference job (~0.2 s/merge of
     // driver-side I/O at sf0.1, and a listing-scale cost at 100 TB; r15)
-    val knownSchema = {
-      val f = Paths.get(dir, "_SCHEMA")
-      if (Files.exists(f))
-        Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
-          .asInstanceOf[StructType])
-      else None
-    }
+    val knownSchema = storedSchema(dir)
     def stateRaw = if (statePaths.isEmpty) None
       else Some(knownSchema.map(s.read.schema(_)).getOrElse(s.read)
         .parquet(statePaths: _*))
