@@ -318,41 +318,65 @@ object Quality {
     * same rows.
     */
   def supplierSetCover(s: SparkSession, d: String): DataFrame = {
-    // DURABLE (parquet) checkpoint for the edge frame, not localCheckpoint:
-    // local-checkpointed blocks are unevictable, and pinning an SF-scaled
-    // edge relation for all K rounds starves execution memory (measured:
-    // SparkOutOfMemory in the late rounds at 100× the gate SF). The loop
-    // re-reads edges K times; a columnar re-read scales, a pinned block
-    // cache does not.
-    val edges = Dedup.durable(Tables.lineitem(s, d)
-      .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
-      .distinct())
-    var covered = Scale.materialize(edges.select(col("partkey")).limit(0))
-    var chosen = Vector.empty[(Int, Long, Long, Long)]
-    var done = false
-    for (r <- 1 to SetCoverRounds if !done) {
-      val nCovered = chosen.lastOption.map(_._4).getOrElse(0L)
-      val rhs = if (nCovered <= CoverBroadcastRows) broadcast(covered) else covered
-      val remaining = edges.join(rhs, Seq("partkey"), "left_anti")
-      val best = remaining.groupBy(col("suppkey"))
-        .agg(count(lit(1)).as("n_new"))
-        .orderBy(col("n_new").desc, col("suppkey").asc)
-        .limit(1).collect() // bounded greedy state: 1 row per round
-      if (best.isEmpty) done = true
-      else {
-        val (sk, nNew) = (best(0).getLong(0), best(0).getLong(1))
-        chosen = chosen :+ ((r, sk, nNew, nCovered + nNew))
-        // superseded rounds' local-checkpoint blocks are reclaimed by the
-        // ContextCleaner once the old `covered` reference drops (an explicit
-        // Dataset.unpersist would be a no-op here — it clears CacheManager
-        // entries, not checkpoint blocks); the frames are partkey-only, so
-        // at most K small registers are ever live between GCs
-        covered = Scale.materialize(covered.unionByName(
-          remaining.filter(col("suppkey") === sk).select(col("partkey"))))
-      }
-    }
     import s.implicits._
-    chosen.toDF("round", "suppkey", "n_new_parts", "n_covered")
+    // DURABLE (parquet) materialization for the edge frame, not
+    // localCheckpoint: local-checkpointed blocks are unevictable, and
+    // pinning an SF-scaled edge relation for all K rounds starves execution
+    // memory (measured: SparkOutOfMemory in the late rounds at 100× the
+    // gate SF). The loop re-reads edges 2×K times; a columnar re-read
+    // scales, a pinned block cache does not. An explicit write+read-back
+    // (instead of the r15 Dataset.checkpoint) computes the distinct ONCE —
+    // the reliable-checkpoint protocol re-runs its subtree for the write
+    // job — and the files are reclaimed as soon as the greedy state is
+    // driver-resident.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_setcover_")
+    try {
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+        .distinct()
+        .write.parquet(s"$tmp/edges")
+      val edges = s.read.parquet(s"$tmp/edges")
+      // the covered register stays a DRIVER array while it holds at most
+      // CoverBroadcastRows partkeys (bounded by Σ n_new — known values, the
+      // same budget the r15 broadcast hint used): each round then reads a
+      // broadcast local relation instead of a materialized distributed
+      // union chain, dropping the per-round checkpoint fence. Past the
+      // budget it degrades to exactly the r15 distributed register.
+      var coveredSet: Array[Long] = Array.empty
+      var coveredDf: Option[DataFrame] = None
+      var chosen = Vector.empty[(Int, Long, Long, Long)]
+      var done = false
+      for (r <- 1 to SetCoverRounds if !done) {
+        val nCovered = chosen.lastOption.map(_._4).getOrElse(0L)
+        val rhs = coveredDf
+          .getOrElse(broadcast(coveredSet.toSeq.toDF("partkey")))
+        val remaining = edges.join(rhs, Seq("partkey"), "left_anti")
+        val best = remaining.groupBy(col("suppkey"))
+          .agg(count(lit(1)).as("n_new"))
+          .orderBy(col("n_new").desc, col("suppkey").asc)
+          .limit(1).collect() // bounded greedy state: 1 row per round
+        if (best.isEmpty) done = true
+        else {
+          val (sk, nNew) = (best(0).getLong(0), best(0).getLong(1))
+          chosen = chosen :+ ((r, sk, nNew, nCovered + nNew))
+          val picked = remaining.filter(col("suppkey") === sk)
+            .select(col("partkey"))
+          if (coveredDf.isEmpty && nCovered + nNew <= CoverBroadcastRows)
+            coveredSet = coveredSet ++ picked.collect().map(_.getLong(0))
+          else
+            coveredDf = Some(Scale.materialize(coveredDf
+              .getOrElse(coveredSet.toSeq.toDF("partkey"))
+              .unionByName(picked)))
+        }
+      }
+      chosen.toDF("round", "suppkey", "n_new_parts", "n_covered")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
   }
 
   private def setCoverOracleSql: String = {
