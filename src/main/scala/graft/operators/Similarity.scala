@@ -219,35 +219,57 @@ object Similarity {
         NativeVector.cosine(col("va"), col("vb")).as("sim"))
 
   def knnMmr(s: SparkSession, d: String): DataFrame = {
+    // The pool and its pairwise sims are LITERAL-bounded (NumQueries ×
+    // MmrPool ≤ 200 rows; pairs ≤ NumQueries × MmrPool² ≤ 4000): collect
+    // both once (retrieval + pairwise cosines stay distributed) and run the
+    // MmrK greedy rounds as driver arithmetic — the r15 shape paid a
+    // join+window+materialize fence PER ROUND over those few hundred rows
+    // (job latency, not compute; the events_attribution_markov precedent).
+    // Driver semantics replicate the plan exactly: ms = max pairwise sim to
+    // the selected set under java.lang.Double.compare (Spark's Max/sort
+    // order), score = rel − ms, pick by (score desc, vec_id asc).
     val pool = mmrPool(s, d).transform(Scale.materialize)
-    val pairs = mmrPairs(pool).transform(Scale.materialize)
-    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    var sel: DataFrame = null
-    var rem = pool.select(col("q_id"), col("vec_id"), col("rel"))
-    for (r <- 1 to MmrK) {
-      val withMs =
-        if (sel == null) rem.withColumn("ms", lit(0.0))
-        else {
-          val mx = pairs
-            .join(sel.select(col("q_id"), col("vec_id").as("b")), Seq("q_id", "b"))
-            .groupBy(col("q_id"), col("a"))
-            .agg(max(col("sim")).as("mx"))
-            .withColumnRenamed("a", "vec_id")
-          rem.join(mx, Seq("q_id", "vec_id"), "left_outer")
-            .withColumn("ms", coalesce(col("mx"), lit(0.0))).drop("mx")
+    val two = Scale.inParallel[Array[org.apache.spark.sql.Row]](Seq(
+      () => pool.select(col("q_id"), col("vec_id"), col("rel")).collect(),
+      () => mmrPairs(pool)
+        .select(col("q_id"), col("a"), col("b"), col("sim")).collect()),
+      slots = 2)
+    val poolRows = two(0).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simOf = two(1).iterator
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val out = Seq.newBuilder[(Long, Int, Long, Double, Double)]
+    for (qid <- poolRows.map(_._1).distinct.sorted) {
+      var remaining = poolRows.filter(_._1 == qid).map(t => (t._2, t._3))
+      var selected = Vector.empty[Long]
+      for (r <- 1 to MmrK if remaining.nonEmpty) {
+        var bestVec = -1L; var bestRel = 0.0; var bestScore = 0.0
+        var first = true
+        remaining.foreach { case (vec, rel) =>
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(b => simOf((qid, vec, b)))
+              .reduce((x, y) => if (java.lang.Double.compare(x, y) >= 0) x else y)
+          val sc = rel - ms
+          val cmp = if (first) 1 else java.lang.Double.compare(sc, bestScore)
+          if (cmp > 0 || (cmp == 0 && vec < bestVec)) {
+            bestVec = vec; bestRel = rel; bestScore = sc; first = false
+          }
         }
-      val pick = withMs.withColumn("score", col("rel") - col("ms"))
-        .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel"), col("score"),
-          lit(r).as("rank"))
-        .transform(Scale.materialize)
-      sel = if (sel == null) pick else sel.unionByName(pick)
-      rem = rem.join(pick.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
+        out += ((qid, r, bestVec, bestRel, bestScore))
+        selected :+= bestVec
+        remaining = remaining.filterNot(_._1 == bestVec)
+      }
     }
-    sel.select(col("q_id"), col("rank"), col("vec_id").as("nn_id"),
-      detRound(col("rel"), 6).as("rel"), detRound(col("score"), 6).as("mmr"))
+    import s.implicits._
+    val raw = out.result()
+    val local =
+      if (raw.isEmpty) s.emptyDataset[(Long, Int, Long, Double, Double)]
+        .toDF("q_id", "rank", "nn_id", "rel0", "mmr0")
+      else s.createDataFrame(raw)
+        .toDF("q_id", "rank", "nn_id", "rel0", "mmr0")
+    local.select(col("q_id"), col("rank"), col("nn_id"),
+      detRound(col("rel0"), 6).as("rel"), detRound(col("mmr0"), 6).as("mmr"))
   }
 
   // ------------------------------------------------------------------ LSH
@@ -2049,12 +2071,39 @@ object Similarity {
 
   def knnMatryoshka(s: SparkSession, d: String): DataFrame = {
     val (q, c) = split(s, d)
-    val full = Scale.materialize(knnBrute(s, d).select(col("q_id"), col("nn_id")))
-    val trunc = MatDims.map { m =>
-      topK(broadcast(q).join(c)
-          .withColumn("cos", cosineU(col("qv"), col("v"), m)))
-        .select(lit(m).as("dim_budget"), col("q_id"), col("nn_id"))
-    }.reduce(_ unionByName _)
+    // ONE corpus scan scores all |MatDims| budgets per (query, candidate)
+    // pair (prefix folds are near-free next to the pair join), exploded to
+    // (dim_budget, q_id, vec_id, cos) and cut by one batched two-phase
+    // top-k over (dim_budget, q_id) — the r15 shape ran one scan + top-k
+    // PER budget plus a fifth brute scan for the ground truth (5 corpus
+    // scans, 5 top-k exchange pairs → 1 + 1; guide §2.4). Ground truth =
+    // the m=64 pane: cosineU(·,·,64) is the full cosine (the audit's
+    // recall-1.0-by-construction self-check row), and the oracle re-proves
+    // the kernels' bit-identity every round.
+    // prefix norms precompute PER ROW (not per pair — the r15 shape redid
+    // both vectors' norm folds inside every pairwise cosine), and the four
+    // cosines project BELOW the explode: inlining all four unrolled folds
+    // into the Generate's consume blew janino's method budget and dropped
+    // the stage out of whole-stage codegen (§4)
+    val qEnr = q.select(col("q_id") +: col("qv") +:
+      MatDims.map(m => norm2U(col("qv"), m).as(s"_qn$m")): _*)
+    val cEnr = c.select(col("vec_id") +: col("v") +:
+      MatDims.map(m => norm2U(col("v"), m).as(s"_cn$m")): _*)
+    val scored = broadcast(qEnr).join(cEnr)
+      .select(col("q_id") +: col("vec_id") +:
+        MatDims.map(m => (dotU(col("qv"), col("v"), m)
+          / sqrt(col(s"_qn$m") * col(s"_cn$m"))).as(s"_c$m")): _*)
+      .select(col("q_id"), col("vec_id"),
+        explode(array(MatDims.map(m =>
+          struct(lit(m).as("dim_budget"), col(s"_c$m").as("cos"))): _*)).as("e"))
+      .select(col("e.dim_budget").as("dim_budget"), col("q_id"),
+        col("vec_id"), col("e.cos").as("cos"))
+    val trunc = Scale.materialize(Scale.topKPerGroup(scored,
+        Seq("dim_budget", "q_id"), Seq(col("cos").desc, col("vec_id")),
+        k = K, saltSrc = col("vec_id"))
+      .select(col("dim_budget"), col("q_id"), col("vec_id").as("nn_id")))
+    val full = trunc.filter(col("dim_budget") === MatDims.max)
+      .select(col("q_id"), col("nn_id"))
     val hits = trunc.join(full, Seq("q_id", "nn_id"))
       .groupBy(col("dim_budget"), col("q_id")).agg(count(lit(1)).as("n_hits"))
     trunc.select(col("dim_budget"), col("q_id")).distinct()
