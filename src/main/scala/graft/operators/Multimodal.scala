@@ -239,6 +239,10 @@ object Multimodal {
             ((element_at(col("peaks"), (t + 1).cast("int")) * ConstPeakMod
               + element_at(col("peaks"), (t + j + 1).cast("int"))) * 4 + j).as("key")))))).as("lm"))
       .select(col("doc_id"), col("lm.t").as("t"), col("lm.key").as("key"))
+      // three consumers (df counts + both self-join sides) — settle the
+      // landmark scan once or the per-payload substring-hash pass, the
+      // dominant stage, runs three times (r16; the simhashPairs precedent)
+      .transform(graft.operators.Scale.materialize)
     val matchable = posts.groupBy(col("key"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= ConstMaxDf)
@@ -308,9 +312,12 @@ object Multimodal {
       toks.filter(col("doc_id") < CapQueries && (col("pos") + 1) % 3 =!= 0)
         .select(col("doc_id").as("q_id"), col("dim")), "q_id")
       .select(col("q_id"), col("v").as("qv"), col("l2").as("ql2"))
+    // native integer dot (ArrayDotLong — the SQ8 shortlist kernel) instead
+    // of the HOF aggregate(zip_with(...)) lambda, which falls out of
+    // whole-stage codegen on this hot pairwise path (§4); integer sums are
+    // order-free, so the value is identical by construction
     val scored = broadcast(queries).join(corpus)
-      .withColumn("dot", aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", graft.functions.NativeVector.dotLong(col("qv"), col("v")))
       .withColumn("cos", col("dot").cast("double") / (col("ql2") * col("l2")))
     graft.operators.Scale.topKPerGroup(
         scored.select(col("q_id"), col("doc_id"), col("cos")),
