@@ -154,8 +154,20 @@ object CdcQueries {
       val bounds = ch.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
       val t0 = bounds.getLong(0)
       val span = bounds.getLong(1) - t0 + 1
+      // every batch's touched-bucket set from ONE job over the settled
+      // changelog (≤ StoreBatches × buckets rows) — the per-merge
+      // self-computed collect cost one extra job per batch (r16)
+      val touchedAll = ch.select(
+          expr(s"((ts_ms - $t0) * $StoreBatches) div $span").as("k"),
+          graft.streaming.BucketedSnapshot
+            .bucketOf(Seq("id"), graft.streaming.BucketedSnapshot.DefaultBuckets)
+            .as("b"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, bs) => k -> bs.map(_._2).toSeq }
       for (k <- 0 until StoreBatches)
-        graft.streaming.BucketedSnapshot.merge(dir, Seq("id"), payloadCols)(
+        graft.streaming.BucketedSnapshot.merge(dir, Seq("id"), payloadCols,
+          knownTouched = Some(touchedAll.getOrElse(k.toLong, Seq.empty)))(
           ch.filter(expr(s"((ts_ms - $t0) * $StoreBatches) div $span = $k")), k.toLong)
       dir
     })

@@ -404,8 +404,15 @@ object BucketedSnapshot {
     * is pinned in `_MODE` at creation (crossing plain↔retention would
     * corrupt state: a plain merge stamps op='r' over stored tombstones).
     */
+  /** `knownTouched`: the batch's EXACT distinct bucket set, when the caller
+    * already computed it (the store builder derives all batches' touched
+    * sets from one job over the settled changelog instead of paying one
+    * collect job per merge). Trusted — a wrong set merges against the wrong
+    * state; None keeps the self-computed collect.
+    */
   def merge(dir: String, keyCols: Seq[String], payloadCols: Seq[String],
-      buckets: Int = DefaultBuckets, tombstoneRetention: Option[Long] = None)
+      buckets: Int = DefaultBuckets, tombstoneRetention: Option[Long] = None,
+      knownTouched: Option[Seq[Long]] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val nb = bucketsOf(dir).getOrElse {
@@ -458,9 +465,11 @@ object BucketedSnapshot {
       System.err.println(f"[merge-debug] batch=$batchId $phase ${(now - tMark) / 1e9}%.2f s")
       tMark = now
     }
-    // touched buckets: one bounded collect (≤ #buckets rows)
-    val touched = batch.select(bucketOf(keyCols, nb).as("b")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // touched buckets: one bounded collect (≤ #buckets rows), unless the
+    // caller already knows the set
+    val touched = knownTouched.getOrElse(
+      batch.select(bucketOf(keyCols, nb).as("b")).distinct()
+        .collect().map(_.getLong(0)).toSeq).sorted
     mark("touched")
     if (touched.isEmpty) { // empty batch still commits (replay bookkeeping)
       Files.createFile(marker)
