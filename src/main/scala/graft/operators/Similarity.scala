@@ -1147,6 +1147,20 @@ object Similarity {
     */
   val GraphDescentRounds = 2
 
+  /** Reverse-neighbor cap for the NN-descent adjacency arrays (standard
+    * NN-descent practice samples reverse neighbors; VERDICT r15 item 7):
+    * after symmetrization a hub node's in-degree is unbounded in the worst
+    * case, so without a cap the per-middle-node `collect_set` row can grow
+    * with reverse-kNN in-degree. Each middle node keeps its [[GraphRevCap]]
+    * SMALLEST neighbor ids (deterministic; restated identically in every
+    * generated oracle, so build parity holds by construction wherever the
+    * cap binds). 8·GraphK = 40 does NOT bind on this corpus at any tested
+    * SF — measured max symmetrized degree 17/18/21 at sf0.001/0.01/0.1
+    * (tools/DegCheck) — so results at the gate SFs are unchanged
+    * (spec-pinned); it exists to bound the deployment-SF worst case.
+    */
+  val GraphRevCap = 8 * GraphK
+
   /** Single-exchange top-k for walk-sized frames: every group is bounded by
     * LITERAL constants (≤ beam·(GraphK+1) rows per query — never
     * corpus-dependent), so the bucketed two-phase of [[Scale.topKPerGroup]]
@@ -1223,10 +1237,14 @@ object Similarity {
       // (the part_pagerank edge-build shape): one groupBy exchange + a
       // map-side double explode replaces the sym⋈sym sort-merge self-join's
       // two sort exchanges — measured 1.5-2× faster per round at sf0.1 with
-      // bit-identical output (r15). Array width is bounded by 2·GraphK per
-      // node (≤ 2k neighbors after symmetrization), never corpus-sized.
+      // bit-identical output (r15). Array width is bounded by [[GraphRevCap]]
+      // per node: out-degree is ≤ GraphK by construction, but a hub's
+      // REVERSE in-degree is not, so the sorted slice keeps the cap's
+      // smallest neighbor ids (non-binding at every tested SF — see
+      // GraphRevCap; the oracles state the identical ranked cut).
       val cand = sym.groupBy(col("src").as("b"))
-        .agg(collect_set(col("dst")).as("ns"))
+        .agg(collect_set(col("dst")).as("ns0"))
+        .select(slice(array_sort(col("ns0")), 1, GraphRevCap).as("ns"))
         .select(explode(col("ns")).as("a"), col("ns"))
         .select(col("a"), explode(col("ns")).as("c"))
         .filter(col("a") =!= col("c"))
@@ -1588,9 +1606,13 @@ object Similarity {
       val prev = s"e${r - 1}"
       s"""sym$r AS (SELECT src, dst FROM $prev
          |  UNION SELECT dst, src FROM $prev),
+         |adjr$r AS (SELECT m, n FROM (
+         |  SELECT src AS m, dst AS n,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |  FROM sym$r) t WHERE rn <= $GraphRevCap),
          |cand$r AS (
-         |  SELECT DISTINCT s1.src, s2.dst FROM sym$r s1
-         |    JOIN sym$r s2 ON s1.dst = s2.src WHERE s1.src <> s2.dst
+         |  SELECT DISTINCT s1.n AS src, s2.n AS dst
+         |  FROM adjr$r s1 JOIN adjr$r s2 ON s1.m = s2.m WHERE s1.n <> s2.n
          |  EXCEPT SELECT src, dst FROM $prev),
          |fresh$r AS (SELECT c.src, c.dst,
          |    ${cosN("a.v", "b.v", "a.n2", "b.n2")} AS cos
@@ -3780,9 +3802,13 @@ object Similarity {
       val prev = s"e${r - 1}"
       s"""sym$r AS (SELECT src, dst FROM $prev
          |  UNION SELECT dst, src FROM $prev),
+         |adjr$r AS (SELECT m, n FROM (
+         |  SELECT src AS m, dst AS n,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |  FROM sym$r) t WHERE rn <= $GraphRevCap),
          |cand$r AS (
-         |  SELECT DISTINCT s1.src, s2.dst FROM sym$r s1
-         |    JOIN sym$r s2 ON s1.dst = s2.src WHERE s1.src <> s2.dst
+         |  SELECT DISTINCT s1.n AS src, s2.n AS dst
+         |  FROM adjr$r s1 JOIN adjr$r s2 ON s1.m = s2.m WHERE s1.n <> s2.n
          |  EXCEPT SELECT src, dst FROM $prev),
          |fresh$r AS (SELECT c.src, c.dst, ${cosineSql("a.v", "b.v")} AS cos
          |  FROM cand$r c JOIN e a ON c.src = a.vec_id JOIN e b ON c.dst = b.vec_id),
@@ -3839,9 +3865,13 @@ object Similarity {
       val prev = s"e${r - 1}"
       s"""sym$r AS (SELECT src, dst FROM $prev
          |  UNION SELECT dst, src FROM $prev),
+         |adjr$r AS (SELECT m, n FROM (
+         |  SELECT src AS m, dst AS n,
+         |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |  FROM sym$r) t WHERE rn <= $GraphRevCap),
          |cand$r AS (
-         |  SELECT DISTINCT s1.src, s2.dst FROM sym$r s1
-         |    JOIN sym$r s2 ON s1.dst = s2.src WHERE s1.src <> s2.dst
+         |  SELECT DISTINCT s1.n AS src, s2.n AS dst
+         |  FROM adjr$r s1 JOIN adjr$r s2 ON s1.m = s2.m WHERE s1.n <> s2.n
          |  EXCEPT SELECT src, dst FROM $prev),
          |fresh$r AS (SELECT c.src, c.dst,
          |    ${cosN("a.v", "b.v", "a.n2", "b.n2")} AS cos

@@ -776,4 +776,24 @@ class SimilaritySpec extends AnyFunSuite {
     // separation must vary across labels on this corpus
     assert(got.map(_._3).size > 1)
   }
+
+  test("knn-graph descent: the reverse-neighbor cap does not bind at the spec SF") {
+    // GraphRevCap exists to bound a hub's reverse in-degree at deployment
+    // SFs; here we pin that it is NON-BINDING on this corpus (max
+    // symmetrized degree well under the cap at every descent round's input
+    // graph), which makes the capped build row-identical to the uncapped
+    // r15 form at the gate SFs by construction.
+    import org.apache.spark.sql.functions._
+    for (r <- 0 until Similarity.GraphDescentRounds) {
+      val e = Similarity.knnGraphRounds(spark, sf, r)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val mx = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .agg(max(col("dg"))).head().getLong(0)
+      assert(mx <= Similarity.GraphRevCap,
+        s"round $r: max symmetrized degree $mx exceeds GraphRevCap " +
+          s"${Similarity.GraphRevCap} — capped and uncapped builds diverge at this SF")
+    }
+  }
 }
