@@ -235,7 +235,13 @@ object Graph {
             col("a.l_partkey") =!= col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .agg(count(lit(1)).as("ew"))
-        .filter(col("ew") >= LpMinWeight))), slots = 2)
+        .filter(col("ew") >= LpMinWeight)
+        // align once on the loop's join key: the groupBy leaves the edges
+        // hash(src, dst)-partitioned, so every LPA round re-exchanged the
+        // EDGE relation (the big side) to join labels on src; keyed on src
+        // here, only the node-sized label frame moves per round (r16, the
+        // same trick as nodes/adj in pagerank)
+        .repartition(col("src")))), slots = 2)
     LpState(two(0), two(1))
   }
 
